@@ -1,0 +1,138 @@
+"""Text-analysis column expressions for the training-data pipeline surface.
+
+All pure ``Column`` expressions over built-in/higher-order functions —
+JVM-side, no Python in the hot path, so they hold up on 100 TB of documents.
+
+Operators: tokenization, word n-gram shingles, token counting (whitespace +
+a BPE-ish regex), quality scoring (length / punctuation / stopword /
+uniqueness ratios), a deterministic language-ID heuristic, and document
+fingerprinting (md5 canonical + 64-bit rolling-style xxhash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.functions.cleanse import _c, ColumnOrName
+
+# Tiny function-word lists per language for the language-ID heuristic.
+# Deterministic and SQL-oracle-able; real deployments would swap in proper
+# n-gram profiles — the operator shape (score -> argmax, all JVM-side) is
+# what matters at scale.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "to", "in"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "es": ["el", "de", "y", "que", "en", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+
+# BPE-ish tokenizer: word pieces, numbers, or single non-space symbols.
+# Mirrors the common GPT-2-style pre-tokenization shape without \p classes so
+# the same pattern runs in Spark (Java regex) and DuckDB (RE2) identically.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(col: ColumnOrName) -> Column:
+    """Lower-cased whitespace tokens, empty strings removed."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count_ws(col: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe_ish(col: ColumnOrName) -> Column:
+    """BPE-ish token count via regexp extraction (regexp_count of pieces)."""
+    return F.regexp_count(_c(col), F.lit(BPE_ISH_PATTERN))
+
+
+def word_shingles(col: ColumnOrName, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), JVM-side.
+
+    transform(sequence(0, n_tok-n), i -> concat_ws(' ', slice(tokens, i+1, n)))
+    """
+    toks = tokens(col)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def stopword_ratio(col: ColumnOrName, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (double, deterministic)."""
+    sw = stopwords or LANG_MARKERS["en"]
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return n_stop / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def punct_ratio(col: ColumnOrName) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    c = _c(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    return n_punct / F.nullif(F.length(c).cast("double"), F.lit(0.0))
+
+
+def avg_token_len(col: ColumnOrName) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def uniq_token_ratio(col: ColumnOrName) -> Column:
+    toks = tokens(col)
+    return F.size(F.array_distinct(toks)) / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def quality_score(col: ColumnOrName) -> Column:
+    """Composite [0,1] quality score: favors mid-length docs, low punctuation,
+    some stopwords, lexical diversity. Deterministic arithmetic only."""
+    c = _c(col)
+    n_tok = token_count_ws(c).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(F.coalesce(punct_ratio(c), F.lit(0.0)) * 4, F.lit(1.0))
+    stop_score = F.least(F.coalesce(stopword_ratio(c), F.lit(0.0)) * 5, F.lit(1.0))
+    uniq = F.coalesce(uniq_token_ratio(c), F.lit(0.0))
+    return F.round((len_score + punct_pen + stop_score + uniq) / 4, 6)
+
+
+def marker_hits(col: ColumnOrName, markers: list[str]) -> Column:
+    """Number of tokens that appear in a marker list (non-distinct count)."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(markers)))
+
+
+def langid(col: ColumnOrName) -> Column:
+    """Deterministic language-ID heuristic: argmax of marker-token counts,
+    ties and zero-evidence -> 'und'. Pure expression -> SQL-oracle-able."""
+    c = _c(col)
+    scores = [(lang, marker_hits(c, mk)) for lang, mk in LANG_MARKERS.items()]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    out = F.lit("und")
+    # first-wins on ties, in declaration order
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(col: ColumnOrName) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint_md5(col: ColumnOrName) -> Column:
+    """Canonical-text md5 fingerprint (exact-dedup key)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_xx64(col: ColumnOrName) -> Column:
+    """64-bit xxhash fingerprint of canonical text (cheap clustering key).
+    Engine-internal (not portable across engines) — used by minhash/simhash."""
+    return F.xxhash64(normalize_text(col))

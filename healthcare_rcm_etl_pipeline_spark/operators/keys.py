@@ -1,0 +1,81 @@
+"""Deterministic dense surrogate keys (SURVEY.md §2h, K1-K3).
+
+The reference assigns surrogate keys positionally from the pandas index after
+drop_duplicates (/root/reference/python/transform.py:46-56,
+dimensional_modeling.py:33,40, scd_implementation.py:96-98). That contract —
+dense 0..n-1 ids in a defined order — is re-expressed here two ways:
+
+- ``dense_sk``: row_number() over a single explicit global ordering. Simple,
+  exactly reproducible, right for dimensions (≤ millions of rows). The global
+  window funnels through one task, so it is deliberately NOT used for facts.
+- ``dense_sk_scalable``: range-repartition by the ordering key, sort within
+  partitions, per-partition row_number + broadcast cumulative offsets. Fully
+  parallel, still produces the exact global-sort rank, safe at 100 TB. The
+  only driver-side data is one row count per partition.
+
+``monotonically_increasing_id`` is never used: it is non-dense and
+partition-layout-dependent, so ids would change under AQE/repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_sk(
+    df: DataFrame,
+    key_cols: list[str],
+    sk_col: str = "sk",
+    start: int = 0,
+    dedup: bool = True,
+) -> DataFrame:
+    """Dense ordinal surrogate key over (optionally deduped) key columns.
+
+    Deterministic: ordering is the key columns themselves. Use for dims.
+    """
+    out = df.dropDuplicates(key_cols) if dedup else df
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    return out.withColumn(sk_col, (F.row_number().over(w) - 1 + start).cast("long"))
+
+
+def dense_sk_scalable(
+    df: DataFrame,
+    order_cols: list[str],
+    sk_col: str = "sk",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global-sort-rank ids without a single-task global window.
+
+    Two-pass: (1) range partition + local sort + local row_number,
+    (2) count rows per partition (tiny driver-side list), broadcast the
+    cumulative offsets back as a literal map. Result equals
+    ``row_number() over (order by order_cols) - 1 + start`` for any
+    partitioning, as long as ``order_cols`` is a total order (unique keys).
+    """
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order_exprs = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n_part, *order_exprs).sortWithinPartitions(*order_exprs)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order_exprs)
+    # persist: the offsets job and the output job must see the SAME range
+    # boundaries (repartitionByRange samples, so recomputation could differ)
+    local = with_pid.withColumn("__local_rn", F.row_number().over(w) - 1).persist()
+
+    # partition sizes: one long per partition — bounded driver traffic
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
+    )
+    return (
+        local.withColumn(sk_col, (F.col("__local_rn") + offset_expr).cast("long"))
+        .drop("__pid", "__local_rn")
+    )

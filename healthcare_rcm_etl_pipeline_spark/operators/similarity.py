@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k for a set of query vectors — the
+  correctness baseline. queries × corpus join keyed for broadcast (queries
+  are small); ranking via per-query window, which Spark plans as a
+  partitioned TakeOrdered — no global sort.
+- lsh_bucket_topk: random-hyperplane LSH (sign sketch) — corpus is hashed
+  into 2^n_planes buckets; each query probes its own bucket (plus optional
+  multi-probe neighbors at Hamming distance 1). Linear scan per bucket, the
+  100 TB scale path. Recall < 1 by construction; verified against the brute
+  force in tests.
+
+Hyperplanes are generated deterministically from a seed via a splitmix-style
+integer mix — no RNG state, reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.functions.vector import as_double_vec, cosine, dot
+
+
+def _splitmix(x: int) -> int:
+    # public-domain splitmix64 mixer (Steele et al., JDK SplittableRandom)
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes via Box-Muller over splitmix."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(0, dim, 2):
+            state = _splitmix(state)
+            u1 = (state >> 11) / float(1 << 53) or 1e-12
+            state = _splitmix(state)
+            u2 = (state >> 11) / float(1 << 53)
+            r = math.sqrt(-2.0 * math.log(u1))
+            plane.append(r * math.cos(2 * math.pi * u2))
+            plane.append(r * math.sin(2 * math.pi * u2))
+        planes.append(plane[:dim])
+    return planes
+
+
+def sign_sketch(df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "bucket") -> DataFrame:
+    """Bucket id = bit-packed signs of dot(vec, plane_i) — pure expressions."""
+    v = as_double_vec(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (small side)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    # spread the corpus scan across cores even when it arrives as one file
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cos", F.round(cosine("__qvec", "__cvec"), 6)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe the query's sign-sketch bucket (+ Hamming-1
+    neighbors when multiprobe) instead of the whole corpus."""
+    planes = hyperplanes(dim, n_planes, seed)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = sign_sketch(
+        corpus.repartition(par, id_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ),
+        "__cvec",
+        planes,
+    )
+    q = sign_sketch(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        planes,
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.withColumn("cos", F.round(cosine("__qvec", "__cvec"), 6)).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

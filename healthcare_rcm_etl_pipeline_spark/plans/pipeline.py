@@ -1,0 +1,147 @@
+"""End-to-end batch pipeline (SURVEY.md §3, entry point 1).
+
+Spark-native lifecycle replacing /root/reference/python/scd_implementation.py's
+orchestration (:102-132): extract -> standardize/union -> clean/enrich ->
+surrogate keys -> star schema -> SCD2 -> parquet staging. Everything stays a
+lazy DataFrame graph until the staging writes; the only barrier is the SCD2
+read-modify-write (versioned dirs, sinks.write_versioned).
+
+Source layout defaults to the reference repo's own seed CSVs (the same data
+its MySQL DDL seeds), so the e2e tests run the real input. ``claims source
+inference``: the reference tags claims by filename substring
+(extraction.py:103-105); here the filename is mapped explicitly per file.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.operators.scd2 import apply_scd_type2
+from healthcare_rcm_etl_pipeline_spark.plans import model
+from healthcare_rcm_etl_pipeline_spark.plans.standardize import (
+    PATIENTS_B_RENAMES,
+    add_unified_patient_id,
+    integrate_sources,
+)
+from healthcare_rcm_etl_pipeline_spark.sources import readers, schemas, sinks
+
+DB_TABLES = ["departments", "encounters", "patients", "providers", "transactions"]
+SCD_TRACKED = ["Address", "LastName"]  # scd_implementation.py:19
+
+
+def extract(
+    spark: SparkSession, reference_root: str = "/root/reference"
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """extraction.py:53-111 — CSV-backed (same data the MySQL DDL seeds)."""
+    hosp = os.path.join(reference_root, "SQL", "hospital_dbs")
+    out: dict[str, DataFrame] = {}
+    for tbl in DB_TABLES:
+        per_source = {}
+        for src, db in [("hospital_a", "hospital1_db"), ("hospital_b", "hospital2_db")]:
+            schema_key = (
+                "patients_b" if (tbl == "patients" and src == "hospital_b") else
+                "patients_a" if tbl == "patients" else tbl
+            )
+            df = readers.read_csv(
+                spark,
+                os.path.join(hosp, db, f"{tbl}.csv"),
+                schemas.HOSPITAL_TABLE_SCHEMAS[schema_key],
+            )
+            per_source[src] = df
+        out[tbl] = integrate_sources(
+            per_source, renames={"hospital_b": PATIENTS_B_RENAMES if tbl == "patients" else {}}
+        )
+    out["patients"] = add_unified_patient_id(out["patients"])
+
+    claim_files = sorted(glob(os.path.join(reference_root, "Data", "claims", "*.csv")))
+    claim_parts = {}
+    for f in claim_files:
+        src = "hospital_a" if "hospital1" in os.path.basename(f).lower() else "hospital_b"
+        claim_parts[src] = readers.read_csv(spark, f, schemas.HOSPITAL_TABLE_SCHEMAS["claims"])
+    claims = integrate_sources(claim_parts)
+    return out, claims
+
+
+def transform(
+    db_data: dict[str, DataFrame], claims: DataFrame, run_date: str
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """transform.py:58-67."""
+    db = dict(db_data)
+    db["patients"] = model.clean_patients(db["patients"], run_date)
+    claims_t = model.enrich_claims(claims)
+    db["patients"] = model.attach_surrogate_key(db["patients"], ["unified_patient_id"], "patient_sk")
+    db["providers"] = model.attach_surrogate_key(
+        db["providers"], ["ProviderID", "source_hospital"], "provider_sk"
+    )
+    db["departments"] = model.attach_surrogate_key(
+        db["departments"], ["DeptID", "source_hospital"], "department_sk"
+    )
+    return db, claims_t
+
+
+def run_pipeline(
+    spark: SparkSession,
+    reference_root: str = "/root/reference",
+    staging_dir: str | None = None,
+    run_date: str = "2025-08-03",
+    existing_dim_patients: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Full batch run; returns {table_name: DataFrame} of dims + facts."""
+    db_raw, claims_raw = extract(spark, reference_root)
+    db, claims = transform(db_raw, claims_raw, run_date)
+
+    dims = {
+        "dim_patients": model.build_dim_patients(db["patients"]),
+        "dim_providers": model.build_dim_providers(db["providers"], db["departments"]),
+        "dim_departments": model.build_dim_departments(db["departments"]),
+        "dim_procedures": model.build_dim_procedures(db["transactions"]),
+        "dim_date": model.build_dim_date(db["transactions"], db["encounters"]),
+    }
+    facts = {
+        "fact_transactions": model.build_fact_transactions(
+            db["transactions"],
+            dims["dim_patients"],
+            dims["dim_providers"],
+            dims["dim_procedures"],
+            dims["dim_date"],
+        ),
+    }
+    facts["fact_claims"] = model.build_fact_claims(
+        claims, facts["fact_transactions"], dims["dim_date"]
+    )
+    model.validate_star(facts, dims)
+
+    # SCD2 on dim_patients (scd_implementation.py:16-100): incoming = natural
+    # key + attrs; prior state comes from the versioned staging dir if present
+    incoming = dims["dim_patients"].drop("patient_sk")
+    existing = existing_dim_patients
+    if existing is None and staging_dir:
+        existing = sinks.read_versioned(spark, os.path.join(staging_dir, "dim_patients"))
+    scd = apply_scd_type2(
+        incoming,
+        existing,
+        key="unified_patient_id",
+        tracked=SCD_TRACKED,
+        run_date=run_date,
+        rekey="literal",
+        sk_col="patient_sk",
+    )
+    dims["dim_patients"] = scd
+
+    out = {**dims, **facts}
+    if staging_dir:
+        for name, df in out.items():
+            if name == "dim_patients":
+                sinks.write_versioned(df, os.path.join(staging_dir, name))
+            elif name.startswith("fact_"):
+                # clustering analog of load.py:100-103: facts by patient_sk
+                sinks.write_clustered(
+                    df, os.path.join(staging_dir, name), cluster_by=["patient_sk"]
+                )
+            else:
+                sinks.write_parquet(df, os.path.join(staging_dir, name))
+    return out

@@ -1,0 +1,866 @@
+"""The analytical query surface, registered for the driver harness.
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
+(DuckDB dialect) over the same parquet tables. Q1-Q11 re-express the
+reference's BigQuery analytics (/root/reference/Analysis/Big query/*.sql,
+SURVEY.md §2o) on the driver's TPC-H-ish testdata (mapping per FIXTURES.md
+§B: claims→orders, patients→customer, procedures→part, transactions→lineitem);
+the rest cover the operator inventory (§2b-§2m) and the beyond-reference
+training-data operators (dedup, similarity, text analysis, events).
+
+Determinism contract (why results hash-match an external engine):
+- money/ratio aggregates sum through DECIMAL (exact, order-insensitive) and
+  cast to DOUBLE at the end; divisions happen in IEEE double on both sides.
+- no ROUND on ratios — both engines compute bit-identical doubles from exact
+  sums, so rounding is unnecessary (and would only add tie-break risk).
+- every computed column is aliased identically in Spark and SQL.
+- orderings that feed row_number/limit are made total with explicit
+  tie-break keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.functions.cleanse import money_sum
+from healthcare_rcm_etl_pipeline_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    avg_token_len,
+    fingerprint_md5,
+    langid,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+    uniq_token_ratio,
+)
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, similarity
+from healthcare_rcm_etl_pipeline_spark.operators.keys import dense_sk, dense_sk_scalable
+from healthcare_rcm_etl_pipeline_spark.operators.multimodal import with_binary_payload
+from healthcare_rcm_etl_pipeline_spark.operators.scd2 import apply_scd_type2, stamp_first_version
+from healthcare_rcm_etl_pipeline_spark.plans.standardize import union_with_drift
+from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+from healthcare_rcm_etl_pipeline_spark.streaming import events as ev
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# exact decimal sum cast to double — SQL twin of functions.cleanse.money_sum
+def _dsum(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q11: the reference's analytical surface (SURVEY.md §2o)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_collection_rate",
+    f"""
+    SELECT {_dsum('l_extendedprice')} AS total_billed,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS total_collected,
+           {_dsum('l_extendedprice * (1 - l_discount)')} * 100.0
+             / {_dsum('l_extendedprice')} AS collection_rate
+    FROM lineitem
+    """,
+)
+def q01(spark, sf_dir):
+    """Q1 overall collection rate <- reveunue_metrics_bigQueries.sql:1-8
+    (global SUM + ratio-of-aggregates, A1/M3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    billed = money_sum("l_extendedprice")
+    collected = money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return li.agg(
+        billed.alias("total_billed"),
+        collected.alias("total_collected"),
+        (collected * 100.0 / billed).alias("collection_rate"),
+    )
+
+
+@query(
+    "q02_revenue_by_nation",
+    f"""
+    SELECT n.n_name,
+           {_dsum('o.o_totalprice')} AS total_revenue,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           {_dsum('o.o_totalprice')} / COUNT(*) AS avg_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q02(spark, sf_dir):
+    """Q2 revenue by hospital -> by nation <- reveunue_metrics_bigQueries.sql:10-24
+    (fact⋈dim groupBy SUM/AVG, A2/J7; dims broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = money_sum("o_totalprice")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            rev.alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            (rev / F.count("*")).alias("avg_order_value"),
+        )
+    )
+
+
+@query(
+    "q03_monthly_revenue",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           {_dsum('o_totalprice')} AS total_revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q03(spark, sf_dir):
+    """Q3 monthly revenue trend <- reveunue_metrics_bigQueries.sql:26-42
+    (time rollup, A3/D4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(money_sum("o_totalprice").alias("total_revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q04_status_rates",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_fulfilled,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS fulfilled_rate,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS open_rate
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q04(spark, sf_dir):
+    """Q4 approval/denial rates by payer -> status rates by priority
+    <- claim_performance.sql:1-16 (conditional aggregation, A4/A5/M4)."""
+    o = _t(spark, sf_dir, "orders")
+    n_f = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    n_o = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        n_f.alias("n_fulfilled"),
+        n_o.alias("n_open"),
+        (n_f * 100.0 / F.count("*")).alias("fulfilled_rate"),
+        (n_o * 100.0 / F.count("*")).alias("open_rate"),
+    )
+
+
+@query(
+    "q05_customer_demographics",
+    f"""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           {_dsum('c.c_acctbal')} / COUNT(*) AS avg_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q05(spark, sf_dir):
+    """Q5 demographics by hospital -> by nation <- pateint_metrics.sql:1-16
+    (dim-only groupBy, countDistinct + AVG, A6/A7)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            (money_sum("c_acctbal") / F.count("*")).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "q06_segment_mix",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           {_dsum('c_acctbal')} AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q06(spark, sf_dir):
+    """Q6 insurance mix -> market segment mix <- pateint_metrics.sql:18-28 (A6)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        money_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+@query(
+    "q07_avg_ship_delay",
+    """
+    SELECT AVG(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS avg_days_to_ship,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q07(spark, sf_dir):
+    """Q7 avg days in A/R -> avg order->ship delay <- operartional_efficiency.sql:1-8
+    (filtered global AVG over datediff, A7/D3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.avg(F.datediff("l_shipdate", "o_orderdate")).alias("avg_days_to_ship"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q08_writeoffs",
+    f"""
+    SELECT {_dsum('o_totalprice')} AS total_writeoff, COUNT(*) AS n_writeoffs
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q08(spark, sf_dir):
+    """Q8 total write-offs <- operartional_efficiency.sql:10-17
+    (filtered global SUM, A8/P3)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").agg(
+        money_sum("o_totalprice").alias("total_writeoff"),
+        F.count("*").alias("n_writeoffs"),
+    )
+
+
+@query(
+    "q09_top20_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {_dsum('o.o_totalprice')} AS lifetime_value,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY lifetime_value DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q09(spark, sf_dir):
+    """Q9 top-20 patient lifetime value -> customers <- patient lifetime value.sql:1-22
+    (join + groupBy + top-k; Spark plans TakeOrderedAndProject, O2)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            money_sum("o_totalprice").alias("lifetime_value"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("lifetime_value"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q10_part_profitability",
+    f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           {_dsum('l.l_quantity')} AS total_qty,
+           {_dsum('l.l_extendedprice')} AS revenue,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS net_revenue,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} * 100.0
+             / {_dsum('l.l_extendedprice')} AS net_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q10(spark, sf_dir):
+    """Q10 procedure profitability -> part/brand <- procedure_profitability.sql:1-20
+    (join + COUNT/SUM/AVG/ratio, A9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    revenue = money_sum("l_extendedprice")
+    net = money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money_sum("l_quantity").alias("total_qty"),
+            revenue.alias("revenue"),
+            net.alias("net_revenue"),
+            (net * 100.0 / revenue).alias("net_pct"),
+        )
+    )
+
+
+@query(
+    "q11_volume_trends",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def q11(spark, sf_dir):
+    """Q11 patient volume trends <- Seasonal trends:1-18 (A3/A6/D4)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator inventory: integration, keys, anti-join, date dim, SCD2
+# ---------------------------------------------------------------------------
+
+@query(
+    "union_drift_reconcile",
+    f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'sys_a' ELSE 'sys_b' END AS source_system,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price,
+           SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_drift_nulls
+    FROM orders GROUP BY 1
+    """,
+)
+def union_drift(spark, sf_dir):
+    """U1/U2 + schema drift: two tagged 'sources' (orderkey parity), one
+    missing a column, unionByName(allowMissingColumns) null-fills it
+    <- extraction.py:88-92 + the Updated_Date drift (SURVEY.md §1)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).withColumn("source_system", F.lit("sys_a"))
+    b = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .drop("o_orderpriority")  # simulated drift: column absent in source b
+        .withColumn("source_system", F.lit("sys_b"))
+    )
+    u = union_with_drift([a, b])
+    return u.groupBy("source_system").agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias("n_drift_nulls"),
+    )
+
+
+@query(
+    "sk_dense_dim",
+    """
+    SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS brand_sk
+    FROM (SELECT DISTINCT p_brand FROM part)
+    """,
+)
+def sk_dense_dim(spark, sf_dir):
+    """K1/K2 dense ordinal surrogate key over distinct natural keys
+    <- transform.py:46-56."""
+    p = _t(spark, sf_dir, "part")
+    return dense_sk(p.select("p_brand"), ["p_brand"], sk_col="brand_sk")
+
+
+@query(
+    "sk_dense_scalable",
+    """
+    SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS order_sk
+    FROM orders
+    """,
+)
+def sk_dense_scalable(spark, sf_dir):
+    """K1 at scale: range-partition + per-partition row_number + offsets —
+    no single-task global window; result equals the global sort rank."""
+    o = _t(spark, sf_dir, "orders")
+    return dense_sk_scalable(o.select("o_orderkey"), ["o_orderkey"], sk_col="order_sk").select(
+        "o_orderkey", "order_sk"
+    )
+
+
+@query(
+    "anti_join_orphans",
+    """
+    SELECT l_partkey, COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
+    GROUP BY l_partkey
+    """,
+)
+def anti_join_orphans(spark, sf_dir):
+    """P5/J6/V1 referential-integrity orphan scan as a distributed left_anti
+    join <- dimensional_modeling.py:85-92 (never isin-on-collected-list)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    valid = p.filter(F.col("p_size") <= 40).select(F.col("p_partkey").alias("l_partkey"))
+    return (
+        li.join(valid, "l_partkey", "left_anti")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "dim_date_derivation",
+    """
+    SELECT full_date,
+           CAST(row_number() OVER (ORDER BY full_date) - 1 AS BIGINT) AS date_sk,
+           CAST(year(full_date) AS INTEGER) AS year,
+           CAST(month(full_date) AS INTEGER) AS month,
+           CAST(quarter(full_date) AS INTEGER) AS quarter,
+           dayname(full_date) AS day_of_week
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders)
+    """,
+)
+def dim_date_derivation(spark, sf_dir):
+    """Calendar dimension <- dimensional_modeling.py:37-45 (U2/P6/K2/D4/D5/O3)."""
+    o = _t(spark, sf_dir, "orders")
+    dates = o.select(F.col("o_orderdate").cast("date").alias("full_date")).na.drop().distinct()
+    dim = dense_sk(dates, ["full_date"], sk_col="date_sk", dedup=False)
+    return (
+        dim.withColumn("year", F.year("full_date"))
+        .withColumn("month", F.month("full_date"))
+        .withColumn("quarter", F.quarter("full_date"))
+        .withColumn("day_of_week", F.date_format("full_date", "EEEE"))
+    )
+
+
+_SCD2_ORACLE = """
+    WITH incoming AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+      FROM customer
+    ),
+    existing AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 0
+    )
+    SELECT i.c_custkey, i.c_name, i.c_mktsegment, i.c_acctbal,
+           CASE WHEN e.c_custkey IS NOT NULL AND i.c_acctbal <> e.c_acctbal THEN 2 ELSE 1 END AS version,
+           CASE WHEN e.c_custkey IS NULL OR i.c_acctbal <> e.c_acctbal
+                THEN DATE '2024-06-01' ELSE DATE '2024-01-01' END AS effective_date,
+           CAST(NULL AS DATE) AS expiry_date,
+           TRUE AS is_current
+    FROM incoming i LEFT JOIN existing e USING (c_custkey)
+    UNION ALL
+    SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.c_acctbal,
+           1 AS version, DATE '2024-01-01' AS effective_date,
+           DATE '2024-05-31' AS expiry_date, FALSE AS is_current
+    FROM existing e JOIN incoming i USING (c_custkey)
+    WHERE i.c_acctbal <> e.c_acctbal
+"""
+
+
+@query("scd2_type2_merge", _SCD2_ORACLE)
+def scd2_merge(spark, sf_dir):
+    """SCD Type 2 merge (§2l) on a deterministic customer scenario:
+    existing snapshot = custkey%10!=0 stamped v1@2024-01-01; incoming = all
+    customers with acctbal+100 for custkey%3==0; merge @2024-06-01.
+    Exercises first-version stamping, change detection, expiry, new-version,
+    and brand-new paths <- scd_implementation.py:16-100."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    incoming = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    existing = stamp_first_version(c.filter(F.col("c_custkey") % 10 != 0), "2024-01-01")
+    return apply_scd_type2(
+        incoming,
+        existing,
+        key="c_custkey",
+        tracked=["c_mktsegment", "c_acctbal"],
+        run_date="2024-06-01",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup: canonical-text md5 -> hash groupBy, min-id survivor."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM toks
+    ),
+    post AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_jaccard_q(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs via shared-shingle equi-join."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # engine-internal hashing -> rows-only check
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidates, verified with exact Jaccard.
+    Linear-cost scale path for near-dedup at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", k=64, bands=16, n=3, verify_threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # engine-internal hashing -> rows-only check
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash-64 near-dup pairs (Hamming <= 3) with pigeonhole blocking."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3, blocks=4)
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+    """,
+)
+def embedding_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (no full cross join).
+    Threshold 0.35 (not a production 0.99): the synthetic embeddings are
+    near-orthogonal (max within-label cosine ≈ 0.5), so a realistic
+    threshold would make the check vacuous (0 rows)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        e, "embedding", "vec_id", block_col="label", threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_topk_bruteforce",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 40 = 0),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos
+      FROM q, v WHERE q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_q(spark, sf_dir):
+    """Exact cosine top-5 for query vectors (vec_id % 40 == 0): broadcast
+    queries × corpus scan, per-query window ranking."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    return similarity.brute_force_topk(e, q, k=5)
+
+
+@query("ann_topk_lsh")  # approximate (recall<1) -> rows-only check
+def ann_lsh_q(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH bucketing + multiprobe —
+    the 100 TB scale path; recall measured against brute force in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    return similarity.lsh_bucket_topk(e, q, k=5, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+_EN = "['the', 'and', 'of', 'a', 'to', 'in']"
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           len(list_filter(toks, x -> list_contains({_EN}, x))) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_token_ratio,
+           round((least(len(toks) / 64.0, 1.0)
+                  + (1.0 - least(coalesce((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 0.0) * 4, 1.0))
+                  + least(coalesce(len(list_filter(toks, x -> list_contains({_EN}, x))) / CAST(len(toks) AS DOUBLE), 0.0) * 5, 1.0)
+                  + coalesce(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 0.0)) / 4, 6) AS quality_score
+    FROM t
+    """,
+)
+def text_quality_q(spark, sf_dir):
+    """Per-document quality metrics: token counts, length, stopword /
+    uniqueness ratios, composite score — all JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        avg_token_len("text").alias("avg_token_len"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        uniq_token_ratio("text").alias("uniq_token_ratio"),
+        quality_score("text").alias("quality_score"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({_TOKS}, x -> list_contains({arr}, x)))"
+
+
+_LANGID_ORACLE = (
+    "WITH s AS (SELECT doc_id, lang, "
+    + ", ".join(f"{_lang_score_sql(mk)} AS s_{lang}" for lang, mk in LANG_MARKERS.items())
+    + ", greatest("
+    + ", ".join(f"{_lang_score_sql(mk)}" for mk in LANG_MARKERS.values())
+    + ") AS best FROM documents) "
+    + "SELECT lang, CASE "
+    + " ".join(f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS)
+    + " ELSE 'und' END AS predicted_lang, COUNT(*) AS n_docs "
+    + "FROM s GROUP BY 1, 2"
+)
+
+
+@query("langid_heuristic", _LANGID_ORACLE)
+def langid_q(spark, sf_dir):
+    """Marker-token language-ID heuristic; output = confusion counts
+    (true lang × predicted)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", langid("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex pieces,
+    chars/4 estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("ws_tokens"),
+        token_count_bpe_ish("text").cast("int").alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS INTEGER) AS canon_len
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark, sf_dir):
+    """Canonical-text md5 fingerprint per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fingerprint"),
+        F.length(normalize_text("text")).alias("canon_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: events (JSON, windows, sessionization)
+# ---------------------------------------------------------------------------
+
+@query(
+    "json_extract_events",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+           {_dsum('value')} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_q(spark, sf_dir):
+    """JSON prop extraction (get_json_object) + grouped aggregation."""
+    e = ev.parse_props(_t(spark, sf_dir, "events"))
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.avg("k").alias("avg_k"),
+        money_sum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def tumbling_q(spark, sf_dir):
+    """Tumbling 1h event-time windows (same code path batch & streaming)."""
+    return ev.tumbling_window_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "events_sliding_window",
+    f"""
+    WITH g AS (
+      SELECT value,
+             unnest([CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+                     CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                       - INTERVAL '30 minutes']) AS window_start
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM g GROUP BY 1
+    """,
+)
+def sliding_q(spark, sf_dir):
+    """Sliding windows (1h / 30m): each event lands in two windows."""
+    return ev.sliding_window_agg(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ),
+    f AS (
+      SELECT *, CASE WHEN pts IS NULL OR ts - pts > INTERVAL '15 minutes'
+                     THEN 1 ELSE 0 END AS newf
+      FROM o
+    ),
+    s AS (
+      SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '15 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sessionize_q(spark, sf_dir):
+    """Gap-based sessionization via session_window (15m inactivity gap)."""
+    return ev.sessionize(_t(spark, sf_dir, "events"), "15 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: multimodal plumbing (Pandas-UDF path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_q(spark, sf_dir):
+    """Binary-payload feature extraction through Arrow-batched mapInPandas
+    (decode stubbed — schema/partitioning/batching plumbing is real)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import extract_features
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_features(d).select("doc_id", "n_bytes", "sha256")

@@ -1,0 +1,102 @@
+"""Schema'd readers (SURVEY.md §2a S1-S4).
+
+- CSV with explicit schema + permissive date parsing (S2/S3; glob paths go
+  straight into spark.read).
+- Parquet for the driver testdata and for prior-dimension state (S4).
+- JDBC reader (S1) kept optional: the reference pulls 5 tables × 2 MySQL
+  DBs with SELECT * (/root/reference/python/extraction.py:30-41); the same
+  tables ship as CSVs, which the tests use. The JDBC path is here for API
+  completeness and takes partitioning options so a real cluster scan
+  parallelizes (numPartitions/partitionColumn bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV scan with explicit schema; malformed cells coerce to null
+    (PERMISSIVE), matching pandas errors='coerce' semantics."""
+    return (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("dateFormat", "yyyy-MM-dd")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC table scan (S1). With partition_column + bounds the read is
+    split into num_partitions parallel range queries — required for any
+    non-toy table; a single-connection SELECT * does not scale."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    return reader.load()
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects. Read nanos as long (legacy conf) and convert with exact integer
+    division to microseconds — matching DuckDB's read-time ns->us truncation
+    bit-for-bit (double division would round up near ms boundaries)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver testdata table (TESTDATA.md)."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,89 @@
+"""Sinks (SURVEY.md §2a S5-S8).
+
+The reference writes parquet staging files (/root/reference/python/
+scd_implementation.py:123-132) then loads BigQuery with WRITE_TRUNCATE and
+clustering fields (/root/reference/python/load.py:92-113). Spark-native
+equivalents:
+
+- write_parquet: mode("overwrite") = WRITE_TRUNCATE.
+- write_clustered: partitionBy(...) + sortWithinPartitions(...) — the
+  clustering analog; readers get partition pruning + locality on the sort
+  keys. At 100 TB this is the difference between scanning one partition and
+  scanning the lake.
+- coerce_dates / normalize nulls at the edge (S7) — Spark nulls are native.
+- write_versioned: the SCD2 read-modify-write barrier (SURVEY.md §3):
+  parquet can't be overwritten while being read, so each run writes
+  ``<path>/v=<n+1>`` and promotes via a _CURRENT marker file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def coerce_dates(df: DataFrame, date_cols: list[str]) -> DataFrame:
+    """Sink-side DATE coercion (S7) — load.py:105-109."""
+    out = df
+    for c in date_cols:
+        out = out.withColumn(c, F.col(c).cast("date"))
+    return out
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned + sorted-within-partitions parquet (clustering analog of
+    load.py:100-103). repartition on the partition columns first so each
+    output partition is written by few tasks (no small-file explosion)."""
+    out = df
+    if partition_by:
+        out = out.repartition(*[F.col(c) for c in partition_by])
+    if cluster_by:
+        out = out.sortWithinPartitions(*[F.col(c) for c in cluster_by])
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _current_version(base: str) -> int:
+    marker = os.path.join(base, "_CURRENT")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return 0
+
+
+def read_versioned(spark: SparkSession, base: str) -> DataFrame | None:
+    """Read the promoted version of a versioned dataset, None if absent."""
+    v = _current_version(base)
+    if v == 0:
+        return None
+    return spark.read.parquet(os.path.join(base, f"v={v}"))
+
+
+def write_versioned(df: DataFrame, base: str) -> int:
+    """Write the next version and atomically promote it (SCD2 barrier)."""
+    v = _current_version(base) + 1
+    df.write.mode("overwrite").parquet(os.path.join(base, f"v={v}"))
+    tmp = os.path.join(base, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(base, "_CURRENT"))
+    return v
+
+
+def rowcount_reconcile(spark: SparkSession, df: DataFrame, path: str) -> bool:
+    """Post-load row-count validation (S8) — load.py:115-119."""
+    return df.count() == spark.read.parquet(path).count()
