@@ -56,12 +56,16 @@ def word_shingles(col: ColumnOrName, n: int = 3) -> Column:
     transform(sequence(0, n_tok-n), i -> concat_ws(' ', slice(tokens, i+1, n)))
     """
     toks = tokens(col)
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    n_sh = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    # sequence(1, n_sh) would run DESCENDING for n_sh < 1 — short docs get
+    # an explicit empty shingle set instead
+    return F.when(n_sh >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_ratio(col: ColumnOrName, stopwords: list[str] | None = None) -> Column:

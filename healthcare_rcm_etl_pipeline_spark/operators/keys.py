@@ -39,6 +39,23 @@ def dense_sk(
     return out.withColumn(sk_col, (F.row_number().over(w) - 1 + start).cast("long"))
 
 
+def first_row_per_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic one-row-per-key dedup: row_number over an explicit
+    within-key ordering (all non-key columns by default). Unlike
+    ``dropDuplicates``, the surviving row does not depend on partition
+    layout — required wherever results must be reproducible (SCD2 incoming
+    batches, dimension builds)."""
+    order_cols = order_cols or [c for c in df.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def dense_sk_scalable(
     df: DataFrame,
     order_cols: list[str],

@@ -15,10 +15,14 @@ from pyspark.sql import functions as F
 
 
 def orphans(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str | None = None) -> DataFrame:
-    """Fact rows whose FK has no match in the dimension (V1) — left_anti."""
+    """Fact rows whose FK has no match in the dimension (V1) — left_anti.
+
+    NULL FKs count as orphans, matching the reference's
+    ``~fact.patient_sk.isin(valid_keys)`` semantics
+    (dimensional_modeling.py:87-88: NaN.isin -> False -> flagged)."""
     dim_key = dim_key or fact_key
     keys = dim.select(F.col(dim_key).alias(fact_key)).dropDuplicates()
-    return fact.filter(F.col(fact_key).isNotNull()).join(keys, fact_key, "left_anti")
+    return fact.join(keys, fact_key, "left_anti")
 
 
 def rule_violations(df: DataFrame, predicate: Column) -> DataFrame:

@@ -116,8 +116,14 @@ def run_pipeline(
     model.validate_star(facts, dims)
 
     # SCD2 on dim_patients (scd_implementation.py:16-100): incoming = natural
-    # key + attrs; prior state comes from the versioned staging dir if present
-    incoming = dims["dim_patients"].drop("patient_sk")
+    # key + attrs, one row per key (the seed data carries duplicate patient
+    # ids; the reference's golden dim holds distinct keys — 9,985 of 10,000);
+    # prior state comes from the versioned staging dir if present
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import first_row_per_key
+
+    incoming = first_row_per_key(
+        dims["dim_patients"].drop("patient_sk"), ["unified_patient_id"]
+    )
     existing = existing_dim_patients
     if existing is None and staging_dir:
         existing = sinks.read_versioned(spark, os.path.join(staging_dir, "dim_patients"))

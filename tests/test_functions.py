@@ -1,0 +1,96 @@
+"""Unit tests for the scalar-function layer (SURVEY.md §2i-§2k) on tiny
+literal DataFrames — one per inventory row where semantics are subtle."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.functions import cleanse, text, vector
+
+
+def test_title_case_and_fill(spark):
+    df = spark.createDataFrame([("jOHN",), (None,)], ["name"])
+    out = [r[0] for r in df.select(cleanse.fill_unknown(cleanse.title_case("name"))).collect()]
+    assert out == ["John", "Unknown"]
+
+
+def test_recode_gender_strict_vs_tolerant(spark):
+    df = spark.createDataFrame([("M",), ("f",), ("Male",), ("x",), (None,)], ["g"])
+    strict = [r[0] for r in df.select(cleanse.recode_gender("g", strict=True)).collect()]
+    # reference parity: full words collapse to Unknown (transform.py:23-24)
+    assert strict == ["Male", "Female", "Unknown", "Unknown", "Unknown"]
+    tol = [r[0] for r in df.select(cleanse.recode_gender("g", strict=False)).collect()]
+    assert tol == ["Male", "Female", "Male", "Unknown", "Unknown"]
+
+
+def test_clean_phone(spark):
+    df = spark.createDataFrame([("+1-630-829-7585x0769",), ("4902994299",)], ["p"])
+    out = [r[0] for r in df.select(cleanse.clean_phone("p")).collect()]
+    assert out == ["16308297585" + "0769", "4902994299"]
+
+
+def test_unified_source_id(spark):
+    df = spark.createDataFrame([("hospital_a", "P1")], ["src", "pid"])
+    out = df.select(cleanse.unified_source_id("src", "pid")).collect()[0][0]
+    assert out == "A-P1"
+
+
+def test_age_years_birthday_boundary(spark):
+    # as_of 2024-06-15; born 2000-06-15 -> 24 (birthday today counts);
+    # born 2000-06-16 -> 23 (birthday tomorrow)
+    df = spark.createDataFrame(
+        [(datetime.date(2000, 6, 15),), (datetime.date(2000, 6, 16),), (None,)], ["dob"]
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            cleanse.age_years("dob", F.to_date(F.lit("2024-06-15")))
+        ).collect()
+    ]
+    assert out == [24, 23, None]
+
+
+def test_days_between_negative(spark):
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), datetime.date(2024, 1, 11))], ["mod", "svc"]
+    )
+    assert df.select(cleanse.days_between("mod", "svc")).collect()[0][0] == -10
+
+
+def test_safe_pct_divide_by_zero(spark):
+    df = spark.createDataFrame([(50.0, 200.0), (10.0, 0.0), (10.0, None)], ["n", "d"])
+    out = [r[0] for r in df.select(cleanse.safe_pct("n", "d")).collect()]
+    assert out == [25.0, 0.0, 0.0]
+
+
+def test_money_sum_is_exact(spark):
+    # classic float trap: 0.1+0.2 != 0.3 in double; decimal path is exact
+    df = spark.createDataFrame([(0.1,), (0.2,)], ["x"])
+    assert df.agg(cleanse.money_sum("x")).collect()[0][0] == 0.3
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("  The  quick brown fox  ",)], ["t"])
+    toks = df.select(text.tokens("t")).collect()[0][0]
+    assert toks == ["the", "quick", "brown", "fox"]
+    sh = df.select(text.word_shingles("t", 3)).collect()[0][0]
+    assert sorted(sh) == ["quick brown fox", "the quick brown"]
+    assert df.select(text.word_shingles("t", 5)).collect()[0][0] == []
+
+
+def test_langid_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("le chat et la mer les amis",), ("xyz qqq",)], ["t"]
+    )
+    out = [r[0] for r in df.select(text.langid("t")).collect()]
+    assert out == ["en", "fr", "und"]
+
+
+def test_vector_cosine(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0])], ["a", "b"])
+    out = [round(r[0], 9) for r in df.select(vector.cosine("a", "b")).collect()]
+    assert out == [0.0, 1.0]
+    zero = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
+    assert zero.select(vector.cosine("a", "b")).collect()[0][0] is None

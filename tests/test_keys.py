@@ -1,0 +1,26 @@
+"""Surrogate-key determinism (SURVEY.md §2h): dense, 0-based, stable under
+partitioning; the scalable variant must equal the global-sort rank."""
+
+from __future__ import annotations
+
+from healthcare_rcm_etl_pipeline_spark.operators.keys import dense_sk, dense_sk_scalable
+
+
+def test_dense_sk_dedups_and_orders(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",), ("c",)], ["k"])
+    out = {r["k"]: r["sk"] for r in dense_sk(df, ["k"]).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_dense_sk_scalable_equals_sort_rank(spark):
+    data = [(i * 7919 % 1000,) for i in range(1000)]  # shuffled unique keys
+    df = spark.createDataFrame(data, ["k"]).repartition(13)
+    out = dense_sk_scalable(df, ["k"], sk_col="sk", num_partitions=7)
+    rows = sorted((r["k"], r["sk"]) for r in out.collect())
+    assert rows == [(k, k) for k in range(1000)]
+
+
+def test_dense_sk_scalable_start_offset(spark):
+    df = spark.createDataFrame([(10,), (20,), (30,)], ["k"])
+    out = sorted(r["sk"] for r in dense_sk_scalable(df, ["k"], start=100).collect())
+    assert out == [100, 101, 102]
