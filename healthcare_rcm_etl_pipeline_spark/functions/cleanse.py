@@ -120,8 +120,9 @@ def ratio_pct(num: Column, den: Column, scale: int = 2) -> Column:
 
 def parse_date(col: ColumnOrName, fmt: str | None = None) -> Column:
     """Parse to date, unparseable -> null (D1) — same coerce semantics as
-    pandas ``to_datetime(errors='coerce')``."""
-    return F.to_date(_c(col), fmt) if fmt else F.to_date(_c(col))
+    pandas ``to_datetime(errors='coerce')``. try_to_date: under Spark 4's
+    default ANSI mode, plain to_date raises on malformed input."""
+    return F.try_to_date(_c(col), fmt) if fmt else F.try_to_date(_c(col))
 
 
 def day_name(col: ColumnOrName) -> Column:

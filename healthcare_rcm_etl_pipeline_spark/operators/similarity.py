@@ -98,38 +98,60 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 5,
+    n_tables: int = 6,
     dim: int = 64,
     seed: int = 42,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's sign-sketch bucket (+ Hamming-1
-    neighbors when multiprobe) instead of the whole corpus."""
-    planes = hyperplanes(dim, n_planes, seed)
+    """Approximate top-k via random-hyperplane LSH with OR-construction:
+    ``n_tables`` independent plane sets, each bucketing into 2^n_planes
+    buckets; a corpus vector is a candidate if it collides with the query in
+    ANY table (multiprobe additionally probes all Hamming-1 buckets).
+
+    Candidate cost ≈ n_tables × (1 + n_planes) × bucket size — linear in the
+    corpus, tunable recall/cost. Recall vs brute force is asserted in tests."""
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = sign_sketch(
-        corpus.repartition(par, id_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-        ),
+    c = corpus.repartition(par, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 7919 * t)
+        c = sign_sketch(c, "__cvec", planes, out_col=f"__b{t}")
+        q = sign_sketch(q, "__qvec", planes, out_col=f"__b{t}")
+
+    # explode each side to (table, bucket) pairs; query side optionally
+    # fans out to the Hamming-1 neighborhood of its bucket per table
+    c_kv = c.select(
+        "neighbor_id",
         "__cvec",
-        planes,
-    )
-    q = sign_sketch(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("bkt"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("neighbor_id", "__cvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    def _probes(t: F.Column) -> list[F.Column]:
+        base = F.col(f"__b{t}")
+        probes = [base]
+        if multiprobe:
+            probes += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        return [F.struct(F.lit(t).alias("tbl"), p.alias("bkt")) for p in probes]
+
+    q_kv = q.select(
+        "query_id",
         "__qvec",
-        planes,
-    )
-    if multiprobe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-        )
-        q = q.withColumn("bucket", F.explode(probes))
-    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.explode(F.array(*[s for t in range(n_tables) for s in _probes(t)])).alias("tb"),
+    ).select("query_id", "__qvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    joined = c_kv.join(F.broadcast(q_kv), ["tbl", "bkt"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = joined.withColumn("cos", F.round(cosine("__qvec", "__cvec"), 6)).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    scored = joined.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "cos", F.round(cosine("__qvec", "__cvec"), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

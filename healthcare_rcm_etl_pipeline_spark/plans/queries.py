@@ -635,11 +635,12 @@ def ann_bruteforce_q(spark, sf_dir):
 
 @query("ann_topk_lsh")  # approximate (recall<1) -> rows-only check
 def ann_lsh_q(spark, sf_dir):
-    """Approximate top-5 via random-hyperplane LSH bucketing + multiprobe —
-    the 100 TB scale path; recall measured against brute force in tests."""
+    """Approximate top-5 via multi-table random-hyperplane LSH + multiprobe —
+    the 100 TB scale path; recall measured against brute force in tests
+    (~0.9 on the near-orthogonal synthetic embeddings)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 40 == 0)
-    return similarity.lsh_bucket_topk(e, q, k=5, n_planes=8, dim=64)
+    return similarity.lsh_bucket_topk(e, q, k=5, dim=64)
 
 
 # ---------------------------------------------------------------------------

@@ -25,10 +25,12 @@ from pyspark.sql import functions as F
 
 
 def coerce_dates(df: DataFrame, date_cols: list[str]) -> DataFrame:
-    """Sink-side DATE coercion (S7) — load.py:105-109."""
+    """Sink-side DATE coercion (S7) — load.py:105-109. try_cast: malformed
+    values coerce to null (pandas errors='coerce' parity) instead of raising
+    under Spark 4's default ANSI mode."""
     out = df
     for c in date_cols:
-        out = out.withColumn(c, F.col(c).cast("date"))
+        out = out.withColumn(c, F.col(c).try_cast("date"))
     return out
 
 

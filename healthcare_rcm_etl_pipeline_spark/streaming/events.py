@@ -27,13 +27,20 @@ def parse_props(events: DataFrame, key: str = "k") -> DataFrame:
 
 
 def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
-    """Tumbling-window counts/sums per window."""
+    """Tumbling-window counts/sums per window.
+
+    Distinct-user counting switches to approx_count_distinct under
+    streaming (exact distinct aggs are unsupported on streams) — the
+    documented batch-vs-stream semantic difference."""
+    n_users = (
+        F.approx_count_distinct("user_id") if events.isStreaming else F.countDistinct("user_id")
+    )
     return (
         events.groupBy(F.window("ts", duration).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
             money_sum("value").alias("total_value"),
-            F.countDistinct("user_id").alias("n_users"),
+            n_users.alias("n_users"),
         )
         .select(
             F.col("w.start").alias("window_start"),

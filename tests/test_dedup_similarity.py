@@ -1,0 +1,115 @@
+"""Behavioral tests for the dedup/similarity operators: constructed
+duplicates are found, LSH candidates cover true near-dups, simhash Hamming
+blocking is exact, ANN recall is measured against brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, similarity
+from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    with_binary_payload,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),        # near dup of 0
+        (3, "completely different content about spark query engines at scale"),
+        (4, "  The   QUICK brown fox jumps over the lazy dog again and again today "),  # dup after normalize
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["n_docs"] for r in dedup.exact_dedup(docs, "text", "doc_id").collect()}
+    # 0,1,4 share a canonical form; 2 and 3 are singletons
+    assert out[0] == 3 and out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 4)] == 1.0
+    assert 0.4 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates_cover_true_pairs(docs):
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", k=64, bands=16, verify_threshold=0.4
+        ).collect()
+    }
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    assert (0, 3) not in got
+
+
+def test_simhash_hamming(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dup_blocked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.04, 0.0], 0),   # near dup of 0, same block
+        (2, [0.0, 1.0, 0.0], 0),      # orthogonal, same block
+        (3, [1.0, 0.0, 0.0], 1),      # identical to 0 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            df, "embedding", "vec_id", block_col="label", threshold=0.95
+        ).collect()
+    }
+    assert got == {(0, 1)}  # (0,3) blocked away, (0,2) below threshold
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_bucket_topk(emb, q, k=5, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random near-orthogonal vectors are LSH's worst case; the 6-table
+    # multiprobe OR-construction measured ~0.9 here
+    assert recall >= 0.5, f"LSH recall {recall:.2f}"
+
+
+def test_multimodal_stub_strict_raises():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"payload", strict=True)
+
+
+def test_multimodal_features_deterministic(spark):
+    df = with_binary_payload(
+        spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    )
+    r1 = extract_features(df).collect()[0]
+    r2 = extract_features(df).collect()[0]
+    assert r1 == r2
+    assert r1["n_bytes"] == 11
+    assert 16 <= r1["width"] <= 255 and 16 <= r1["height"] <= 255
