@@ -349,6 +349,87 @@ def q11(spark, sf_dir):
     )
 
 
+@query(
+    "q12_revenue_rollup",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           {_dsum('o_totalprice')} AS total_revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(order_year, order_month)
+    """,
+)
+def q12(spark, sf_dir):
+    """Hierarchical rollup (year -> month -> grand total) — beyond-reference
+    Spark-native coverage (the reference has no grouping sets, SURVEY §2e)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(money_sum("o_totalprice").alias("total_revenue"), F.count("*").alias("n_orders"))
+
+
+@query(
+    "q13_status_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS open_revenue,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS fulfilled_revenue,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS pending_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q13(spark, sf_dir):
+    """Pivot (status -> columns) — beyond-reference Spark-native coverage."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(money_sum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("open_revenue"),
+            F.col("F").alias("fulfilled_revenue"),
+            F.col("P").alias("pending_revenue"),
+        )
+    )
+
+
+@query(
+    "q14_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INTEGER) AS order_seq,
+           lag(o_totalprice) OVER w AS prev_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q14(spark, sf_dir):
+    """Window functions (row_number / lag / running sum per customer) —
+    beyond-reference coverage (the reference has no OVER(...), SURVEY §2f).
+    Running sum goes through DECIMAL: a prefix sum is order-defined, and the
+    (o_orderdate, o_orderkey) ordering is total, so it is deterministic."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_totalprice"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Operator inventory: integration, keys, anti-join, date dim, SCD2
 # ---------------------------------------------------------------------------
