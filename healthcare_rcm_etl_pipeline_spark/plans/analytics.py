@@ -1,0 +1,303 @@
+"""The healthcare-native analytical surface Q1-Q11 over the star schema —
+what a user of the reference actually runs (SURVEY.md §2o), re-expressed as
+DataFrame transformations AND as portable ANSI SQL (the same text runs under
+``spark.sql`` on registered temp views and under DuckDB on the staged
+parquet — the dual-API + oracle story in one artifact).
+
+Source semantics (file:line into /root/reference/Analysis/Big query/):
+  Q1  reveunue_metrics_bigQueries.sql:1-8    global sums + collection rate
+  Q2  reveunue_metrics_bigQueries.sql:10-24  by hospital via dim_patients
+  Q3  reveunue_metrics_bigQueries.sql:26-42  monthly via dim_date
+  Q4  claim_performance.sql:1-16             approval/denial rates by payer
+  Q5  pateint_metrics.sql:1-16               demographics (is_current only)
+  Q6  pateint_metrics.sql:18-28              insurance mix
+  Q7  operartional_efficiency.sql:1-8        avg days in A/R (Paid only)
+  Q8  operartional_efficiency.sql:10-17      write-offs (Denied, unpaid)
+  Q9  patient lifetime value.sql:1-22        top-20 patients by billed
+  Q10 procedure_profitability.sql:1-20       procedure revenue metrics
+  Q11 Seasonal trends:1-18                   unique patients per y/q/m
+
+Differences from the reference text, on purpose:
+- money aggregates run through DECIMAL then cast to DOUBLE (deterministic
+  under partitioning; the reference's BigQuery floats are not);
+- deterministic orderings add tie-break keys where the reference's ORDER BY
+  was non-total (Q9 LIMIT 20 would otherwise be unstable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.functions.cleanse import money_sum
+
+STAR_TABLES = [
+    "dim_patients",
+    "dim_providers",
+    "dim_departments",
+    "dim_procedures",
+    "dim_date",
+    "fact_transactions",
+    "fact_claims",
+]
+
+
+def register_star_views(star: dict[str, DataFrame]) -> None:
+    for name, df in star.items():
+        df.createOrReplaceTempView(name)
+
+
+def _dsum(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---- portable SQL texts (run under spark.sql AND DuckDB unchanged) --------
+
+SQL: dict[str, str] = {
+    "hq1_collection_rate": f"""
+        SELECT {_dsum('ClaimAmount')} AS TotalBilledAmount,
+               {_dsum('PaidAmount')} AS TotalCollectedAmount,
+               {_dsum('PaidAmount')} * CAST(100 AS DOUBLE) / {_dsum('ClaimAmount')}
+                 AS OverallCollectionRatePercent
+        FROM fact_claims
+    """,
+    "hq2_revenue_by_hospital": f"""
+        SELECT p.source_hospital,
+               {_dsum('fc.ClaimAmount')} AS TotalBilledAmount,
+               {_dsum('fc.PaidAmount')} AS TotalCollectedAmount,
+               AVG(fc.days_to_payment) AS AverageDaysToPayment
+        FROM fact_claims fc
+        JOIN dim_patients p ON fc.patient_sk = p.patient_sk
+        GROUP BY p.source_hospital
+    """,
+    "hq3_monthly_trends": f"""
+        SELECT d.year, d.month,
+               {_dsum('fc.ClaimAmount')} AS MonthlyBilledAmount,
+               {_dsum('fc.PaidAmount')} AS MonthlyCollectedAmount
+        FROM fact_claims fc
+        JOIN dim_date d ON fc.date_sk = d.date_sk
+        GROUP BY d.year, d.month
+    """,
+    "hq4_payer_performance": """
+        SELECT PayorType,
+               COUNT(*) AS TotalClaims,
+               SUM(CASE WHEN ClaimStatus = 'Paid' THEN 1 ELSE 0 END) AS ApprovedClaims,
+               SUM(CASE WHEN ClaimStatus = 'Denied' THEN 1 ELSE 0 END) AS DeniedClaims,
+               SUM(CASE WHEN ClaimStatus = 'Paid' THEN 1 ELSE 0 END) * CAST(100 AS DOUBLE) / COUNT(*)
+                 AS ApprovalRatePercent,
+               SUM(CASE WHEN ClaimStatus = 'Denied' THEN 1 ELSE 0 END) * CAST(100 AS DOUBLE) / COUNT(*)
+                 AS DenialRatePercent,
+               AVG(days_to_payment) AS AverageProcessingTimeInDays
+        FROM fact_claims
+        GROUP BY PayorType
+    """,
+    "hq5_demographics": """
+        SELECT p.source_hospital, p.Gender,
+               COUNT(DISTINCT p.patient_sk) AS NumberOfPatients,
+               AVG(p.age) AS AveragePatientAge
+        FROM dim_patients p
+        WHERE p.is_current = TRUE
+        GROUP BY p.source_hospital, p.Gender
+    """,
+    "hq6_insurance_mix": """
+        SELECT fc.PayorType,
+               COUNT(DISTINCT fc.patient_sk) AS NumberOfUniquePatients
+        FROM fact_claims fc
+        GROUP BY fc.PayorType
+    """,
+    "hq7_avg_days_in_ar": """
+        SELECT AVG(days_to_payment) AS AverageDaysInAR
+        FROM fact_claims
+        WHERE ClaimStatus = 'Paid'
+    """,
+    "hq8_writeoffs": f"""
+        SELECT {_dsum('ClaimAmount')} AS TotalWriteOffAmount
+        FROM fact_claims
+        WHERE ClaimStatus = 'Denied' AND PaidAmount = 0
+    """,
+    "hq9_patient_lifetime_value": f"""
+        SELECT p.patient_sk, p.FirstName, p.LastName, p.source_hospital,
+               {_dsum('fc.ClaimAmount')} AS TotalBilledToPatient,
+               COUNT(DISTINCT fc.ClaimID) AS NumberOfClaims
+        FROM fact_claims fc
+        JOIN dim_patients p ON fc.patient_sk = p.patient_sk
+        GROUP BY p.patient_sk, p.FirstName, p.LastName, p.source_hospital
+        ORDER BY TotalBilledToPatient DESC, p.patient_sk
+        LIMIT 20
+    """,
+    "hq10_procedure_profitability": f"""
+        SELECT dp.ProcedureDescription, dp.ProcedureCode,
+               COUNT(ft.TransactionID) AS NumberOfTimesPerformed,
+               {_dsum('ft.Amount')} AS TotalRevenueGenerated,
+               {_dsum('ft.Amount')} / COUNT(ft.Amount) AS AverageRevenuePerProcedure,
+               {_dsum('ft.PaidAmount')} AS TotalCollected,
+               {_dsum('ft.PaidAmount')} * CAST(100 AS DOUBLE) / {_dsum('ft.Amount')}
+                 AS CollectionRatePercent
+        FROM fact_transactions ft
+        JOIN dim_procedures dp ON ft.procedure_sk = dp.procedure_sk
+        GROUP BY dp.ProcedureDescription, dp.ProcedureCode
+    """,
+    "hq11_patient_volume_trends": """
+        SELECT d.year, d.quarter, d.month,
+               COUNT(DISTINCT ft.patient_sk) AS UniquePatientCount
+        FROM fact_transactions ft
+        JOIN dim_date d ON ft.date_sk = d.date_sk
+        GROUP BY d.year, d.quarter, d.month
+    """,
+}
+
+
+# ---- DataFrame-API implementations ----------------------------------------
+
+def hq1(star: dict[str, DataFrame]) -> DataFrame:
+    fc = star["fact_claims"]
+    billed, paid = money_sum("ClaimAmount"), money_sum("PaidAmount")
+    return fc.agg(
+        billed.alias("TotalBilledAmount"),
+        paid.alias("TotalCollectedAmount"),
+        (paid * 100.0 / billed).alias("OverallCollectionRatePercent"),
+    )
+
+
+def hq2(star: dict[str, DataFrame]) -> DataFrame:
+    fc, p = star["fact_claims"], star["dim_patients"]
+    lk = F.broadcast(p.select("patient_sk", "source_hospital"))
+    return (
+        fc.select("patient_sk", "ClaimAmount", "PaidAmount", "days_to_payment")
+        .join(lk, "patient_sk")
+        .groupBy("source_hospital")
+        .agg(
+            money_sum("ClaimAmount").alias("TotalBilledAmount"),
+            money_sum("PaidAmount").alias("TotalCollectedAmount"),
+            F.avg("days_to_payment").alias("AverageDaysToPayment"),
+        )
+    )
+
+
+def hq3(star: dict[str, DataFrame]) -> DataFrame:
+    fc, d = star["fact_claims"], star["dim_date"]
+    lk = F.broadcast(d.select("date_sk", "year", "month"))
+    return (
+        fc.join(lk, "date_sk")
+        .groupBy("year", "month")
+        .agg(
+            money_sum("ClaimAmount").alias("MonthlyBilledAmount"),
+            money_sum("PaidAmount").alias("MonthlyCollectedAmount"),
+        )
+    )
+
+
+def hq4(star: dict[str, DataFrame]) -> DataFrame:
+    fc = star["fact_claims"]
+    approved = F.sum(F.when(F.col("ClaimStatus") == "Paid", 1).otherwise(0))
+    denied = F.sum(F.when(F.col("ClaimStatus") == "Denied", 1).otherwise(0))
+    return fc.groupBy("PayorType").agg(
+        F.count("*").alias("TotalClaims"),
+        approved.alias("ApprovedClaims"),
+        denied.alias("DeniedClaims"),
+        (approved * 100.0 / F.count("*")).alias("ApprovalRatePercent"),
+        (denied * 100.0 / F.count("*")).alias("DenialRatePercent"),
+        F.avg("days_to_payment").alias("AverageProcessingTimeInDays"),
+    )
+
+
+def hq5(star: dict[str, DataFrame]) -> DataFrame:
+    p = star["dim_patients"]
+    return (
+        p.filter(F.col("is_current"))
+        .groupBy("source_hospital", "Gender")
+        .agg(
+            F.countDistinct("patient_sk").alias("NumberOfPatients"),
+            F.avg("age").alias("AveragePatientAge"),
+        )
+    )
+
+
+def hq6(star: dict[str, DataFrame]) -> DataFrame:
+    return (
+        star["fact_claims"]
+        .groupBy("PayorType")
+        .agg(F.countDistinct("patient_sk").alias("NumberOfUniquePatients"))
+    )
+
+
+def hq7(star: dict[str, DataFrame]) -> DataFrame:
+    return (
+        star["fact_claims"]
+        .filter(F.col("ClaimStatus") == "Paid")
+        .agg(F.avg("days_to_payment").alias("AverageDaysInAR"))
+    )
+
+
+def hq8(star: dict[str, DataFrame]) -> DataFrame:
+    return (
+        star["fact_claims"]
+        .filter((F.col("ClaimStatus") == "Denied") & (F.col("PaidAmount") == 0))
+        .agg(money_sum("ClaimAmount").alias("TotalWriteOffAmount"))
+    )
+
+
+def hq9(star: dict[str, DataFrame]) -> DataFrame:
+    fc, p = star["fact_claims"], star["dim_patients"]
+    lk = F.broadcast(p.select("patient_sk", "FirstName", "LastName", "source_hospital"))
+    return (
+        fc.select("patient_sk", "ClaimAmount", "ClaimID")
+        .join(lk, "patient_sk")
+        .groupBy("patient_sk", "FirstName", "LastName", "source_hospital")
+        .agg(
+            money_sum("ClaimAmount").alias("TotalBilledToPatient"),
+            F.countDistinct("ClaimID").alias("NumberOfClaims"),
+        )
+        .orderBy(F.desc("TotalBilledToPatient"), F.asc("patient_sk"))
+        .limit(20)
+    )
+
+
+def hq10(star: dict[str, DataFrame]) -> DataFrame:
+    ft, dp = star["fact_transactions"], star["dim_procedures"]
+    lk = F.broadcast(dp.select("procedure_sk", "ProcedureCode", "ProcedureDescription"))
+    amount = money_sum("Amount")
+    return (
+        ft.join(lk, "procedure_sk")
+        .groupBy("ProcedureDescription", "ProcedureCode")
+        .agg(
+            F.count("TransactionID").alias("NumberOfTimesPerformed"),
+            amount.alias("TotalRevenueGenerated"),
+            (amount / F.count("Amount")).alias("AverageRevenuePerProcedure"),
+            money_sum("PaidAmount").alias("TotalCollected"),
+            (money_sum("PaidAmount") * 100.0 / amount).alias("CollectionRatePercent"),
+        )
+    )
+
+
+def hq11(star: dict[str, DataFrame]) -> DataFrame:
+    ft, d = star["fact_transactions"], star["dim_date"]
+    lk = F.broadcast(d.select("date_sk", "year", "quarter", "month"))
+    return (
+        ft.join(lk, "date_sk")
+        .groupBy("year", "quarter", "month")
+        .agg(F.countDistinct("patient_sk").alias("UniquePatientCount"))
+    )
+
+
+HEALTHCARE_QUERIES: dict[str, Callable[[dict[str, DataFrame]], DataFrame]] = {
+    "hq1_collection_rate": hq1,
+    "hq2_revenue_by_hospital": hq2,
+    "hq3_monthly_trends": hq3,
+    "hq4_payer_performance": hq4,
+    "hq5_demographics": hq5,
+    "hq6_insurance_mix": hq6,
+    "hq7_avg_days_in_ar": hq7,
+    "hq8_writeoffs": hq8,
+    "hq9_patient_lifetime_value": hq9,
+    "hq10_procedure_profitability": hq10,
+    "hq11_patient_volume_trends": hq11,
+}
+
+
+def run_sql(spark: SparkSession, name: str) -> DataFrame:
+    """Run the portable SQL text through spark.sql (views must be registered
+    via register_star_views)."""
+    return spark.sql(SQL[name])
