@@ -68,28 +68,51 @@ def _shingle_posting(df: DataFrame, text_col: str, id_col: str, n: int) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shared-shingle equi-join.
+    """Exact n-gram Jaccard near-dup pairs, posting-list style without a
+    self-join: group docs per shingle, emit each shingle's doc-pair
+    combinations with array expressions, then count co-occurrences per pair.
+    One pass over the corpus, two shuffles total (vs. the naive self-join
+    that shuffles — and recomputes — the whole shingling pipeline twice).
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|); pairs with doc_a < doc_b.
-    The join is keyed on the shingle (shuffle both sides by shingle) —
-    high-frequency shingles are the skew risk; at scale, drop shingles with
-    document frequency above a cap first (cheap groupBy) — see df_cap.
+    Skew note: a shingle shared by d docs emits d(d-1)/2 pairs; for web-scale
+    corpora drop stop-shingles first via ``max_df`` (they carry no near-dup
+    signal and dominate cost).
     """
-    # persist: the self-join references the posting twice, and without a
-    # materialization the whole tokenize/shingle/explode subtree runs twice
-    post = _shingle_posting(df, text_col, id_col, n).persist()
-    a = post.select(
-        F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    post = _shingle_posting(df, text_col, id_col, n)
+    if max_df is not None:
+        post = df_cap_shingles(post, max_df)
+    grouped = post.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n_shingles"))).alias("ds")
     )
-    b = post.select(
-        F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle"
-    )
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+    # all (i<j) combinations of each shingle's posting list
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x["doc"].alias("doc_a"),
+                            y["doc"].alias("doc_b"),
+                            x["n_shingles"].alias("n_a"),
+                            y["n_shingles"].alias("n_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
         .withColumn(
             "jaccard",
@@ -99,7 +122,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
-    return pairs
 
 
 def df_cap_shingles(post: DataFrame, max_df: int) -> DataFrame:
