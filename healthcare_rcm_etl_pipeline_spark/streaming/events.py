@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from healthcare_rcm_etl_pipeline_spark.functions.cleanse import money_sum
 
@@ -79,6 +80,43 @@ def sessionize(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count + value total maintained in state across micro-batches.
+
+    This is the escape hatch for semantics window/session aggregations can't
+    express (e.g. cross-batch running totals emitted every batch). State is
+    one tiny tuple per user; Arrow batches keep the Python boundary cheap.
+    Works only under streaming (batch groups have no GroupState) — the batch
+    twin is a plain groupBy aggregation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", getattr(GroupStateTimeout, timeout)
     )
 
 

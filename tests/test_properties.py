@@ -1,0 +1,78 @@
+"""Property-based checks (SURVEY.md §5 item 6) where semantics are subtle:
+safe division, birthday-boundary age, day-difference sign, drift-tolerant
+union. Hypothesis generates the cases; Spark evaluates them in one batch per
+property (one job, not one per example)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.functions import cleanse
+from healthcare_rcm_etl_pipeline_spark.plans.standardize import union_with_drift
+
+SET = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+amounts = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+)
+
+
+@SET
+@given(st.lists(st.tuples(amounts, amounts), min_size=1, max_size=50))
+def test_safe_pct_never_errors_or_infs(spark, pairs):
+    df = spark.createDataFrame(pairs, "n double, d double")
+    out = [r[0] for r in df.select(cleanse.safe_pct("n", "d")).collect()]
+    for (n, d), v in zip(pairs, out):
+        assert v is not None  # /0 and /null coerce to 0.0, never null/inf
+        if d in (0, None) or n is None:
+            assert v == 0.0
+        else:
+            assert abs(v - round(n / d * 100, 2)) < 1e-6
+
+
+dates = st.dates(min_value=datetime.date(1930, 1, 1), max_value=datetime.date(2025, 12, 31))
+
+
+@SET
+@given(st.lists(st.tuples(dates, dates), min_size=1, max_size=50))
+def test_age_matches_python_birthday_rule(spark, pairs):
+    df = spark.createDataFrame(pairs, "dob date, asof date")
+    out = [r[0] for r in df.select(cleanse.age_years("dob", F.col("asof"))).collect()]
+    for (dob, asof), got in zip(pairs, out):
+        expect = asof.year - dob.year - ((asof.month, asof.day) < (dob.month, dob.day))
+        assert got == expect, f"{dob} {asof}"
+
+
+@SET
+@given(st.lists(st.tuples(dates, dates), min_size=1, max_size=50))
+def test_days_between_antisymmetric(spark, pairs):
+    df = spark.createDataFrame(pairs, "a date, b date")
+    rows = df.select(
+        cleanse.days_between("a", "b").alias("ab"),
+        cleanse.days_between("b", "a").alias("ba"),
+    ).collect()
+    for r, (a, b) in zip(rows, pairs):
+        assert r["ab"] == -r["ba"] == (a - b).days
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=20),
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=20),
+)
+def test_union_with_drift_preserves_rows_and_nulls(spark, xs, ys):
+    a = spark.createDataFrame([(x, f"a{x}") for x in xs], "k int, only_a string")
+    b = spark.createDataFrame([(y, float(y)) for y in ys], "k int, only_b double")
+    u = union_with_drift([a, b])
+    assert u.count() == len(xs) + len(ys)
+    assert u.filter(F.col("only_b").isNull()).count() >= len(xs)
+    assert u.filter(F.col("only_a").isNull()).count() >= len(ys)

@@ -41,6 +41,27 @@ def test_tumbling_window_streaming_matches_batch(spark, sf_dir, event_dir):
     assert len(s) >= len(b) - 1  # the last open window may be withheld
 
 
+def test_stateful_user_totals_matches_batch_agg(spark, sf_dir, event_dir):
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(event_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    out = _run_stream(spark, ev.stateful_user_totals(stream), "t_state", "update")
+    # final state per user (last update row) must equal the batch aggregate
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in out.orderBy("n_events").collect()  # update sink: last wins per key
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final == batch
+
+
 def test_sessionize_streaming_runs(spark, event_dir):
     schema = spark.read.parquet(event_dir).schema
     stream = ev.stream_from_files(spark, event_dir, schema, watermark="30 minutes")
