@@ -163,7 +163,7 @@ def hq1(star: dict[str, DataFrame]) -> DataFrame:
 
 def hq2(star: dict[str, DataFrame]) -> DataFrame:
     fc, p = star["fact_claims"], star["dim_patients"]
-    lk = F.broadcast(p.select("patient_sk", "source_hospital"))
+    lk = p.select("patient_sk", "source_hospital")  # patient dim scales with the network
     return (
         fc.select("patient_sk", "ClaimAmount", "PaidAmount", "days_to_payment")
         .join(lk, "patient_sk")
@@ -241,7 +241,7 @@ def hq8(star: dict[str, DataFrame]) -> DataFrame:
 
 def hq9(star: dict[str, DataFrame]) -> DataFrame:
     fc, p = star["fact_claims"], star["dim_patients"]
-    lk = F.broadcast(p.select("patient_sk", "FirstName", "LastName", "source_hospital"))
+    lk = p.select("patient_sk", "FirstName", "LastName", "source_hospital")  # scales
     return (
         fc.select("patient_sk", "ClaimAmount", "ClaimID")
         .join(lk, "patient_sk")

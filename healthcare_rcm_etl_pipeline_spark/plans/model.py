@@ -176,7 +176,7 @@ def build_fact_transactions(
     date_lk = dim_date.select(F.col("full_date"), "date_sk")
 
     resolved = (
-        trans.join(F.broadcast(patients_lk), "unified_patient_id", "left")
+        trans.join(patients_lk, "unified_patient_id", "left")  # patient dim scales — AQE decides
         .join(F.broadcast(providers_lk), ["ProviderID", "source_hospital"], "left")
         .join(F.broadcast(procedures_lk), "ProcedureCode", "left")
         .join(

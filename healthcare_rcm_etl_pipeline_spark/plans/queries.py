@@ -118,7 +118,7 @@ def q02(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     rev = money_sum("o_totalprice")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)  # customer scales with SF - let AQE pick the strategy
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -280,7 +280,7 @@ def q09(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)  # customer scales with SF
         .groupBy("c_custkey", "c_name")
         .agg(
             money_sum("o_totalprice").alias("lifetime_value"),
@@ -313,7 +313,7 @@ def q10(spark, sf_dir):
     revenue = money_sum("l_extendedprice")
     net = money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part scales with SF
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
