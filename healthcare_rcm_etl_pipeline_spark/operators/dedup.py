@@ -26,10 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from healthcare_rcm_etl_pipeline_spark.functions.text import (
-    fingerprint_md5,
-    word_shingles,
-)
+from healthcare_rcm_etl_pipeline_spark.functions.text import fingerprint_md5
 from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -54,13 +51,25 @@ def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
 
 
-def _shingle_posting(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    df = _fan_out(df, id_col)
+def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, shingles) with tokens materialized in their own projection —
+    see shingles_from_tokens: inlining tokens() into the shingle lambda
+    re-tokenizes once per position (~10× slower)."""
+    from healthcare_rcm_etl_pipeline_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
     return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(text_col, n).alias("shingles"),
-        )
+        _fan_out(df, id_col)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
+        .select("doc", shingles_from_tokens(F.col("__toks"), n).alias("shingles"))
+    )
+
+
+def _shingle_posting(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        _shingle_arrays(df, text_col, id_col, n)
         .withColumn("n_shingles", F.size("shingles"))
         .withColumn("shingle", F.explode("shingles"))
         .drop("shingles")
@@ -185,9 +194,7 @@ def minhash_lsh_pairs(
         return cand
     # exact-Jaccard verification restricted to candidates: join each side's
     # distinct shingle array, intersect in-memory per pair
-    sh = _fan_out(df, id_col).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
-    )
+    sh = _shingle_arrays(df, text_col, id_col, n)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
     verified = (
