@@ -926,6 +926,59 @@ def sessionize_q(spark, sf_dir):
     return ev.sessionize(_t(spark, sf_dir, "events"), "15 minutes")
 
 
+@query(
+    "events_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_click,
+           c.event_id AS event_id_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_q(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest prior click —
+    union+window composition (no native Spark as-of), ASOF JOIN oracle."""
+    from healthcare_rcm_etl_pipeline_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases, clicks, on="user_id", right_cols=["event_id"], suffix="_click"
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def semi_join_q(spark, sf_dir):
+    """Left-semi join (EXISTS): customers having at least one big order —
+    the semi-join family the reference never uses (SURVEY §2c note)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(big, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: multimodal plumbing (Pandas-UDF path)
 # ---------------------------------------------------------------------------
