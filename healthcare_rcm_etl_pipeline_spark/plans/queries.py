@@ -927,6 +927,34 @@ def sessionize_q(spark, sf_dir):
 
 
 @query(
+    "q15_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS min_price,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q15(spark, sf_dir):
+    """Exact distribution stats per priority — Spark's percentile() and
+    DuckDB's quantile_cont use the same linear interpolation, verified
+    bit-identical. (percentile_approx is the sketch variant for 100 TB;
+    exact percentile shuffles the group's values and is the oracle-able
+    form.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
     "events_asof_join",
     """
     WITH purchases AS (
