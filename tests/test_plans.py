@@ -1,0 +1,52 @@
+"""Physical-plan regression tests: the plans we designed for are the plans
+Catalyst actually produces — predicate pushdown into parquet scans, column
+pruning, broadcast joins for bounded dims, TakeOrderedAndProject for top-k.
+A silent regression here is invisible at sf0.1 but fatal at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from healthcare_rcm_etl_pipeline_spark.plans.queries import QUERIES
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "q08_writeoffs", sf_dir)
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_scan(spark, sf_dir):
+    plan = _plan(spark, "q03_monthly_revenue", sf_dir)
+    read = plan.split("ReadSchema")[1][:200]
+    assert "o_orderdate" in read and "o_totalprice" in read
+    assert "o_orderpriority" not in read  # unused column must not be read
+
+
+def test_bounded_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "q02_revenue_by_nation", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "q09_top20_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    for name in QUERIES:
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_aggregates_are_partial_final(spark, sf_dir):
+    # map-side combine: grouped aggregation appears as partial+final pairs
+    plan = _plan(spark, "q10_part_profitability", sf_dir)
+    assert plan.count("HashAggregate") >= 2
