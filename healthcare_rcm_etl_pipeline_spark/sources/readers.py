@@ -86,7 +86,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver testdata table (TESTDATA.md)."""
+    """One driver testdata table (TESTDATA.md).
+
+    The session timezone is pinned to UTC: ntz->timestamp conversions and
+    window/date_trunc rendering otherwise follow whatever zone the calling
+    session happens to have, which would silently skew results against a
+    UTC-reading oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
