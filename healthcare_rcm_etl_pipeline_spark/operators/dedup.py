@@ -29,6 +29,35 @@ from pyspark.sql import functions as F
 from healthcare_rcm_etl_pipeline_spark.functions.text import fingerprint_md5
 from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine
 
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable train/val/test assignment: bucket = md5(salt || key) mod 10000,
+    ranges assigned by cumulative fractions. Same key -> same split on every
+    run, every engine, any partitioning — the property rand()-based
+    splitting lacks (and the reason eval sets stay uncontaminated when the
+    corpus is re-processed). md5 (not xxhash) so external SQL engines
+    reproduce the assignment exactly.
+    """
+    # first 12 hex chars -> 48-bit int: exact in double/bigint everywhere
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 12), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr.otherwise(F.lit("rest")))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicates by canonical md5: one survivor (min id) per group."""
     return (

@@ -690,6 +690,32 @@ def embedding_near_dup_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "deterministic_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                WHEN bucket < 10000 THEN 'test'
+                ELSE 'rest' END AS split
+    FROM b
+    """,
+)
+def det_split_q(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment: md5-bucketed, so
+    the same doc lands in the same split on every run and every engine —
+    rand()-splitting can't give that (eval-set contamination on reprocess)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.deterministic_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@query(
     "ann_topk_bruteforce",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
