@@ -59,6 +59,27 @@ def write_clustered(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hash-bucketed managed table (CLUSTERED BY ... INTO n BUCKETS).
+
+    Both sides of a join bucketed on the join key with the same bucket count
+    join WITHOUT a shuffle — the pre-partitioning substitutes for the
+    exchange. At 100 TB this converts every fact⋈fact or fact⋈big-dim join
+    from a full-network shuffle into a local merge; asserted in
+    tests/test_bucketing.py via the physical plan (no Exchange).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def _current_version(base: str) -> int:
     marker = os.path.join(base, "_CURRENT")
     if os.path.exists(marker):
