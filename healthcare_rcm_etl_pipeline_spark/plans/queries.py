@@ -953,6 +953,87 @@ def sessionize_q(spark, sf_dir):
 
 
 @query(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_per_key_q(spark, sf_dir):
+    """Keep-latest-record-per-key dedup (U4 at scale): deterministic
+    row_number over a total order — the partition-layout-independent form of
+    dropDuplicates."""
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import first_row_per_key
+
+    o = _t(spark, sf_dir, "orders")
+    # first_row_per_key orders ascending; flip sign via desc ordering cols
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "events_range_join",
+    """
+    SELECT a.user_id,
+           a.event_id AS event_a, b.event_id AS event_b,
+           CAST(date_diff('millisecond', a.ts, b.ts) AS BIGINT) AS gap_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts - INTERVAL '60' SECOND
+     AND b.ts <= a.ts + INTERVAL '60' SECOND
+    """,
+)
+def range_join_q(spark, sf_dir):
+    """Self range join: event pairs of the same user within ±60s. The Spark
+    side buckets time into 60s cells and joins (user, cell) with the
+    adjacent cell — candidate volume ∝ events × bucket density, never the
+    per-user cross product a naive |Δt|<=60 condition would plan. The
+    oracle states the naive form directly."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    bucket = (F.unix_millis("ts") / 60_000).cast("bigint")
+    a = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+        bucket.alias("__ba"),
+    )
+    # each left row probes its own and the two adjacent cells
+    b = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("__ba"),
+    )
+    return (
+        a.join(b, ["user_id", "__ba"])
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 60 SECONDS"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECONDS"))
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            (F.unix_millis("ts_b") - F.unix_millis("ts_a")).alias("gap_ms"),
+        )
+    )
+
+
+@query(
     "q15_price_percentiles",
     """
     SELECT o_orderpriority,
