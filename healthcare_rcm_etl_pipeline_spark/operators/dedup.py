@@ -127,7 +127,10 @@ def ngram_jaccard_pairs(
     post = _shingle_posting(df, text_col, id_col, n)
     if max_df is not None:
         post = df_cap_shingles(post, max_df)
-    grouped = post.groupBy("shingle").agg(
+    # shuffle/group on the 64-bit shingle hash, not the string: smaller
+    # exchange, cheaper compares; a cross-shingle collision (~n²/2^64) would
+    # merge two posting lists — negligible for any real corpus
+    grouped = post.groupBy(F.xxhash64("shingle").alias("__sh")).agg(
         F.sort_array(F.collect_list(F.struct("doc", "n_shingles"))).alias("ds")
     )
     # all (i<j) combinations of each shingle's posting list

@@ -56,6 +56,25 @@ def test_minhash_lsh_candidates_cover_true_pairs(docs):
     assert (0, 3) not in got
 
 
+def test_minhash_lsh_equals_exact_jaccard_on_testdata(spark):
+    # evidence for the rows-only driver check: on the driver corpus the
+    # verified-LSH output is IDENTICAL to the exact-Jaccard pair set
+    # (recall 1.0 at k=64/bands=16 for j>=0.5 pairs) at both SFs
+    for sf in ["sf0.001", "sf0.01"]:
+        d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        exact = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in dedup.minhash_lsh_pairs(
+                d, "text", "doc_id", k=64, bands=16, verify_threshold=0.5
+            ).collect()
+        }
+        assert lsh == exact, f"{sf}: LSH missed {len(exact - lsh)} pairs"
+
+
 def test_simhash_hamming(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
