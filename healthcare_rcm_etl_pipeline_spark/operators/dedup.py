@@ -59,10 +59,13 @@ def deterministic_split(
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact duplicates by canonical md5: one survivor (min id) per group."""
+    """Exact duplicates by canonical md5: one survivor (min id) per group.
+
+    No _fan_out here: the per-row hash is cheap (unlike shingling), and the
+    groupBy's own exchange already redistributes — a pre-shuffle of the full
+    text would only add cost."""
     return (
-        _fan_out(df, id_col)
-        .select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
