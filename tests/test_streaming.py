@@ -62,6 +62,60 @@ def test_stateful_user_totals_matches_batch_agg(spark, sf_dir, event_dir):
     assert final == batch
 
 
+def test_watermark_drops_late_events(spark):
+    """Late-data policy: with a 10-minute watermark, an event arriving a
+    micro-batch later but hours behind the stream's max event time must NOT
+    reopen its (already finalized) window."""
+    import datetime
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hrcm_late_")
+    data, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
+    TS = datetime.datetime.fromisoformat
+    schema = "user_id long, ts timestamp, value double"
+
+    out_dir = os.path.join(d, "out")
+
+    def run(_name):
+        stream = (
+            spark.readStream.schema(schema).parquet(data).withWatermark("ts", "10 minutes")
+        )
+        agg = ev.tumbling_window_agg(stream, "1 hour")
+        q = (
+            agg.writeStream.format("parquet").outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        out: dict[str, list[int]] = {}
+        for r in rows:  # keep duplicates visible: re-emission would be a bug
+            out.setdefault(str(r["window_start"]), []).append(r["n_events"])
+        return out
+
+    # run 1: events at 10:05 and 12:00 -> watermark advances to 11:50,
+    # the 10:00-11:00 window finalizes with exactly 1 event
+    rows1 = [(1, TS("2024-01-01T10:05:00"), 1.0), (2, TS("2024-01-01T12:00:00"), 1.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(data)
+    out1 = run("t_late1")
+    assert out1.get("2024-01-01 10:00:00") == [1], out1
+
+    # run 2 (same checkpoint -> watermark state restored): a 10:20 straggler
+    # must be DROPPED — its window is already finalized and never re-emitted
+    rows2 = [(3, TS("2024-01-01T10:20:00"), 99.0), (4, TS("2024-01-01T12:30:00"), 1.0)]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(data)
+    out2 = run("t_late2")
+    # cumulative file-sink output: the finalized window still shows exactly
+    # the one original emission — the straggler neither re-emitted nor
+    # updated it
+    assert out2.get("2024-01-01 10:00:00") == [1], out2
+
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_sessionize_streaming_runs(spark, event_dir):
     schema = spark.read.parquet(event_dir).schema
     stream = ev.stream_from_files(spark, event_dir, schema, watermark="30 minutes")
