@@ -953,6 +953,39 @@ def sessionize_q(spark, sf_dir):
 
 
 @query(
+    "q16_price_moments",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           {_dsum('c_acctbal')} / COUNT(*) AS mean_acctbal,
+           ({_dsum('c_acctbal * c_acctbal', 4)}
+              - {_dsum('c_acctbal')} * {_dsum('c_acctbal')} / COUNT(*)) / (COUNT(*) - 1)
+             AS var_acctbal,
+           sqrt(({_dsum('c_acctbal * c_acctbal', 4)}
+              - {_dsum('c_acctbal')} * {_dsum('c_acctbal')} / COUNT(*)) / (COUNT(*) - 1))
+             AS stddev_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q16(spark, sf_dir):
+    """Second moments from exact decimal sums (textbook formula): the
+    engine-native stddev/variance use streaming (Welford) accumulation whose
+    result depends on visit order — unusable for cross-engine parity. Exact
+    Σx and Σx² make the moments bit-deterministic in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    s1 = money_sum("c_acctbal")
+    s2 = F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(18,4)")).cast("double")
+    n = F.count("*")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return c.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        (s1 / n).alias("mean_acctbal"),
+        var.alias("var_acctbal"),
+        F.sqrt(var).alias("stddev_acctbal"),
+    )
+
+
+@query(
     "latest_order_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
