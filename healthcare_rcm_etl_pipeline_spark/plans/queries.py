@@ -953,6 +953,63 @@ def sessionize_q(spark, sf_dir):
 
 
 @query(
+    "set_ops_customer_cohorts",
+    """
+    WITH y1997 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+         y1998 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y1997 INTERSECT SELECT * FROM y1998)
+    UNION ALL
+    SELECT 'only_1997', COUNT(*) FROM (SELECT * FROM y1997 EXCEPT SELECT * FROM y1998)
+    UNION ALL
+    SELECT 'only_1998', COUNT(*) FROM (SELECT * FROM y1998 EXCEPT SELECT * FROM y1997)
+    """,
+)
+def set_ops_q(spark, sf_dir):
+    """INTERSECT / EXCEPT cohort analysis — set operations the reference
+    never uses (SURVEY §2d: 'INTERSECT/EXCEPT: absent')."""
+    o = _t(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    rows = [
+        y97.intersect(y98).agg(F.lit("both").alias("cohort"), F.count("*").alias("n")),
+        y97.exceptAll(y98).agg(F.lit("only_1997").alias("cohort"), F.count("*").alias("n")),
+        y98.exceptAll(y97).agg(F.lit("only_1998").alias("cohort"), F.count("*").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "json_typed_parse",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def json_typed_q(spark, sf_dir):
+    """Schema'd JSON parsing (from_json -> typed struct, not string
+    extraction): the scalable path when props are wide — one parse, many
+    typed fields."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "q16_price_moments",
     f"""
     SELECT c_mktsegment,
