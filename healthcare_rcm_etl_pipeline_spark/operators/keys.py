@@ -77,7 +77,11 @@ def dense_sk_scalable(
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*order_exprs)
     # persist: the offsets job and the output job must see the SAME range
-    # boundaries (repartitionByRange samples, so recomputation could differ)
+    # boundaries (repartitionByRange samples, so recomputation could differ).
+    # Deliberately NOT unpersisted here — the returned DataFrame's lineage
+    # still runs through this RDD, and dropping it before the caller's action
+    # would re-sample boundaries and corrupt ids. Spark evicts LRU; callers
+    # doing many huge id assignments in one session can checkpoint instead.
     local = with_pid.withColumn("__local_rn", F.row_number().over(w) - 1).persist()
 
     # partition sizes: one long per partition — bounded driver traffic

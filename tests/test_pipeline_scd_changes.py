@@ -1,0 +1,77 @@
+"""E2E SCD2 with real attribute changes: run the pipeline, mutate source
+addresses for a known subset, run again against the v1 staging — changed
+patients get expired v1 + open v2, untouched patients pass through."""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.plans.pipeline import run_pipeline
+from healthcare_rcm_etl_pipeline_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def mutated_source():
+    """Copy the reference seed tree; change Address for patients whose
+    PatientID ends in '01' in hospital1 only."""
+    d = tempfile.mkdtemp(prefix="hrcm_mut_")
+    src = "/root/reference"
+    for sub in ["SQL", "Data"]:
+        shutil.copytree(os.path.join(src, sub), os.path.join(d, sub))
+    path = os.path.join(d, "SQL", "hospital_dbs", "hospital1_db", "patients.csv")
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    header, body = rows[0], rows[1:]
+    pid_i, addr_i = header.index("PatientID"), header.index("Address")
+    changed = 0
+    for r in body:
+        if r[pid_i].endswith("01"):
+            r[addr_i] = "999 Changed Street"
+            changed += 1
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(body)
+    yield d, changed
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scd2_detects_real_changes(spark, mutated_source):
+    mutated_root, n_changed = mutated_source
+    assert n_changed > 0
+    staging = tempfile.mkdtemp(prefix="hrcm_scd_stage_")
+    try:
+        run_pipeline(spark, staging_dir=staging, run_date="2025-08-03")
+        run_pipeline(
+            spark,
+            reference_root=mutated_root,
+            staging_dir=staging,
+            run_date="2025-09-01",
+        )
+        dim = sinks.read_versioned(spark, os.path.join(staging, "dim_patients"))
+
+        expired = dim.filter(~F.col("is_current"))
+        v2 = dim.filter(F.col("version") == 2)
+        assert expired.count() == n_changed
+        assert v2.count() == n_changed
+        # expired rows carry old address + correct expiry; v2 carries the new
+        assert expired.filter(F.col("Address") == "999 Changed Street").count() == 0
+        assert v2.filter(F.col("Address") != "999 Changed Street").count() == 0
+        assert {str(r[0]) for r in expired.select("expiry_date").distinct().collect()} == {
+            "2025-08-31"
+        }
+        # total rows = 10000 originals + n_changed new versions
+        assert dim.count() == 10000 + n_changed
+        # unchanged rows kept their original effective date
+        unchanged_current = dim.filter(F.col("is_current") & (F.col("version") == 1))
+        assert {
+            str(r[0]) for r in unchanged_current.select("effective_date").distinct().collect()
+        } == {"2025-08-03"}
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
