@@ -953,6 +953,40 @@ def sessionize_q(spark, sf_dir):
 
 
 @query(
+    "q17_price_qty_corr",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (COUNT(*) * {_dsum('l_extendedprice * l_quantity', 2)}
+              - {_dsum('l_extendedprice')} * {_dsum('l_quantity')})
+           / sqrt((COUNT(*) * {_dsum('l_extendedprice * l_extendedprice', 2)}
+                     - {_dsum('l_extendedprice')} * {_dsum('l_extendedprice')})
+                  * (COUNT(*) * {_dsum('l_quantity * l_quantity', 2)}
+                     - {_dsum('l_quantity')} * {_dsum('l_quantity')}))
+             AS price_qty_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q17(spark, sf_dir):
+    """Pearson correlation from exact decimal sums — the built-in corr()
+    accumulates co-moments in visit order (not reproducible cross-engine);
+    nΣxy-ΣxΣy over exact sums is bit-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dsum(c, scale=6):
+        return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    n = F.count("*")
+    sx, sy = dsum(x), dsum(y)
+    sxy, sxx, syy = dsum(x * y, 2), dsum(x * x, 2), dsum(y * y, 2)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"), corr.alias("price_qty_corr")
+    )
+
+
+@query(
     "set_ops_customer_cohorts",
     """
     WITH y1997 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
