@@ -957,12 +957,12 @@ def sessionize_q(spark, sf_dir):
     f"""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           (COUNT(*) * {_dsum('l_extendedprice * l_quantity', 2)}
+           round((COUNT(*) * {_dsum('l_extendedprice * l_quantity', 2)}
               - {_dsum('l_extendedprice')} * {_dsum('l_quantity')})
            / sqrt((COUNT(*) * {_dsum('l_extendedprice * l_extendedprice', 2)}
                      - {_dsum('l_extendedprice')} * {_dsum('l_extendedprice')})
                   * (COUNT(*) * {_dsum('l_quantity * l_quantity', 2)}
-                     - {_dsum('l_quantity')} * {_dsum('l_quantity')}))
+                     - {_dsum('l_quantity')} * {_dsum('l_quantity')})), 9)
              AS price_qty_corr
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -981,8 +981,11 @@ def q17(spark, sf_dir):
     sx, sy = dsum(x), dsum(y)
     sxy, sxx, syy = dsum(x * y, 2), dsum(x * x, 2), dsum(y * y, 2)
     corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # round(9): beyond ~2^53 the exact decimal sums stop being exactly
+    # representable as doubles and the two engines' decimal->double
+    # conversions can differ in the last bit — the rounding absorbs it
     return li.groupBy("l_returnflag").agg(
-        n.alias("n"), corr.alias("price_qty_corr")
+        n.alias("n"), F.round(corr, 9).alias("price_qty_corr")
     )
 
 
