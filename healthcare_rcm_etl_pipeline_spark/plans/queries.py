@@ -158,8 +158,8 @@ def q03(spark, sf_dir):
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_fulfilled,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
            SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS fulfilled_rate,
            SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS open_rate
     FROM orders GROUP BY o_orderpriority
@@ -440,7 +440,7 @@ def q14(spark, sf_dir):
     SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'sys_a' ELSE 'sys_b' END AS source_system,
            COUNT(*) AS n_orders,
            {_dsum('o_totalprice')} AS total_price,
-           SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_drift_nulls
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_nulls
     FROM orders GROUP BY 1
     """,
 )
