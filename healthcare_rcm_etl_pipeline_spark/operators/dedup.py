@@ -127,13 +127,18 @@ def ngram_jaccard_pairs(
     corpora drop stop-shingles first via ``max_df`` (they carry no near-dup
     signal and dominate cost).
     """
-    post = _shingle_posting(df, text_col, id_col, n)
+    # hash the shingle string ONCE to a 64-bit key: all downstream shuffles
+    # (df cap + pair grouping) move 8-byte longs, never the strings; a
+    # cross-shingle collision (~n²/2^64) would merge two posting lists —
+    # negligible for any real corpus
+    post = (
+        _shingle_posting(df, text_col, id_col, n)
+        .withColumn("__sh", F.xxhash64("shingle"))
+        .drop("shingle")
+    )
     if max_df is not None:
-        post = df_cap_shingles(post, max_df)
-    # shuffle/group on the 64-bit shingle hash, not the string: smaller
-    # exchange, cheaper compares; a cross-shingle collision (~n²/2^64) would
-    # merge two posting lists — negligible for any real corpus
-    grouped = post.groupBy(F.xxhash64("shingle").alias("__sh")).agg(
+        post = df_cap_shingles(post, max_df, col="__sh")
+    grouped = post.groupBy(F.col("__sh")).agg(
         F.sort_array(F.collect_list(F.struct("doc", "n_shingles"))).alias("ds")
     )
     # all (i<j) combinations of each shingle's posting list
@@ -168,10 +173,22 @@ def ngram_jaccard_pairs(
     )
 
 
-def df_cap_shingles(post: DataFrame, max_df: int) -> DataFrame:
-    """Drop shingles whose document frequency exceeds max_df (skew guard)."""
-    freq = post.groupBy("shingle").agg(F.count("*").alias("__df"))
-    return post.join(freq.filter(F.col("__df") <= max_df).select("shingle"), "shingle")
+def df_cap_shingles(post: DataFrame, max_df: int, col: str = "shingle") -> DataFrame:
+    """Drop shingles whose document frequency exceeds max_df (skew guard).
+
+    Anti-joins the posting list against the HOT set (df > max_df), which is
+    small by construction (|hot| <= total_postings / max_df) — the cheap side
+    of the join, and AQE will broadcast it when it fits. A stop-shingle shared
+    by d docs would otherwise emit d(d-1)/2 pairs from one collect_list row;
+    at web scale this cap is mandatory, not optional.
+    """
+    hot = (
+        post.groupBy(col)
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select(col)
+    )
+    return post.join(hot, col, "left_anti")
 
 
 def minhash_signatures(
@@ -247,29 +264,47 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit simhash: sign of per-bit sums of token xxhash64 bit-vectors.
+SIMHASH_BITS = 63          # xxhash64 token hash, sign bit avoided
+SIMHASH_PORTABLE_BITS = 60  # md5-prefix token hash, reproducible in ANSI SQL
 
-    Expressed with explode + groupBy over 64 conditional sums — one shuffle,
-    linear in token count, JVM-side only.
+
+def simhash64(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
+    """Simhash: sign of per-bit sums of token-hash bit-vectors.
+
+    Expressed with explode + groupBy over the per-bit conditional sums — one
+    shuffle, linear in token count, JVM-side only.
+
+    ``portable=False`` (default): 63-bit xxhash64 token hash — the fast path.
+    ``portable=True``: 60-bit hash from the first 15 hex chars of md5(token),
+    bit-reproducible in any engine with md5 (DuckDB, Trino, BigQuery) — used
+    by the driver oracle to recompute the FULL simhash semantics in SQL;
+    ~2× slower per token than xxhash64, same shuffle shape.
     """
+    nbits = SIMHASH_PORTABLE_BITS if portable else SIMHASH_BITS
+    tok_hash = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("tok")
+    )
     toks = _fan_out(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     bit_sums = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(
             f"b{i}"
         )
-        for i in range(63)  # avoid the sign bit for simplicity
+        for i in range(nbits)
     ]
     agg = toks.groupBy("doc").agg(*bit_sums)
     sim = agg.select(
         "doc",
         sum(
-            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(63)],
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(nbits)],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
@@ -277,16 +312,22 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, blocks: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Pigeonhole blocking: split 63 bits into ``blocks`` segments; any pair
-    within Hamming k < blocks must agree on >= one full segment -> equi-join
-    per segment, then exact Hamming check via bit_count(xor).
+    Pigeonhole blocking: split the hash bits into ``blocks`` segments; any
+    pair within Hamming k < blocks must agree on >= one full segment ->
+    equi-join per segment, then exact Hamming check via bit_count(xor).
     """
-    sim = simhash64(df, text_col, id_col)
-    seg_bits = 63 // blocks
+    sim = simhash64(df, text_col, id_col, portable=portable)
+    nbits = SIMHASH_PORTABLE_BITS if portable else SIMHASH_BITS
+    seg_bits = nbits // blocks
     seg_cols = [
         (
             F.shiftrightunsigned(F.col("simhash"), i * seg_bits)

