@@ -39,6 +39,47 @@ def dense_sk(
     return out.withColumn(sk_col, (F.row_number().over(w) - 1 + start).cast("long"))
 
 
+def stable_sk(
+    df: DataFrame,
+    key_cols: list[str],
+    sk_col: str,
+    existing: DataFrame | None = None,
+) -> DataFrame:
+    """Warehouse-stable surrogate keys: keys present in ``existing`` KEEP
+    their sk; genuinely new keys get dense ids starting at max(existing)+1,
+    ordered by the natural key. First run (existing None) degenerates to
+    ``dense_sk`` over the distinct keys.
+
+    All rows of a key share the sk (SCD2 version rows included) — consumers
+    resolve attributes via ``is_current`` rows. This is the fix for the
+    reference's positional re-key hazard (scd_implementation.py:96-98),
+    which shifts every sk after any change run and silently breaks fact FKs.
+
+    The offset is attached with a broadcast crossJoin of a 1-row aggregate —
+    no driver-side collect; the new-key rank is a dense_sk (single-task
+    window) sized by the NEW keys per run, not the full dimension.
+    """
+    keys = df.select(*key_cols).distinct()
+    if existing is None:
+        key_map = dense_sk(keys, key_cols, sk_col=sk_col, dedup=False)
+    else:
+        old_map = existing.select(*key_cols, sk_col).dropDuplicates(key_cols)
+        new_keys = keys.join(old_map.select(*key_cols), key_cols, "left_anti")
+        offset = old_map.agg((F.max(sk_col) + 1).alias("__off"))
+        new_map = (
+            dense_sk(new_keys, key_cols, sk_col="__rank", dedup=False)
+            .crossJoin(F.broadcast(offset))
+            .select(
+                *key_cols,
+                (F.col("__rank") + F.coalesce(F.col("__off"), F.lit(0)))
+                .cast("long")
+                .alias(sk_col),
+            )
+        )
+        key_map = old_map.unionByName(new_map)
+    return df.join(key_map, key_cols, "left")
+
+
 def first_row_per_key(
     df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None
 ) -> DataFrame:

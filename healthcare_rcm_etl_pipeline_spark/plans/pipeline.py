@@ -101,25 +101,20 @@ def run_pipeline(
         "dim_procedures": model.build_dim_procedures(db["transactions"]),
         "dim_date": model.build_dim_date(db["transactions"], db["encounters"]),
     }
-    facts = {
-        "fact_transactions": model.build_fact_transactions(
-            db["transactions"],
-            dims["dim_patients"],
-            dims["dim_providers"],
-            dims["dim_procedures"],
-            dims["dim_date"],
-        ),
-    }
-    facts["fact_claims"] = model.build_fact_claims(
-        claims, facts["fact_transactions"], dims["dim_date"]
-    )
-    model.validate_star(facts, dims)
 
-    # SCD2 on dim_patients (scd_implementation.py:16-100): incoming = natural
-    # key + attrs, one row per key (the seed data carries duplicate patient
-    # ids; the reference's golden dim holds distinct keys — 9,985 of 10,000);
-    # prior state comes from the versioned staging dir if present
-    from healthcare_rcm_etl_pipeline_spark.operators.keys import first_row_per_key
+    # SCD2 on dim_patients (scd_implementation.py:16-100) BEFORE fact
+    # building, so facts resolve FKs against the merged dimension. incoming =
+    # natural key + attrs, one row per key (the seed data carries duplicate
+    # patient ids; the reference's golden dim holds distinct keys — 9,985 of
+    # 10,000); prior state comes from the versioned staging dir if present.
+    #
+    # Surrogate keys are STABLE (operators.keys.stable_sk): existing keys
+    # keep their sk across runs, new keys append after max(sk). The
+    # reference instead re-keys the whole dimension positionally each run
+    # (scd_implementation.py:96-98, rekey="literal"), which shifts sks after
+    # any change run and silently points fact FKs at the wrong patients —
+    # replicated by the scd2_type2_merge query for parity, NOT used here.
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import first_row_per_key, stable_sk
 
     incoming = first_row_per_key(
         dims["dim_patients"].drop("patient_sk"), ["unified_patient_id"]
@@ -133,10 +128,29 @@ def run_pipeline(
         key="unified_patient_id",
         tracked=SCD_TRACKED,
         run_date=run_date,
-        rekey="literal",
-        sk_col="patient_sk",
+        rekey="none",
     )
-    dims["dim_patients"] = scd
+    has_prior_sk = existing is not None and "patient_sk" in existing.columns
+    dims["dim_patients"] = stable_sk(
+        scd,
+        ["unified_patient_id"],
+        "patient_sk",
+        existing=existing if has_prior_sk else None,
+    )
+
+    facts = {
+        "fact_transactions": model.build_fact_transactions(
+            db["transactions"],
+            dims["dim_patients"].filter(F.col("is_current")),
+            dims["dim_providers"],
+            dims["dim_procedures"],
+            dims["dim_date"],
+        ),
+    }
+    facts["fact_claims"] = model.build_fact_claims(
+        claims, facts["fact_transactions"], dims["dim_date"]
+    )
+    model.validate_star(facts, dims)
 
     out = {**dims, **facts}
     if staging_dir:

@@ -24,3 +24,25 @@ def test_dense_sk_scalable_start_offset(spark):
     df = spark.createDataFrame([(10,), (20,), (30,)], ["k"])
     out = sorted(r["sk"] for r in dense_sk_scalable(df, ["k"], start=100).collect())
     assert out == [100, 101, 102]
+
+
+def test_stable_sk_first_run_is_dense(spark):
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import stable_sk
+
+    df = spark.createDataFrame([("b", 1), ("a", 2), ("b", 3)], ["k", "v"])
+    out = {(r["k"], r["v"]): r["sk"] for r in stable_sk(df, ["k"], "sk").collect()}
+    # dense over distinct keys, all rows of a key share the sk
+    assert out == {("a", 2): 0, ("b", 1): 1, ("b", 3): 1}
+
+
+def test_stable_sk_keeps_old_keys_appends_new(spark):
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import stable_sk
+
+    existing = spark.createDataFrame(
+        [("a", 0), ("m", 1), ("z", 2)], ["k", "sk"]
+    )
+    # new batch drops 'm', keeps a/z, adds two new keys that sort BEFORE z
+    df = spark.createDataFrame([("a",), ("z",), ("b",), ("c",)], ["k"])
+    out = {r["k"]: r["sk"] for r in stable_sk(df, ["k"], "sk", existing=existing).collect()}
+    # old keys keep their sk (no positional shift), new keys append after max
+    assert out == {"a": 0, "z": 2, "b": 3, "c": 4}

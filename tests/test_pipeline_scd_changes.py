@@ -73,5 +73,44 @@ def test_scd2_detects_real_changes(spark, mutated_source):
         assert {
             str(r[0]) for r in unchanged_current.select("effective_date").distinct().collect()
         } == {"2025-08-03"}
+
+        # --- fact⋈dim consistency after the change run (stable sks) ---
+        # the reference's positional re-key shifts every sk once version-2
+        # rows exist, silently attributing claims to the wrong patients;
+        # stable_sk must keep fact FKs pointing at the right natural key.
+        from healthcare_rcm_etl_pipeline_spark.plans.pipeline import extract
+        from healthcare_rcm_etl_pipeline_spark.plans.standardize import add_unified_patient_id
+
+        fact = spark.read.parquet(os.path.join(staging, "fact_transactions"))
+        dim_cur = dim.filter(F.col("is_current"))
+        # every fact FK resolves against a current dim row
+        assert fact.join(dim_cur, "patient_sk", "left_anti").count() == 0
+        # and resolves to the RIGHT patient: recompute each transaction's
+        # unified id from the raw source and compare through the sk
+        db_raw, _ = extract(spark, mutated_root)
+        expected = add_unified_patient_id(db_raw["transactions"]).select(
+            "TransactionID", "source_hospital", "unified_patient_id"
+        )
+        got = fact.select("TransactionID", "source_hospital", "patient_sk").join(
+            dim_cur.select("patient_sk", F.col("unified_patient_id").alias("dim_upid")),
+            "patient_sk",
+        )
+        mismatches = (
+            got.join(expected, ["TransactionID", "source_hospital"])
+            .filter(F.col("dim_upid") != F.col("unified_patient_id"))
+            .count()
+        )
+        assert mismatches == 0
+        # version-2 patients with transactions: their fact rows must see the
+        # NEW address through the current row
+        changed_with_facts = (
+            fact.join(dim.filter(F.col("version") == 2), "patient_sk").select("patient_sk").distinct()
+        )
+        stale = (
+            changed_with_facts.join(dim_cur, "patient_sk")
+            .filter(F.col("Address") != "999 Changed Street")
+            .count()
+        )
+        assert stale == 0
     finally:
         shutil.rmtree(staging, ignore_errors=True)
