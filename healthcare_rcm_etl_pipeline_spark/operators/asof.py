@@ -54,9 +54,14 @@ def asof_join(
         F.struct(F.col(right_ts), *[F.col(c) for c in right_cols]).alias("__r"),
     )
 
+    # __r as the final order key makes the carried row total-order defined
+    # when multiple right rows share (key, ts): struct comparison orders by
+    # (right_ts, *right_cols), so the max such row wins under ANY partition
+    # layout — without it, last() would be partition-order-dependent. Left
+    # rows (__r null) never tie with right rows because __side differs.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (

@@ -37,35 +37,38 @@ def with_salt(df: DataFrame, unique_col: str, buckets: int, salt_col: str = "__s
     )
 
 
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     unique_col: str,
     buckets: int = 16,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation for algebraic measures.
 
-    ``aggs`` maps output name -> partial aggregate expression; the final
-    phase re-aggregates partials: sum->sum, count->sum, min->min, max->max.
-    The merge function is inferred from the expression's root (sum/count ->
-    sum, min -> min, max -> max).
+    ``aggs`` maps output name -> (partial aggregate expression, merge fn):
+    an EXPLICIT merge per aggregate — "sum" (for sum/count partials), "min",
+    or "max". Non-algebraic aggregates (avg, count_distinct, first, ...)
+    have no valid pairwise merge of partials and must be decomposed by the
+    caller (avg = sum+count merged then divided); anything outside the
+    supported merges raises instead of silently producing wrong results.
     """
+    bad = {n: m for n, (_, m) in aggs.items() if m not in _MERGE_FNS}
+    if bad:
+        raise ValueError(
+            f"unsupported merge fns {bad}: supported {sorted(_MERGE_FNS)}; "
+            "decompose non-algebraic aggregates (e.g. avg -> sum+count)"
+        )
     salted = with_salt(df, unique_col, buckets)
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
     )
-
-    def _merge(name: str, expr: Column) -> Column:
-        root = expr._jc.toString().split("(")[0].lower()
-        src = F.col(f"__p_{name}")
-        if root.startswith("min"):
-            return F.min(src).alias(name)
-        if root.startswith("max"):
-            return F.max(src).alias(name)
-        return F.sum(src).alias(name)  # sum/count partials merge by sum
-
-    return partial.groupBy(*keys).agg(*[_merge(n, e) for n, e in aggs.items()])
+    return partial.groupBy(*keys).agg(
+        *[_MERGE_FNS[m](F.col(f"__p_{n}")).alias(n) for n, (_, m) in aggs.items()]
+    )
 
 
 def replicated_join(

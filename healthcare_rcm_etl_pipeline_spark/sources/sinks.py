@@ -80,30 +80,61 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def _current_version(base: str) -> int:
-    marker = os.path.join(base, "_CURRENT")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            return int(f.read().strip())
-    return 0
+def _fs_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API — the
+    marker I/O below works on any Hadoop-supported store (local, HDFS,
+    s3a/gcs connectors), not just the driver's local filesystem."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _current_version(spark: SparkSession, base: str) -> int:
+    fs, marker = _fs_path(spark, os.path.join(base, "_CURRENT"))
+    if not fs.exists(marker):
+        return 0
+    stream = fs.open(marker)
+    try:
+        data = []
+        b = stream.read()
+        while b != -1 and len(data) < 32:
+            data.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return int(bytes(data).decode().strip() or "0")
 
 
 def read_versioned(spark: SparkSession, base: str) -> DataFrame | None:
     """Read the promoted version of a versioned dataset, None if absent."""
-    v = _current_version(base)
+    v = _current_version(spark, base)
     if v == 0:
         return None
     return spark.read.parquet(os.path.join(base, f"v={v}"))
 
 
 def write_versioned(df: DataFrame, base: str) -> int:
-    """Write the next version and atomically promote it (SCD2 barrier)."""
-    v = _current_version(base) + 1
+    """Write the next version and promote it via the _CURRENT marker (SCD2
+    read-modify-write barrier).
+
+    Concurrency contract: SINGLE WRITER per dataset — two concurrent writers
+    can read the same version and race the promotion (last rename wins). The
+    promotion rename is atomic on local FS and HDFS; object stores without
+    atomic rename (raw S3) get delete+rename, so a reader can observe a
+    missing marker for an instant — run one writer and retry reads, or front
+    the dataset with a table format (Delta/Iceberg) for multi-writer needs.
+    """
+    spark = df.sparkSession
+    v = _current_version(spark, base) + 1
     df.write.mode("overwrite").parquet(os.path.join(base, f"v={v}"))
-    tmp = os.path.join(base, "_CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-    os.replace(tmp, os.path.join(base, "_CURRENT"))
+    fs, tmp = _fs_path(spark, os.path.join(base, "_CURRENT.tmp"))
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(v).encode()))
+    finally:
+        out.close()
+    _, cur = _fs_path(spark, os.path.join(base, "_CURRENT"))
+    fs.delete(cur, False)
+    fs.rename(tmp, cur)
     return v
 
 

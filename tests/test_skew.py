@@ -41,7 +41,7 @@ def test_salted_aggregate_matches_plain(skewed):
         for r in salted_aggregate(
             skewed,
             ["key"],
-            {"n": F.count("*"), "total": F.sum("val"), "mx": F.max("val")},
+            {"n": (F.count("*"), "sum"), "total": (F.sum("val"), "sum"), "mx": (F.max("val"), "max")},
             unique_col="id",
             buckets=16,
         ).collect()
@@ -58,3 +58,12 @@ def test_replicated_join_matches_plain(spark, skewed):
     salted = replicated_join(skewed, dim, ["key"], "id", buckets=8).select("id", "attr")
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_aggregate_rejects_non_algebraic(skewed):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported merge"):
+        salted_aggregate(
+            skewed, ["key"], {"a": (F.avg("val"), "avg")}, unique_col="id"
+        )
