@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from healthcare_rcm_etl_pipeline_spark.functions.text import fingerprint_md5
 from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine
+from healthcare_rcm_etl_pipeline_spark.operators.similarity import lsh_candidate_pairs
 
 def deterministic_split(
     df: DataFrame,
@@ -363,23 +364,49 @@ def embedding_near_dup_pairs(
     id_col: str,
     block_col: str | None = None,
     threshold: float = 0.99,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. With block_col, the join is keyed on
-    the block (cross product only within blocks); without, full cross —
-    only acceptable for small n (use similarity.lsh_bucket for scale)."""
+    """Pairs with cosine >= threshold.
+
+    Blocking ladder (no full cross join at any rung):
+    - ``block_col`` given: equi-join on the block — cross product only
+      within blocks; right when a trustworthy partition key exists.
+    - ``block_col=None`` (default): LABEL-FREE — sign-sketch LSH bucket
+      blocking (similarity.lsh_candidate_pairs, OR across n_tables with
+      Hamming-1 multiprobe) generates linear candidates; exact cosine is
+      computed for candidates only. Recall is tuned by (n_planes,
+      n_tables); deterministic hyperplanes keep results reproducible.
+    """
+    if block_col is None:
+        cand = lsh_candidate_pairs(
+            df, vec_col, id_col,
+            n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
+        )
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("cos", F.round(cosine("vec_a", "vec_b"), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
-        *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.col(block_col).alias("__blk"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
-        *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.col(block_col).alias("__blk"),
     )
-    joined = a.join(b, on="__blk" if block_col else None, how="inner") if block_col else a.crossJoin(b)
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cosine("vec_a", "vec_b"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

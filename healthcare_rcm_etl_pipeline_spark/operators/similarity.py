@@ -62,6 +62,59 @@ def sign_sketch(df: DataFrame, vec_col: str, planes: list[list[float]], out_col:
     return df.withColumn(out_col, bucket)
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs colliding in ANY table's sign-sketch
+    bucket (OR-construction; multiprobe additionally matches buckets at
+    Hamming distance 1 per table). Linear in the corpus: each vector lands
+    in n_tables buckets (× (1+n_planes) probes), pairs are emitted only
+    within buckets — never a full cross join. Callers verify candidates
+    with the exact measure; recall is tuned by (n_planes, n_tables)."""
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 7919 * t)
+        v = sign_sketch(v, "__vec", planes, out_col=f"__b{t}")
+
+    base_kv = v.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("bkt"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("__id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    def _probes(t: int) -> list[F.Column]:
+        base = F.col(f"__b{t}")
+        probes = [base]
+        if multiprobe:
+            probes += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        return [F.struct(F.lit(t).alias("tbl"), p.alias("bkt")) for p in probes]
+
+    probe_kv = v.select(
+        "__id",
+        F.explode(F.array(*[s for t in range(n_tables) for s in _probes(t)])).alias("tb"),
+    ).select("__id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    left = base_kv.select(F.col("__id").alias("id_a"), "tbl", "bkt")
+    right = probe_kv.select(F.col("__id").alias("id_b"), "tbl", "bkt")
+    return (
+        left.join(right, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -69,7 +69,7 @@ SQL: dict[str, str] = {
                {_dsum('fc.PaidAmount')} AS TotalCollectedAmount,
                AVG(fc.days_to_payment) AS AverageDaysToPayment
         FROM fact_claims fc
-        JOIN dim_patients p ON fc.patient_sk = p.patient_sk
+        JOIN dim_patients p ON fc.patient_sk = p.patient_sk AND p.is_current = TRUE
         GROUP BY p.source_hospital
     """,
     "hq3_monthly_trends": f"""
@@ -122,7 +122,7 @@ SQL: dict[str, str] = {
                {_dsum('fc.ClaimAmount')} AS TotalBilledToPatient,
                COUNT(DISTINCT fc.ClaimID) AS NumberOfClaims
         FROM fact_claims fc
-        JOIN dim_patients p ON fc.patient_sk = p.patient_sk
+        JOIN dim_patients p ON fc.patient_sk = p.patient_sk AND p.is_current = TRUE
         GROUP BY p.patient_sk, p.FirstName, p.LastName, p.source_hospital
         ORDER BY TotalBilledToPatient DESC, p.patient_sk
         LIMIT 20
@@ -163,7 +163,9 @@ def hq1(star: dict[str, DataFrame]) -> DataFrame:
 
 def hq2(star: dict[str, DataFrame]) -> DataFrame:
     fc, p = star["fact_claims"], star["dim_patients"]
-    lk = p.select("patient_sk", "source_hospital")  # patient dim scales with the network
+    # is_current: stable sks are shared by all SCD2 versions of a key, so
+    # attribute joins must resolve against the current row only
+    lk = p.filter(F.col("is_current")).select("patient_sk", "source_hospital")  # scales
     return (
         fc.select("patient_sk", "ClaimAmount", "PaidAmount", "days_to_payment")
         .join(lk, "patient_sk")
@@ -241,7 +243,9 @@ def hq8(star: dict[str, DataFrame]) -> DataFrame:
 
 def hq9(star: dict[str, DataFrame]) -> DataFrame:
     fc, p = star["fact_claims"], star["dim_patients"]
-    lk = p.select("patient_sk", "FirstName", "LastName", "source_hospital")  # scales
+    lk = p.filter(F.col("is_current")).select(
+        "patient_sk", "FirstName", "LastName", "source_hospital"
+    )  # scales; is_current — see hq2
     return (
         fc.select("patient_sk", "ClaimAmount", "ClaimID")
         .join(lk, "patient_sk")

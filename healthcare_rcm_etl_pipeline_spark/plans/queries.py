@@ -733,6 +733,32 @@ def embedding_near_dup_q(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_near_dup_lsh",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+    """,
+)
+def embedding_near_dup_lsh_q(spark, sf_dir):
+    """LABEL-FREE embedding near-dup: sign-sketch LSH bucket blocking
+    (12 tables × 4 planes, Hamming-1 multiprobe) generates linear
+    candidates, exact cosine verifies them. Oracle = the full O(n²)
+    brute-force pair scan (fine oracle-side at sf0.01) — the engine must
+    reproduce it without ever forming the cross join. Note the label-blocked
+    variant above finds only 26 of the 271 true pairs at sf0.01: labels are
+    a lossy block; LSH is the honest default."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -1239,6 +1265,74 @@ def q15(spark, sf_dir):
 
 
 @query(
+    "sketch_percentiles_tolerance",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           quantile_cont(o_totalprice, 0.9) AS p90_exact,
+           quantile_cont(o_totalprice, 0.99) AS p99_exact,
+           TRUE AS p50_within_5pct, TRUE AS p90_within_5pct, TRUE AS p99_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sketch_percentiles_q(spark, sf_dir):
+    """The 100 TB percentile path: percentile_approx (KLL-style sketch,
+    mergeable, bounded memory — no per-group value shuffle) checked against
+    the exact percentile IN-ENGINE; the driver-hashed booleans assert the
+    sketch lands within 5% relative error of the exact value, so the oracle
+    stays a pure exact-SQL statement. Deterministic: percentile_approx has
+    no randomness (fixed compaction), so the booleans are stable."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for q_ in ("0.5", "0.9", "0.99"):
+        tag = "p" + q_.replace("0.", "").ljust(2, "0")
+        aggs += [
+            F.expr(f"percentile(o_totalprice, {q_})").alias(f"{tag}_exact"),
+            F.expr(f"percentile_approx(o_totalprice, {q_}, 1000)").alias(f"__{tag}_apx"),
+        ]
+    g = o.groupBy("o_orderpriority").agg(*aggs)
+    within = [
+        (
+            (F.abs(F.col(f"__p{t}_apx") - F.col(f"p{t}_exact")) / F.col(f"p{t}_exact"))
+            <= 0.05
+        ).alias(f"p{t}_within_5pct")
+        for t in ("50", "90", "99")
+    ]
+    return g.select(
+        "o_orderpriority", "p50_exact", "p90_exact", "p99_exact", *within
+    )
+
+
+@query(
+    "sketch_distinct_tolerance",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_custkey) AS n_exact,
+           TRUE AS within_5pct
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sketch_distinct_q(spark, sf_dir):
+    """The 100 TB count-distinct path: approx_count_distinct (HLL++,
+    mergeable partials — map-side combinable, no exact-distinct shuffle)
+    checked in-engine against the exact count; the driver hashes the exact
+    value plus a within-5% boolean. HLL++ is hash-based and deterministic,
+    so the boolean is stable across partitionings."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_exact"),
+        F.approx_count_distinct("c_custkey", 0.05).alias("__apx"),
+    )
+    return g.select(
+        "c_mktsegment",
+        "n_exact",
+        (
+            (F.abs(F.col("__apx") - F.col("n_exact")) / F.col("n_exact")) <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
     "events_asof_join",
     """
     WITH purchases AS (
@@ -1311,3 +1405,63 @@ def multimodal_q(spark, sf_dir):
 
     d = with_binary_payload(_t(spark, sf_dir, "documents"))
     return extract_features(d).select("doc_id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# hq1-hq11: the reference's ACTUAL analytical surface, over the staged star
+# (/root/reference/Analysis/Big query/*.sql). The star is staged once per
+# process from the reference seed CSVs (fixed inputs + fixed run_date ->
+# deterministic parquet); Spark reads the staged files and the DuckDB oracle
+# reads THE SAME files via read_parquet, so both engines see identical bits.
+# sf_dir is ignored: this surface is reference-seeded, not TPC-H-scaled.
+# ---------------------------------------------------------------------------
+
+_HQ_STAR_DIR = "/root/repo/.hq_star"
+_hq_staged = False
+
+
+def _hq_star(spark: SparkSession) -> dict[str, DataFrame]:
+    import os as _os
+
+    from healthcare_rcm_etl_pipeline_spark.plans import analytics as _an
+    from healthcare_rcm_etl_pipeline_spark.plans.pipeline import run_pipeline
+
+    global _hq_staged
+    if not _hq_staged:
+        star = run_pipeline(spark, run_date="2025-08-03")
+        for t in _an.STAR_TABLES:
+            star[t].write.mode("overwrite").parquet(_os.path.join(_HQ_STAR_DIR, t))
+        _hq_staged = True
+    return {
+        t: spark.read.parquet(_os.path.join(_HQ_STAR_DIR, t))
+        for t in _an.STAR_TABLES
+    }
+
+
+def _hq_oracle(sql: str) -> str:
+    import re as _re
+
+    from healthcare_rcm_etl_pipeline_spark.plans import analytics as _an
+
+    for t in _an.STAR_TABLES:
+        sql = _re.sub(
+            rf"\b{t}\b", f"read_parquet('{_HQ_STAR_DIR}/{t}/*.parquet')", sql
+        )
+    return sql
+
+
+def _register_hq() -> None:
+    from healthcare_rcm_etl_pipeline_spark.plans import analytics as _an
+
+    def make(fn):
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_hq_star(spark))
+
+        return runner
+
+    for name, fn in _an.HEALTHCARE_QUERIES.items():
+        QUERIES[name] = make(fn)
+        ORACLES[name] = _hq_oracle(_an.SQL[name])
+
+
+_register_hq()

@@ -120,6 +120,24 @@ def test_embedding_near_dup_blocked(spark):
     assert got == {(0, 1)}  # (0,3) blocked away, (0,2) below threshold
 
 
+def test_embedding_near_dup_label_free_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0] + [0.0] * 61),
+        (1, [0.999, 0.04, 0.0] + [0.0] * 61),  # near dup of 0
+        (2, [0.0, 1.0, 0.0] + [0.0] * 61),     # orthogonal
+        (3, [1.0, 0.0, 0.0] + [0.0] * 61),     # identical to 0 — no label to hide behind
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.95, dim=64
+        ).collect()
+    }
+    # LSH blocking finds the cross-"label" duplicate the blocked variant cannot
+    assert got == {(0, 1), (0, 3), (1, 3)}
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 40 == 0)
