@@ -3,11 +3,13 @@
 - CSV with explicit schema + permissive date parsing (S2/S3; glob paths go
   straight into spark.read).
 - Parquet for the driver testdata and for prior-dimension state (S4).
-- JDBC reader (S1) kept optional: the reference pulls 5 tables × 2 MySQL
-  DBs with SELECT * (/root/reference/python/extraction.py:30-41); the same
-  tables ship as CSVs, which the tests use. The JDBC path is here for API
-  completeness and takes partitioning options so a real cluster scan
-  parallelizes (numPartitions/partitionColumn bounds).
+- JDBC reader (S1): the reference pulls 5 tables × 2 MySQL DBs with
+  SELECT * (/root/reference/python/extraction.py:30-41); the same tables
+  ship as CSVs, which the e2e tests use. The JDBC path takes partitioning
+  options so a real cluster scan parallelizes (numPartitions/
+  partitionColumn bounds) and is exercised live by tests/test_jdbc.py
+  against Derby's embedded driver (bundled with PySpark): row parity,
+  4-way partitioned range read, and predicate pushdown (PushedFilters).
 """
 
 from __future__ import annotations
