@@ -10,13 +10,41 @@ JVM startup is excluded, matching how a long-lived cluster runs queries.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 from healthcare_rcm_etl_pipeline_spark.plans.queries import QUERIES
 from healthcare_rcm_etl_pipeline_spark.session import get_spark
+
+# explanations for expected round-over-round deltas (emitted with the JSON
+# so a regression vs the previous round is never silent)
+DELTA_NOTES = {
+    "dedup_ngram_jaccard": "r2 runs with the max_df skew cap ON (anti-join "
+    "pre-pass); r1 benched the uncapped form",
+}
+
+
+def _prev_round() -> tuple[str | None, dict[str, float]]:
+    """Latest committed BENCH_r{N}.json, for per-query deltas."""
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return None, {}
+    try:
+        with open(best) as f:
+            doc = json.load(f)
+        # the driver wraps the bench's JSON line under "parsed"
+        doc = doc.get("parsed", doc) or {}
+        return f"r{best_n:02d}", doc.get("queries", {})
+    except Exception:
+        return None, {}
 
 HEADLINE = [
     "q01_collection_rate",
@@ -57,7 +85,7 @@ def main() -> None:
                 print(f"  warmup {name} failed: {e}", file=sys.stderr)
 
     # min of N runs: steady-state latency, robust to background-load noise
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = float("inf"), 0
@@ -70,17 +98,26 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev_name, prev = _prev_round()
+    if prev:
+        deltas = {
+            name: round(timings[name] / prev[name], 2)
+            for name in timings
+            if name in prev and prev[name] > 0
+        }
+        out["deltas_vs"] = prev_name
+        out["deltas"] = deltas  # ratio this-round / prev-round per query
+        out["delta_notes"] = {
+            k: v for k, v in DELTA_NOTES.items() if deltas.get(k, 1.0) > 1.5
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

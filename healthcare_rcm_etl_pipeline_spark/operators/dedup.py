@@ -116,6 +116,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    cap_mode: str = "antijoin",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, posting-list style without a
     self-join: group docs per shingle, emit each shingle's doc-pair
@@ -127,7 +128,20 @@ def ngram_jaccard_pairs(
     Skew note: a shingle shared by d docs emits d(d-1)/2 pairs; for web-scale
     corpora drop stop-shingles first via ``max_df`` (they carry no near-dup
     signal and dominate cost).
+
+    ``cap_mode`` picks how the cap is enforced:
+    - "antijoin" (default, the 100 TB shape): count df first, anti-join the
+      hot set out BEFORE aggregation — a hot shingle's posting list is never
+      materialized anywhere. Costs a second pass over the shingling lineage
+      (the df count and the probe side prune different columns, so Catalyst
+      cannot reuse one exchange for both).
+    - "filter": single-pass — aggregate all posting lists, then drop rows
+      with size(ds) > max_df. Cheapest when the hottest shingle's list still
+      fits comfortably in an executor (caps up to ~10^6 × max_df); unsafe
+      for adversarial/web corpora where one stop-shingle spans 10^8+ docs.
     """
+    if cap_mode not in ("antijoin", "filter"):
+        raise ValueError(f"cap_mode must be 'antijoin' or 'filter', got {cap_mode!r}")
     # hash the shingle string ONCE to a 64-bit key: all downstream shuffles
     # (df cap + pair grouping) move 8-byte longs, never the strings; a
     # cross-shingle collision (~n²/2^64) would merge two posting lists —
@@ -137,11 +151,13 @@ def ngram_jaccard_pairs(
         .withColumn("__sh", F.xxhash64("shingle"))
         .drop("shingle")
     )
-    if max_df is not None:
+    if max_df is not None and cap_mode == "antijoin":
         post = df_cap_shingles(post, max_df, col="__sh")
     grouped = post.groupBy(F.col("__sh")).agg(
         F.sort_array(F.collect_list(F.struct("doc", "n_shingles"))).alias("ds")
     )
+    if max_df is not None and cap_mode == "filter":
+        grouped = grouped.filter(F.size("ds") <= max_df)
     # all (i<j) combinations of each shingle's posting list
     pairs = grouped.select(
         F.explode(

@@ -63,6 +63,12 @@ def test_max_df_cap_bounds_hot_shingle_pairs(spark):
     all_pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.0, max_df=100).count()
     assert all_pairs < 5000  # uncapped would be >= C(1000,2) ~ 500k
 
+    # single-pass filter mode enforces the same cap semantics
+    filtered = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.3, max_df=100, cap_mode="filter"
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in filtered.collect()} == {(0, 1000)}
+
 
 def test_minhash_lsh_candidates_cover_true_pairs(docs):
     got = {
