@@ -1465,3 +1465,82 @@ def _register_hq() -> None:
 
 
 _register_hq()
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: cube / unpivot / dedup-by-key shapes
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_cube_status",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q18_cube(spark, sf_dir):
+    """CUBE over (priority, status) with grouping_id — all 4 grouping sets
+    in one pass (Catalyst expands to a single Expand + hash aggregate, not
+    4 scans). Spark's grouping_id bit order == DuckDB's GROUPING(a, b)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "q19_unpivot_metrics",
+    f"""
+    WITH m AS (
+      SELECT o_orderpriority,
+             {_dsum('o_totalprice')} AS total_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             {_dsum('o_totalprice')} / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders', n_orders FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'avg_price', avg_price FROM m
+    """,
+)
+def q19_unpivot(spark, sf_dir):
+    """Wide->long unpivot (melt): three per-priority measures become
+    (metric, value) rows via DataFrame.unpivot — one Expand node, no
+    self-union of the aggregate. Oracle spells it as UNION ALL (the
+    portable form)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        money_sum("o_totalprice").alias("total_price"),
+        F.count("*").cast("double").alias("n_orders"),
+        (money_sum("o_totalprice") / F.count("*")).alias("avg_price"),
+    )
+    return m.unpivot(
+        ["o_orderpriority"], ["total_price", "n_orders", "avg_price"], "metric", "value"
+    )
+
+
+@query(
+    "events_exact_dedup",
+    """
+    SELECT * FROM events
+    """,
+)
+def events_dedup_q(spark, sf_dir):
+    """Exact event dedup by key: the input is doubled (union with itself)
+    then deduped with first_row_per_key (deterministic survivor, unlike
+    dropDuplicates) — result must equal the original table exactly. The
+    streaming twin (dropDuplicatesWithinWatermark, bounded state) is
+    equivalence-tested in tests/test_streaming.py."""
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import first_row_per_key
+
+    e = _t(spark, sf_dir, "events")
+    doubled = e.unionAll(e)
+    return first_row_per_key(doubled, ["event_id"])

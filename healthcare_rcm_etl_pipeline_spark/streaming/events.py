@@ -142,3 +142,22 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_events(
+    events: DataFrame, keys: list[str] | None = None, within: str = "10 minutes"
+) -> DataFrame:
+    """Exact dedup by key, batch AND streaming.
+
+    Batch: deterministic first-row-per-key (explicit within-key ordering).
+    Streaming: ``dropDuplicatesWithinWatermark`` — per-key state is EVICTED
+    once the watermark passes, so state is bounded by the duplicate-arrival
+    horizon instead of growing with the whole stream (the plain
+    ``dropDuplicates`` on an unbounded stream is a state leak at scale).
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(keys)
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import first_row_per_key
+
+    return first_row_per_key(events, keys)

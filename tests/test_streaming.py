@@ -123,3 +123,23 @@ def test_sessionize_streaming_runs(spark, event_dir):
     assert out.count() > 0
     cols = set(out.columns)
     assert {"user_id", "session_start", "session_end", "n_events", "total_value"} <= cols
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, event_dir):
+    import shutil as _sh
+    import tempfile as _tf
+
+    # double the events into a fresh stream source: every event arrives twice
+    d = _tf.mkdtemp(prefix="hrcm_dupstream_")
+    try:
+        src = load_events(spark, sf_dir)
+        src.unionAll(src).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = _run_stream(spark, ev.dedup_events(stream), "t_dedup", "append")
+        # each event_id survives exactly once, and the set equals the source
+        got = {r["event_id"] for r in out.collect()}
+        assert out.count() == len(got)
+        assert got == {r["event_id"] for r in src.select("event_id").collect()}
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
