@@ -115,6 +115,136 @@ def lsh_candidate_pairs(
     )
 
 
+def _lit_vec(vec: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _dot_lit(v: F.Column, vec: list[float]) -> F.Column:
+    return F.aggregate(
+        F.zip_with(v, _lit_vec(vec), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_scores(v: F.Column, centroids: list[list[float]]) -> list[F.Column]:
+    """struct(score, cell) per centroid — cosine(v, c) with the vector's own
+    norm computed once by the caller and centroid norms folded as literals."""
+    norm_v = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    out = []
+    for i, c in enumerate(centroids):
+        nc = math.sqrt(sum(x * x for x in c)) or 1e-12
+        score = _dot_lit(v, c) / (norm_v * F.lit(nc) + F.lit(1e-12))
+        out.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
+    return out
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    iters: int = 1,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic IVF centroid fit (k-means lite).
+
+    Seeds: the ``n_cells`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` — a uniform deterministic sample that needs no RNG
+    state and lands on the data manifold (TakeOrdered, no global sort).
+    ``iters`` Lloyd steps refine them: assign every vector to its nearest
+    cell (pure expressions), then per-cell means via one groupBy with
+    ``dim`` avg aggregates (partial-aggregated map-side — the shuffle moves
+    one row per cell per partition, never vectors). Centroid coords are
+    rounded to 9 dp after each collect so the float summation order inside
+    avg() cannot leak into downstream plans.
+
+    Only the centroid table (n_cells x dim floats) ever reaches the driver —
+    same footprint class as the LSH hyperplanes.
+    """
+    v = as_double_vec(vec_col)
+    seeds = (
+        corpus.select(
+            v.alias("__v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[float(x) for x in r["__v"]] for r in seeds]
+    if not cents:
+        raise ValueError("empty corpus")
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = corpus.select(
+            v.alias("__v"),
+            F.array_max(F.array(*_cell_scores(v, cents)))["cell"].alias("__cell"),
+        )
+        rows = (
+            assigned.groupBy("__cell")
+            .agg(*[F.avg(F.element_at("__v", i + 1)).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in rows:  # cells that attracted no vectors keep their seed
+            cents[r["__cell"]] = [round(float(r[f"c{i}"]), 9) for i in range(dim)]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF cells: every corpus vector lives in exactly
+    ONE cell (nearest centroid); each query probes its ``n_probe``
+    closest cells. Candidate cost ≈ n_probe/n_cells of the corpus per
+    query — the other classic ANN scale path next to LSH (same shape as a
+    FAISS IVF-flat probe, re-expressed as a cell equi-join Catalyst can
+    plan: small query side broadcast, corpus scanned once, per-query
+    window top-k, no global sort)."""
+    cv = as_double_vec(vec_col)
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("__cvec"),
+        F.array_max(F.array(*_cell_scores(cv, centroids)))["cell"].alias("cell"),
+    )
+    qv = as_double_vec(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("__qvec"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.array(*_cell_scores(qv, centroids)), asc=False),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("__qvec", "__cvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -826,6 +826,24 @@ def ann_lsh_q(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, q, k=5, dim=64, n_tables=12)
 
 
+@query("ann_topk_ivf", _ANN_BF_ORACLE)
+def ann_ivf_q(spark, sf_dir):
+    """Approximate top-5 via IVF cells (FAISS IVF-flat shape re-expressed as
+    a Catalyst cell equi-join) — the second ANN scale path next to LSH.
+    Registered at n_probe == n_cells with hash-sampled seeds (iters=0):
+    every cell is probed, so the result MUST equal brute force exactly — an
+    invariance oracle over the whole fit/assign/probe/join/top-k machinery
+    that is deterministic by construction. Production-shaped params
+    (n_probe = n_cells/2, Lloyd-refined centroids, recall >= 0.8 at ~half
+    the scan cost) are asserted in pytest — on this synthetic corpus the
+    embeddings are near-uniform, so true neighbors scatter across cells and
+    only a full probe is exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    cents = similarity.ivf_fit(e, n_cells=8, iters=0)
+    return similarity.ivf_topk(e, q, cents, k=5, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: text analysis (documents table)
 # ---------------------------------------------------------------------------

@@ -161,6 +161,43 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f}"
 
 
+def test_ivf_fit_deterministic_and_assign_total(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = similarity.ivf_fit(emb, n_cells=8, iters=2)
+    c2 = similarity.ivf_fit(emb, n_cells=8, iters=2)
+    assert c1 == c2  # hash-sampled seeds + rounded Lloyd means: reproducible
+    assert len(c1) == 8 and all(len(c) == len(c1[0]) for c in c1)
+    # full probe == brute force: every corpus vector lives in exactly one
+    # cell, so probing all cells must recover the exact top-k
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = sorted(
+        map(tuple, similarity.brute_force_topk(emb, q, k=5).collect())
+    )
+    full = sorted(
+        map(tuple, similarity.ivf_topk(emb, q, c1, k=5, n_probe=8).collect())
+    )
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    cents = similarity.ivf_fit(emb, n_cells=8, iters=2)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, q, cents, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-uniform synthetic vectors scatter true neighbors across cells —
+    # half-probe measured ~0.8 here (real embedding corpora cluster much
+    # harder and probe far fewer cells)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
 def test_multimodal_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         decode_stub(b"payload", strict=True)
