@@ -150,3 +150,52 @@ def fingerprint_xx64(col: ColumnOrName) -> Column:
     """64-bit xxhash fingerprint of canonical text (cheap clustering key).
     Engine-internal (not portable across engines) — used by minhash/simhash."""
     return F.xxhash64(normalize_text(col))
+
+
+def kgram_hashes(col: ColumnOrName, k: int = 8, portable: bool = True) -> Column:
+    """Rolling character k-gram hashes of canonical text (array<bigint>).
+
+    The per-position hash plays the role of a Rabin-Karp rolling hash: one
+    64-bit value per window position over the canonicalized string. Pure
+    higher-order expressions — per-doc, no shuffle. ``portable=True`` hashes
+    each k-gram with a 60-bit md5 prefix so any md5-capable engine (DuckDB,
+    Trino, BigQuery) reproduces the values bit-for-bit for oracles;
+    ``portable=False`` uses xxhash64 (the fast engine-internal path).
+    Docs shorter than k produce an empty array.
+    """
+    t = normalize_text(col)
+    n = F.length(t)
+
+    def gram_hash(i: Column) -> Column:
+        g = t.substr(i, F.lit(k))
+        if portable:
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(g)
+
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_minima(grams: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    the distinct minima of every w-length sliding window over the k-gram
+    hash sequence, sorted. Guarantees: any shared substring of length
+    k + w - 1 between two docs yields at least one shared fingerprint, and
+    fingerprint density is ~2/(w+1) of positions — the standard local
+    plagiarism/near-dup sketch. Fewer grams than w -> the single global min;
+    no grams -> empty. Callers should materialize ``kgram_hashes`` into a
+    real column first (lambda inlining re-hashes per window otherwise)."""
+    m = F.size(grams)
+    return F.sort_array(
+        F.array_distinct(
+            F.when(m == 0, F.array().cast("array<bigint>"))
+            .when(m < w, F.array(F.array_min(grams)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), m - (w - 1)),
+                    lambda j: F.array_min(F.slice(grams, j, w)),
+                )
+            )
+        )
+    )

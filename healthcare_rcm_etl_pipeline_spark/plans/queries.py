@@ -31,6 +31,7 @@ from healthcare_rcm_etl_pipeline_spark.functions.text import (
     LANG_MARKERS,
     avg_token_len,
     fingerprint_md5,
+    kgram_hashes,
     langid,
     normalize_text,
     punct_ratio,
@@ -39,6 +40,7 @@ from healthcare_rcm_etl_pipeline_spark.functions.text import (
     token_count_bpe_ish,
     token_count_ws,
     uniq_token_ratio,
+    winnow_minima,
 )
 from healthcare_rcm_etl_pipeline_spark.operators import dedup, similarity
 from healthcare_rcm_etl_pipeline_spark.operators.keys import dense_sk, dense_sk_scalable
@@ -952,6 +954,49 @@ def doc_fingerprint_q(spark, sf_dir):
         "doc_id",
         fingerprint_md5("text").alias("fingerprint"),
         F.length(normalize_text("text")).alias("canon_len"),
+    )
+
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+_WINNOW_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= {_WINNOW_K}
+                  THEN list_transform(range(1, length(t) - {_WINNOW_K} + 2),
+                       i -> ('0x' || substring(md5(substring(t, i, {_WINNOW_K})), 1, 15))::BIGINT)
+                  ELSE [] END AS hs
+      FROM c
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN []
+                  WHEN len(hs) < {_WINNOW_W} THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                       j -> list_min(hs[j:j + {_WINNOW_W} - 1]))
+             END AS mins
+      FROM g
+    )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w
+"""
+
+
+@query("doc_winnow_fingerprint", _WINNOW_ORACLE)
+def doc_winnow_q(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD'03):
+    distinct sliding-window minima over character-8-gram hashes, the local
+    near-dup/plagiarism sketch — any shared substring of length k+w-1
+    guarantees a shared fingerprint. Pure per-doc expressions (no shuffle
+    before the explode); portable md5-prefix hashes let the oracle recompute
+    FULL semantics in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", kgram_hashes("text", k=_WINNOW_K).alias("__g"))
+        .select("doc_id", F.explode(winnow_minima(F.col("__g"), w=_WINNOW_W)).alias("fp"))
     )
 
 

@@ -94,3 +94,39 @@ def test_vector_cosine(spark):
     assert out == [0.0, 1.0]
     zero = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
     assert zero.select(vector.cosine("a", "b")).collect()[0][0] is None
+
+
+def test_winnow_fingerprints_vs_python_reference(spark):
+    import hashlib
+
+    def ref_winnow(s, k=8, w=4):
+        t = " ".join(s.lower().split())
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        if not hs:
+            return []
+        if len(hs) < w:
+            return sorted({min(hs)})
+        return sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE   quick brown fox jumps over the lazy dog"),  # same canon as 1
+        (3, "tiny"),        # shorter than k -> empty
+        (4, "exactly8!"),   # 9 chars -> 2 grams < w -> single global min
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in df.select(
+            "doc_id", text.kgram_hashes("t").alias("__g")
+        ).select("doc_id", text.winnow_minima(F.col("__g")).alias("fps")).collect()
+    }
+    for doc_id, s in rows:
+        assert got[doc_id] == ref_winnow(s), f"doc {doc_id}"
+    assert got[1] == got[2] and got[3] == [] and len(got[4]) == 1
