@@ -1250,6 +1250,28 @@ def latest_per_key_q(spark, sf_dir):
 
 
 @query(
+    "events_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_stream_join_q(spark, sf_dir):
+    """Batch twin of the stream-stream interval join (view -> purchase
+    attribution within 30 min). The same function body runs under
+    Structured Streaming with watermarks on both sides — bounded state via
+    the user_id equi-key + two-sided time range; stream-vs-batch equality
+    is asserted in tests/test_streaming.py."""
+    from healthcare_rcm_etl_pipeline_spark.streaming.events import view_purchase_join
+
+    return view_purchase_join(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_range_join",
     """
     SELECT a.user_id,

@@ -144,6 +144,133 @@ def run_stream_to_memory(
     )
 
 
+def view_purchase_join(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each 'view' joined to the same user's
+    'purchase' events landing within ``within`` AFTER the view — the
+    impression-attribution shape. The SAME body runs in batch (tests,
+    oracle) and streaming.
+
+    Streaming state stays bounded: the join key is an equi-condition on
+    user_id (state partitioned by user, no broadcast of either stream) and
+    the two-sided time-range condition plus both watermarks lets Spark evict
+    a buffered row once event-time passes view_ts + within + watermark —
+    without the range bound, stream-stream inner join state grows forever.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    v = src.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("__p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value"
+    )
+
+
+def make_upsert_batch_fn(base: str, keys: list[str], order_cols: list[str]):
+    """foreachBatch body for an exactly-once-style keyed upsert into a
+    versioned parquet dataset (sources.sinks.write_versioned).
+
+    Idempotence under replay: foreachBatch re-delivers a micro-batch with the
+    SAME epoch_id after a failure/restart; the last applied epoch is recorded
+    in an ``_EPOCH`` marker (Hadoop FS — works on HDFS/object stores), and
+    epochs <= it are skipped, so a replayed batch cannot double-apply. Epoch
+    ids from a single streaming query are monotonic, which makes the single
+    marker sufficient (the standard Structured Streaming foreachBatch
+    exactly-once recipe).
+
+    Merge semantics: per key, the survivor is the first row under
+    ``order_cols`` DESCENDING (latest wins), with incoming-beats-current as
+    the tie-break. Ordering by recency before origin matters: an
+    out-of-order or stale delivery (order key older than the stored row)
+    must NOT clobber newer state — "incoming always wins" breaks exactly
+    that replay case.
+    """
+    from pyspark.sql import Window
+
+    from healthcare_rcm_etl_pipeline_spark.sources import sinks
+
+    def _last_epoch(spark: SparkSession) -> int:
+        fs, marker = sinks._fs_path(spark, f"{base}/_EPOCH")
+        if not fs.exists(marker):
+            return -1
+        stream = fs.open(marker)
+        try:
+            data = []
+            b = stream.read()
+            while b != -1 and len(data) < 32:
+                data.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        return int(bytes(data).decode().strip() or "-1")
+
+    def _write_epoch(spark: SparkSession, epoch_id: int) -> None:
+        fs, tmp = sinks._fs_path(spark, f"{base}/_EPOCH.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(epoch_id).encode()))
+        finally:
+            out.close()
+        _, cur = sinks._fs_path(spark, f"{base}/_EPOCH")
+        fs.delete(cur, False)
+        fs.rename(tmp, cur)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if epoch_id <= _last_epoch(spark):
+            return  # replayed epoch: already applied
+        incoming = batch_df.withColumn("__new", F.lit(1))
+        current = sinks.read_versioned(spark, base)
+        merged = (
+            incoming
+            if current is None
+            else current.withColumn("__new", F.lit(0)).unionByName(incoming)
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.desc_nulls_last(c) for c in order_cols], F.desc("__new")
+        )
+        resolved = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__new")
+        )
+        sinks.write_versioned(resolved, base)
+        _write_epoch(spark, epoch_id)
+
+    return apply_batch
+
+
+def stream_upsert_versioned(
+    stream_df: DataFrame,
+    base: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+):
+    """Drive a stream into the idempotent versioned upsert via foreachBatch."""
+    return (
+        stream_df.writeStream.foreachBatch(make_upsert_batch_fn(base, keys, order_cols))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_events(
     events: DataFrame, keys: list[str] | None = None, within: str = "10 minutes"
 ) -> DataFrame:

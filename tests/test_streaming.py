@@ -143,3 +143,78 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, event_dir):
         assert got == {r["event_id"] for r in src.select("event_id").collect()}
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir):
+    batch = {
+        tuple(r)
+        for r in ev.view_purchase_join(spark.read.parquet(event_dir)).collect()
+    }
+    schema = spark.read.parquet(event_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    out = _run_stream(spark, ev.view_purchase_join(stream), "t_ssjoin", "append")
+    got = {tuple(r) for r in out.collect()}
+    assert got == batch and len(batch) > 0
+
+
+def test_foreach_batch_upsert_idempotent(spark):
+    import shutil as _sh
+    import tempfile as _tf
+
+    from healthcare_rcm_etl_pipeline_spark.sources import sinks
+
+    base = _tf.mkdtemp(prefix="hrcm_upsert_")
+    try:
+        fn = ev.make_upsert_batch_fn(base, keys=["k"], order_cols=["seq"])
+        b0 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k int, seq int, v string")
+        b1 = spark.createDataFrame([(2, 2, "b2"), (3, 1, "c")], "k int, seq int, v string")
+        fn(b0, 0)
+        fn(b1, 1)
+        state = {r["k"]: (r["seq"], r["v"]) for r in sinks.read_versioned(spark, base).collect()}
+        assert state == {1: (1, "a"), 2: (2, "b2"), 3: (1, "c")}
+        v_before = sinks._current_version(spark, base)
+        fn(b1, 1)  # replayed epoch: must be a no-op
+        fn(b1, 0)  # older epoch replay: also a no-op
+        assert sinks._current_version(spark, base) == v_before
+        # stale incoming (lower seq) must NOT clobber the current row
+        fn(spark.createDataFrame([(2, 1, "stale")], "k int, seq int, v string"), 2)
+        state = {r["k"]: (r["seq"], r["v"]) for r in sinks.read_versioned(spark, base).collect()}
+        assert state[2] == (2, "b2")
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+
+
+def test_stream_upsert_versioned_end_to_end(spark, event_dir):
+    import shutil as _sh
+    import tempfile as _tf
+
+    from healthcare_rcm_etl_pipeline_spark.operators.keys import first_row_per_key
+    from healthcare_rcm_etl_pipeline_spark.sources import sinks
+
+    base = _tf.mkdtemp(prefix="hrcm_upsertstream_")
+    ckpt = _tf.mkdtemp(prefix="hrcm_upsertckpt_")
+    try:
+        src = spark.read.parquet(event_dir).limit(200)
+        d = _tf.mkdtemp(prefix="hrcm_upsertsrc_")
+        src.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(src.schema).parquet(d)
+        q = ev.stream_upsert_versioned(stream, base, ["user_id"], ["ts", "event_id"], ckpt)
+        q.awaitTermination(120)
+        got = {r["user_id"]: r["event_id"] for r in sinks.read_versioned(spark, base).collect()}
+        # expected: latest event per user (ts desc, event_id desc tiebreak)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        exp = {
+            r["user_id"]: r["event_id"]
+            for r in spark.read.parquet(d)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .collect()
+        }
+        assert got == exp and len(exp) > 0
+        _sh.rmtree(d, ignore_errors=True)
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+        _sh.rmtree(ckpt, ignore_errors=True)
