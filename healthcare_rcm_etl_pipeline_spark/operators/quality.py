@@ -35,6 +35,58 @@ def reconcile_counts(written: DataFrame, readback: DataFrame) -> bool:
     return written.count() == readback.count()
 
 
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: per column, row/null/distinct counts and
+    min/max — the standard pre-ingest data-quality sweep.
+
+    ONE aggregate job over the table produces every column's stats
+    simultaneously (Catalyst plans the multi-distinct via a single Expand;
+    at very wide tables or 100 TB swap ``count_distinct`` for
+    ``approx_count_distinct`` — the rest partial-aggregates map-side).
+    The wide one-row result is then unpivoted to one row per column with
+    array+explode (driver never sees data, just the plan).
+
+    min/max are typed: numeric columns report ``min_num``/``max_num`` as
+    DOUBLE; string/date/timestamp columns report ``min_str``/``max_str`` as
+    strings (cross-engine float formatting makes stringified numerics
+    unportable — typed slots keep the profile oracle-checkable).
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(c).alias(f"{c}__nd"))
+        if base in _NUMERIC_TYPES or base == "decimal":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max_num"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min_str"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max_str"))
+    wide = df.agg(*aggs)
+    per_col = []
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        is_num = base in _NUMERIC_TYPES or base == "decimal"
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__min_num") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"{c}__max_num") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"{c}__min_str") if not is_num else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"{c}__max_str") if not is_num else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
 @dataclass
 class QualityReport:
     name: str

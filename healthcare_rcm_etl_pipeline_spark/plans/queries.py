@@ -610,6 +610,47 @@ def dedup_exact_q(spark, sf_dir):
     return dedup.exact_dedup(d, "text", "doc_id")
 
 
+def _profile_col_sql(table: str, col: str, numeric: bool) -> str:
+    if numeric:
+        mm = (
+            f"CAST(MIN({col}) AS DOUBLE) AS min_num, CAST(MAX({col}) AS DOUBLE) AS max_num,"
+            " CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        )
+    else:
+        mm = (
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,"
+            f" CAST(MIN({col}) AS VARCHAR) AS min_str, CAST(MAX({col}) AS VARCHAR) AS max_str"
+        )
+    return f"""
+    SELECT '{col}' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({col}) AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct, {mm}
+    FROM {table}"""
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    _profile_col_sql("orders", c, num)
+    for c, num in [
+        ("o_orderkey", True),
+        ("o_custkey", True),
+        ("o_orderstatus", False),
+        ("o_totalprice", True),
+        ("o_orderdate", False),
+        ("o_orderpriority", False),
+    ]
+)
+
+
+@query("table_profile", _PROFILE_ORACLE)
+def table_profile_q(spark, sf_dir):
+    """One-pass column profile of orders: per-column null/distinct counts
+    and typed min/max — the pre-ingest data-quality sweep
+    (operators.quality.profile_table). One aggregate job for all columns."""
+    from healthcare_rcm_etl_pipeline_spark.operators.quality import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
 _JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
@@ -652,6 +693,39 @@ def dedup_jaccard_q(spark, sf_dir):
     oracle's hot CTE mirrors the cap exactly."""
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, max_df=20)
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jp
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM jp
+    ),
+    walk(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT w.s, e.t FROM walk w JOIN e ON w.t = e.s
+    )
+    SELECT s AS doc, LEAST(s, MIN(t)) AS component FROM walk GROUP BY s
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup pairs -> dedup CLUSTERS via iterative min-label connected
+    components (operators.graph): every doc in a pair labeled with its
+    component's min doc_id, ready for keep-one-per-cluster. Oracle =
+    DuckDB recursive-CTE transitive closure over the SAME exact-Jaccard
+    pair set — full independent recomputation of both the pairs and the
+    component labels."""
+    from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+    )
+    return graph.connected_components(pairs)
 
 
 @query("dedup_minhash_lsh", _JACCARD_ORACLE)

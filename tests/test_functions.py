@@ -130,3 +130,18 @@ def test_winnow_fingerprints_vs_python_reference(spark):
     for doc_id, s in rows:
         assert got[doc_id] == ref_winnow(s), f"doc {doc_id}"
     assert got[1] == got[2] and got[3] == [] and len(got[4]) == 1
+
+
+def test_profile_table_nulls_and_types(spark):
+    from healthcare_rcm_etl_pipeline_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None), (None, "b", 4.5)],
+        "k int, s string, x double",
+    )
+    p = {r["column"]: r for r in profile_table(df).collect()}
+    assert p["k"]["n_rows"] == 4 and p["k"]["n_nulls"] == 1 and p["k"]["n_distinct"] == 2
+    assert p["k"]["min_num"] == 1.0 and p["k"]["max_num"] == 2.0 and p["k"]["min_str"] is None
+    assert p["s"]["n_nulls"] == 1 and p["s"]["n_distinct"] == 2
+    assert p["s"]["min_str"] == "a" and p["s"]["max_str"] == "b" and p["s"]["max_num"] is None
+    assert p["x"]["n_nulls"] == 1 and p["x"]["min_num"] == 1.5 and p["x"]["max_num"] == 4.5
