@@ -71,48 +71,88 @@ def lsh_candidate_pairs(
     dim: int = 64,
     seed: int = 42,
     multiprobe: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs colliding in ANY table's sign-sketch
     bucket (OR-construction; multiprobe additionally matches buckets at
     Hamming distance 1 per table). Linear in the corpus: each vector lands
     in n_tables buckets (× (1+n_planes) probes), pairs are emitted only
     within buckets — never a full cross join. Callers verify candidates
-    with the exact measure; recall is tuned by (n_planes, n_tables)."""
+    with the exact measure; recall is tuned by (n_planes, n_tables).
+
+    One explode carries every (table, bucket, is_base) entry, ONE groupBy
+    per-bucket emits pairs where at least one side is a base entry — the
+    Hamming-1 XOR relation is symmetric (x_base = y_base ^ e_i iff
+    y_base = x_base ^ e_i), so this equals the base ⋈ probe equi-join
+    while computing the sign sketches ONCE instead of once per join side.
+
+    ``max_bucket`` (opt-in) drops over-full buckets before pair emission.
+    Unlike the jaccard ``max_df`` stop-shingle cap, a hot LSH bucket holds
+    REAL neighbors — the principled fix is more planes (finer buckets);
+    the cap is the emergency bound for adversarial/degenerate inputs
+    (e.g. a zero-vector pile-up), so it defaults off.
+    """
     v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 7919 * t)
         v = sign_sketch(v, "__vec", planes, out_col=f"__b{t}")
 
-    base_kv = v.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("bkt"))
-                for t in range(n_tables)
-            ])
-        ).alias("tb"),
-    ).select("__id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
-
-    def _probes(t: int) -> list[F.Column]:
+    def _entries(t: int) -> list[F.Column]:
         base = F.col(f"__b{t}")
-        probes = [base]
+        out = [
+            F.struct(
+                F.lit(t).alias("tbl"), base.alias("bkt"), F.lit(True).alias("is_base")
+            )
+        ]
         if multiprobe:
-            probes += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        return [F.struct(F.lit(t).alias("tbl"), p.alias("bkt")) for p in probes]
+            out += [
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    base.bitwiseXOR(F.lit(1 << i)).alias("bkt"),
+                    F.lit(False).alias("is_base"),
+                )
+                for i in range(n_planes)
+            ]
+        return out
 
-    probe_kv = v.select(
+    entries = v.select(
         "__id",
-        F.explode(F.array(*[s for t in range(n_tables) for s in _probes(t)])).alias("tb"),
-    ).select("__id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
-
-    left = base_kv.select(F.col("__id").alias("id_a"), "tbl", "bkt")
-    right = probe_kv.select(F.col("__id").alias("id_b"), "tbl", "bkt")
-    return (
-        left.join(right, ["tbl", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
+        F.explode(F.array(*[s for t in range(n_tables) for s in _entries(t)])).alias("tb"),
+    ).select(
+        "__id",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bkt").alias("bkt"),
+        F.col("tb.is_base").alias("is_base"),
     )
+    grouped = (
+        entries.groupBy("tbl", "bkt")
+        .agg(F.sort_array(F.collect_list(F.struct("__id", "is_base"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ds") <= max_bucket)
+    # i<j pairs within each bucket where at least one side is a base entry
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(
+                                x["__id"].alias("id_a"),
+                                y["__id"].alias("id_b"),
+                                (x["is_base"] | y["is_base"]).alias("ok"),
+                            ),
+                        ),
+                        lambda p: p["ok"],
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").filter(F.col("id_a") < F.col("id_b")).dropDuplicates()
 
 
 def _lit_vec(vec: list[float]) -> F.Column:

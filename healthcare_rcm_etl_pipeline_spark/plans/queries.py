@@ -1463,6 +1463,28 @@ def sketch_percentiles_q(spark, sf_dir):
 
 
 @query(
+    "sketch_heavy_hitters",
+    """
+    WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS exact_n
+               FROM orders GROUP BY 1),
+    r AS (SELECT key, exact_n,
+                 row_number() OVER (ORDER BY exact_n DESC, key) AS rn
+          FROM c)
+    SELECT key, exact_n, TRUE AS cms_within_bound FROM r WHERE rn <= 10
+    """,
+)
+def sketch_heavy_hitters_q(spark, sf_dir):
+    """The 100 TB frequency path: Count-Min sketch built distributed
+    (mergeable partials, KB-sized exchange), point-queried driver-side for
+    the exact top-10 customers. cms_within_bound asserts the CMS guarantee
+    (exact <= est <= exact + ceil(eps*N)) in-engine; seeded hashes +
+    commutative merges keep it deterministic across partitionings."""
+    from healthcare_rcm_etl_pipeline_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey", k=10)
+
+
+@query(
     "sketch_distinct_tolerance",
     """
     SELECT c_mktsegment,

@@ -145,3 +145,17 @@ def test_profile_table_nulls_and_types(spark):
     assert p["s"]["n_nulls"] == 1 and p["s"]["n_distinct"] == 2
     assert p["s"]["min_str"] == "a" and p["s"]["max_str"] == "b" and p["s"]["max_num"] is None
     assert p["x"]["n_nulls"] == 1 and p["x"]["min_num"] == 1.5 and p["x"]["max_num"] == 4.5
+
+
+def test_cms_heavy_hitters_skewed(spark):
+    from healthcare_rcm_etl_pipeline_spark.operators.sketches import cms_heavy_hitters
+    from pyspark.sql import functions as F
+
+    # zipf-ish: key 0 dominates, long tail of singletons
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    out = cms_heavy_hitters(df, "k", k=5, eps=0.01)
+    rows = out.collect()
+    assert rows[0]["key"] == "0" and rows[0]["exact_n"] == 1000
+    assert all(r["cms_within_bound"] for r in rows)

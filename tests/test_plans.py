@@ -50,3 +50,38 @@ def test_aggregates_are_partial_final(spark, sf_dir):
     # map-side combine: grouped aggregation appears as partial+final pairs
     plan = _plan(spark, "q10_part_profitability", sf_dir)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
+    """At 100 TB neither join side broadcasts; Spark's runtime bloom-filter
+    injection then builds a bloom filter from the selective (filtered) side
+    and applies it to the big side's scan, pruning shuffle input rows. This
+    pins the knob working: with broadcast disabled (emulating
+    too-big-to-broadcast sides) the optimizer injects BloomFilter into the
+    lineitem side of a selective orders join."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # sf-sized test files are below the default 10GB application-side
+        # threshold; zero it so the plan shape is observable at test scale
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
