@@ -59,6 +59,42 @@ def deterministic_split(
     return df.withColumn(out_col, expr.otherwise(F.lit("rest")))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "strata-v1",
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep fractions via the
+    same md5-bucket device as deterministic_split — a row is kept iff
+    ``md5(salt || key) mod 10000 < fraction * 10000`` for its stratum's
+    fraction. Corpus rebalancing (e.g. downsample over-represented
+    languages/domains) with properties ``sampleBy``'s RNG lacks: the same
+    key survives on every run, engine, and partitioning, and the sample is
+    reproducible in plain SQL for oracles. Strata absent from ``fractions``
+    are kept whole (fraction 1.0). Pure narrow ops — no shuffle.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    thresh = None
+    for name, frac in fractions.items():
+        cut = F.lit(int(round(frac * 10000)))
+        thresh = (
+            F.when(F.col(strata_col) == name, cut)
+            if thresh is None
+            else thresh.when(F.col(strata_col) == name, cut)
+        )
+    thresh = F.lit(10000) if thresh is None else thresh.otherwise(F.lit(10000))
+    return df.filter(bucket < thresh)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicates by canonical md5: one survivor (min id) per group.
 

@@ -840,6 +840,29 @@ def embedding_near_dup_lsh_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "stratified_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('strata-v1' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 8000 ELSE 10000 END)
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic stratified sampling (corpus rebalancing): downsample
+    over-represented strata (en to 50%, zh to 80%, rest kept whole) via
+    per-stratum md5-bucket thresholds — same key survives on every run,
+    engine, and partitioning, unlike sampleBy's RNG. Narrow ops only."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "zh": 0.8}
+    ).select("doc_id", "lang")
+
+
+@query(
     "deterministic_split",
     """
     WITH b AS (

@@ -212,3 +212,20 @@ def test_multimodal_features_deterministic(spark):
     assert r1 == r2
     assert r1["n_bytes"] == 11
     assert 16 <= r1["width"] <= 255 and 16 <= r1["height"] <= 255
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = dedup.stratified_sample(docs, "lang", "doc_id", {"en": 0.5})
+    s2 = dedup.stratified_sample(docs, "lang", "doc_id", {"en": 0.5})
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # same keys survive every run
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # unlisted strata kept whole; en roughly halved (md5 buckets, not exact)
+    for lang in before:
+        if lang == "en":
+            assert 0.3 * before["en"] <= after["en"] <= 0.7 * before["en"]
+        else:
+            assert after[lang] == before[lang]
