@@ -47,6 +47,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan. ALWAYS pass a schema in production: schema inference
+    is a full extra pass over the data (fatal at 100 TB) and infers
+    inconsistent types across files; with an explicit schema malformed rows
+    coerce to null fields (PERMISSIVE), matching the CSV reader's policy."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (PushedFilters + ReadSchema reach the scan, asserted in tests)."""
+    return spark.read.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -104,6 +104,39 @@ def _current_version(spark: SparkSession, base: str) -> int:
     return int(bytes(data).decode().strip() or "0")
 
 
+def compact_versioned(
+    spark: SparkSession, base: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction for a versioned dataset: rewrite the current
+    version into ~``total_bytes / target_file_bytes`` evenly-sized files as
+    the NEXT version (readers flip atomically via the _CURRENT marker, so
+    compaction never blocks or corrupts concurrent reads).
+
+    Incremental/streaming sinks accrete a file per micro-batch per
+    partition; at 100 TB the resulting millions of tiny files dominate scan
+    cost (footer reads + task scheduling) long before data volume does —
+    periodic compaction is maintenance, not optimization. Sizes come from a
+    Hadoop FS listing (works on HDFS/object stores); the rewrite is a plain
+    round-robin ``repartition(n)`` so output files are even with no skew
+    from any data column.
+    """
+    import math
+
+    v = _current_version(spark, base)
+    if v == 0:
+        raise ValueError(f"no promoted version under {base}")
+    fs, p = _fs_path(spark, os.path.join(base, f"v={v}"))
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(os.path.join(base, f"v={v}"))
+    return write_versioned(df.repartition(n), base)
+
+
 def read_versioned(spark: SparkSession, base: str) -> DataFrame | None:
     """Read the promoted version of a versioned dataset, None if absent."""
     v = _current_version(spark, base)

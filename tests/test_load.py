@@ -34,3 +34,42 @@ def test_loaded_schemas_match_declared(warehouse):
         declared = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         actual = [(f.name, f.dataType.simpleString()) for f in got.schema.fields]
         assert actual == declared, f"{name}: {actual} != {declared}"
+
+
+def test_read_jsonl_schema_and_permissive(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "score": 0.5}\n'
+        '{"doc_id": 2, "text": "world", "score": "not a number"}\n'
+        '{"doc_id": 3, "text": null, "score": 1.25}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in read_jsonl(spark, str(p), schema).collect()}
+    assert rows[1]["score"] == 0.5 and rows[3]["text"] is None
+    # malformed field coerces, row survives (PERMISSIVE)
+    assert 2 in rows
+
+
+def test_read_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    d = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(d)
+    back = read_orc(spark, d)
+    assert back.count() == src.count()
+    q = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]

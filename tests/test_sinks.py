@@ -58,3 +58,35 @@ def test_coerce_dates(spark):
     out = sinks.coerce_dates(df, ["d"])
     vals = [r[0] for r in out.collect()]
     assert str(vals[0]) == "2024-01-05" and vals[1] is None
+
+
+def test_compact_versioned_reduces_files_preserves_rows(spark, tmp_path):
+    import os
+
+    from healthcare_rcm_etl_pipeline_spark.sources import sinks
+
+    base = str(tmp_path / "versioned")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    # simulate a micro-batch-accreted dataset: 64 tiny files
+    sinks.write_versioned(df.repartition(64), base)
+    v_dir = os.path.join(base, "v=1")
+    n_before = len([f for f in os.listdir(v_dir) if f.endswith(".parquet")])
+    assert n_before == 64
+
+    new_v = sinks.compact_versioned(spark, base, target_file_bytes=10 * 1024 * 1024)
+    assert new_v == 2
+    v_dir2 = os.path.join(base, f"v={new_v}")
+    n_after = len([f for f in os.listdir(v_dir2) if f.endswith(".parquet")])
+    assert n_after < n_before
+    out = sinks.read_versioned(spark, base)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_compact_versioned_requires_promoted_version(spark, tmp_path):
+    import pytest
+
+    from healthcare_rcm_etl_pipeline_spark.sources import sinks
+
+    with pytest.raises(ValueError, match="no promoted version"):
+        sinks.compact_versioned(spark, str(tmp_path / "nothing"))
