@@ -90,3 +90,42 @@ def test_compact_versioned_requires_promoted_version(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no promoted version"):
         sinks.compact_versioned(spark, str(tmp_path / "nothing"))
+
+
+def test_zorder_write_narrows_every_clustered_column(spark, tmp_path):
+    import duckdb
+
+    from healthcare_rcm_etl_pipeline_spark.sources import sinks
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "linear")
+    sinks.write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], n_files=64)
+    (
+        orders.repartitionByRange(64, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlap_fraction(d, lo, hi):
+        rows = duckdb.sql(
+            f"""SELECT filename, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+                FROM read_parquet('{d}/*.parquet', filename=true) GROUP BY 1"""
+        ).fetchall()
+        hit = sum(1 for _, mn, mx in rows if mx >= lo and mn <= hi)
+        return hit / len(rows)
+
+    stats = orders.agg(
+        F.expr("percentile(o_totalprice, 0.495)"), F.expr("percentile(o_totalprice, 0.505)")
+    ).collect()[0]
+    lo, hi = float(stats[0]), float(stats[1])  # ~1%-wide band mid-range
+    z_frac = overlap_fraction(zdir, lo, hi)
+    l_frac = overlap_fraction(ldir, lo, hi)
+    # linear sort on o_custkey leaves o_totalprice full-range in ~every file;
+    # z-order must bound BOTH columns per file
+    assert z_frac <= l_frac / 2, f"zorder {z_frac:.2f} vs linear {l_frac:.2f}"
+    # and the data itself round-trips
+    back = spark.read.parquet(zdir)
+    assert back.count() == orders.count()
+    assert back.agg(F.sum("o_orderkey")).collect()[0][0] == orders.agg(F.sum("o_orderkey")).collect()[0][0]
