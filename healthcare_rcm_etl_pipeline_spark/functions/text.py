@@ -152,6 +152,28 @@ def fingerprint_xx64(col: ColumnOrName) -> Column:
     return F.xxhash64(normalize_text(col))
 
 
+PII_PATTERNS: dict[str, str] = {
+    # pragmatic patterns, portable between Java regex and RE2 (DuckDB):
+    # no lookaround, no \p classes
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9][0-9()\\-. ]{7,}[0-9]",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(col: ColumnOrName, kinds: list[str] | None = None) -> Column:
+    """Replace email/phone/SSN-shaped substrings with ``[<KIND>]`` tokens —
+    the standard pre-training scrub pass. Chained ``regexp_replace`` column
+    expressions (codegen'd, one pass per pattern over the string, no
+    Python); patterns avoid lookaround so external engines reproduce the
+    result byte-for-byte for oracles. Order matters: SSN before phone, or
+    the phone pattern eats the SSN shape."""
+    out = _c(col)
+    for kind in kinds or ["email", "ssn", "phone"]:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
 def kgram_hashes(col: ColumnOrName, k: int = 8, portable: bool = True) -> Column:
     """Rolling character k-gram hashes of canonical text (array<bigint>).
 

@@ -36,7 +36,9 @@ from healthcare_rcm_etl_pipeline_spark.functions.text import (
     normalize_text,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_ratio,
+    tokens,
     token_count_bpe_ish,
     token_count_ws,
     uniq_token_ratio,
@@ -1080,6 +1082,138 @@ _WINNOW_ORACLE = f"""
     )
     SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w
 """
+
+
+@query(
+    "vocab_topk",
+    f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1),
+    r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c)
+    SELECT token, n FROM r WHERE rn <= 100
+    """,
+)
+def vocab_topk_q(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by frequency (total order via
+    count desc, token asc) — the first pass of any tokenizer/vocab build.
+    Explode + map-side-combined count + TakeOrdered; never a global sort."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    )
+
+
+@query(
+    "redact_pii",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+             '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[PHONE]', 'g') AS redacted
+    FROM documents
+    """,
+)
+def redact_pii_q(spark, sf_dir):
+    """PII scrub pass (email/SSN/phone shapes -> typed tokens): chained
+    codegen'd regexp_replace, patterns portable to RE2 so the oracle
+    reproduces the result byte-for-byte. Redaction semantics unit-tested on
+    synthetic PII in tests/test_functions.py."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", redact_pii("text").alias("redacted"))
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_q(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: term frequency from one explode +
+    count, document frequency from a second aggregate over the same
+    lineage, idf joined back (df table is vocabulary-sized — AQE
+    broadcasts it), per-doc window top-3. Deterministic tie-break
+    (score desc, token asc); round(6) absorbs cross-engine ln() ulp."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jp
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM jp
+    ),
+    walk(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT w.s, e.t FROM walk w JOIN e ON w.t = e.s
+    ),
+    comp AS (SELECT s AS doc, LEAST(s, MIN(t)) AS component FROM walk GROUP BY s)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc FROM comp WHERE doc <> component)
+"""
+
+
+@query("dedup_keep_survivors", _SURVIVORS_ORACLE)
+def dedup_survivors_q(spark, sf_dir):
+    """End-to-end near-dedup: pairs -> connected components -> keep ONE doc
+    per cluster (the min-id survivor) plus all unpaired docs — the actual
+    corpus a training run would consume. Losers (cluster members that are
+    not their component's label) are anti-joined out."""
+    from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+    )
+    clusters = graph.connected_components(pairs)
+    losers = clusters.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return d.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
 @query("doc_winnow_fingerprint", _WINNOW_ORACLE)

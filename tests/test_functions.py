@@ -159,3 +159,16 @@ def test_cms_heavy_hitters_skewed(spark):
     rows = out.collect()
     assert rows[0]["key"] == "0" and rows[0]["exact_n"] == 1000
     assert all(r["cms_within_bound"] for r in rows)
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "ssn 123-45-6789 inline"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {r["doc_id"]: r["red"] for r in df.select("doc_id", text.redact_pii("t").alias("red")).collect()}
+    assert got[1] == "contact [EMAIL] or call [PHONE] now"
+    assert got[2] == "ssn [SSN] inline"
+    assert got[3] == "no pii here at all"
