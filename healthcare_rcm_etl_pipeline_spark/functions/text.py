@@ -50,8 +50,10 @@ def token_count_bpe_ish(col: ColumnOrName) -> Column:
     return F.regexp_count(_c(col), F.lit(BPE_ISH_PATTERN))
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams from an ALREADY-MATERIALIZED token array column.
+def ngram_array(toks: Column, n: int) -> Column:
+    """Positional (NON-distinct, document-order) word n-grams from an
+    ALREADY-MATERIALIZED token array column — one entry per window position,
+    as needed by repetition statistics where multiplicity is the signal.
 
     Callers must evaluate ``tokens()`` into a real column first (one
     projection step): an expression lambda inlines its inputs, so passing
@@ -68,7 +70,13 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
         combined = F.zip_with(
             combined, F.slice(toks, i + 1, length), lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.array_distinct(combined)
+    return combined
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array column
+    (see ``ngram_array`` for the materialization requirement)."""
+    return F.array_distinct(ngram_array(toks, n))
 
 
 def word_shingles(col: ColumnOrName, n: int = 3) -> Column:

@@ -1882,3 +1882,271 @@ def events_dedup_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     doubled = e.unionAll(e)
     return first_row_per_key(doubled, ["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: corpus preparation (chunking, packing, shuffling,
+# contamination, repetition quality) — operators/corpus.py
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+@query(
+    "chunk_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), {_STRIDE})) AS st
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, (st - 1) // {_STRIDE} AS chunk_id,
+             toks[st:st + {_CHUNK} - 1] AS ctoks
+      FROM s
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(ctoks, ' ') AS chunk_text,
+           CAST(len(ctoks) AS BIGINT) AS n_tokens
+    FROM c
+    WHERE chunk_id = 0 OR len(ctoks) > {_CHUNK - _STRIDE}
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Context-window chunking: overlapping 64-token windows, stride 48,
+    redundant tails dropped. Pure per-doc array exprs + one explode — no
+    shuffle; embarrassingly parallel at 100 TB."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.chunk_documents(d, "text", "doc_id", chunk_tokens=_CHUNK, stride=_STRIDE)
+
+
+@query(
+    "pack_token_shards",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // 512 AS shard_id,
+           row_number() OVER (PARTITION BY source, (cum - n_tokens) // 512
+                              ORDER BY doc_id) AS shard_pos
+    FROM c
+    """,
+)
+def pack_token_shards_q(spark, sf_dir):
+    """Token-budget shard packing: running token count per source fills
+    512-token shards (prefix-sum assignment — one window per natural
+    partition, no sequential loop)."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pack_token_shards(d, "text", "doc_id", budget=512, partition_col="source")
+
+
+@query(
+    "corpus_shuffle_shards",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+      FROM documents
+    )
+    SELECT doc_id, CAST(key % 16 AS INTEGER) AS shard_id,
+           row_number() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS shard_pos
+    FROM k
+    """,
+)
+def shuffle_shards_q(spark, sf_dir):
+    """Deterministic global corpus shuffle into 16 training shards: a
+    salted-md5 pseudo-random permutation (reproducible across runs/retries/
+    engines — no rand()), shard = key mod 16, per-shard rank. One exchange
+    on shard_id + in-shard sort, exactly what the shard write needs."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.shuffle_shards(d, "doc_id", n_shards=16, salt="v1")
+
+
+_CONTAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                          i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM t
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+    ),
+    corpus AS (SELECT * FROM sh WHERE source <> 'src0'),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus) c
+      JOIN bench b ON c.shingle = b.shingle
+      GROUP BY 1
+    )
+    SELECT c.doc_id, CAST(len(c.shingles) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) / CAST(nullif(len(c.shingles), 0) AS DOUBLE) AS overlap_ratio,
+           COALESCE(h.n_hits, 0) >= 2 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("contamination_ngram_overlap", _CONTAM_ORACLE)
+def contamination_q(spark, sf_dir):
+    """Benchmark-contamination detection: treating source='src0' docs as the
+    benchmark set, count each remaining doc's distinct word 3-grams that
+    appear anywhere in the benchmark (GPT-3-style n-gram decontamination).
+    Benchmark shingle set is DISTINCT'd and broadcast; the corpus is never
+    shuffled on text."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.contamination_stats(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=3,
+        min_overlap=2,
+    )
+
+
+_REPETITION_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                           i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM t
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    f2 AS (SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_ngram_frac FROM c2 GROUP BY 1),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM t
+    ),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    f3 AS (
+      SELECT doc_id,
+             COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / CAST(SUM(c) AS DOUBLE) AS dup_ngram_frac
+      FROM c3 GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(f2.top_ngram_frac, 0.0) AS top_ngram_frac,
+           COALESCE(f3.dup_ngram_frac, 0.0) AS dup_ngram_frac,
+           COALESCE(f2.top_ngram_frac, 0.0) > 0.20
+             OR COALESCE(f3.dup_ngram_frac, 0.0) > 0.30 AS flagged
+    FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+"""
+
+
+@query("repetition_quality", _REPETITION_ORACLE)
+def repetition_q(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction of
+    2-gram positions held by the top 2-gram, fraction of 3-gram positions in
+    duplicated 3-grams; flag boilerplate/degenerate docs. Positional n-grams
+    explode to (doc_id, gram) with map-side-combined counts."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.repetition_stats(d, "text", "doc_id", top_n=2, dup_n=3)
+
+
+@query(
+    "q20_order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    ),
+    j AS (
+      SELECT c.c_mktsegment, g.gap_days
+      FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+      WHERE g.gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_gaps,
+           AVG(CAST(gap_days AS DOUBLE)) AS avg_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM j GROUP BY c_mktsegment
+    """,
+)
+def q20_order_gaps(spark, sf_dir):
+    """Inter-order gap analysis (repeat-visit cadence — the healthcare
+    readmission-interval pattern): lag() over each customer's order history
+    gives days-since-previous-order; aggregated per market segment. The
+    window and the groupBy both key on customer -> one shuffle feeds both;
+    the segment dim attaches via broadcast."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        g.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               g.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.avg(F.col("gap_days").cast("double")).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+
+
+@query(
+    "q21_customer_deciles",
+    f"""
+    WITH s AS (
+      SELECT o_custkey, {_dsum('o_totalprice')} AS spend, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT *, ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM s
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(SUM(spend) AS DOUBLE) AS total_spend,
+           CAST(SUM(spend) / COUNT(*) AS DOUBLE) AS avg_spend,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM d GROUP BY decile
+    """,
+)
+def q21_customer_deciles(spark, sf_dir):
+    """Customer spend deciles (payer-mix stratification): per-customer spend
+    -> ntile(10) over a TOTAL order (spend desc, custkey tie-break — ntile
+    without the tie-break is nondeterministic) -> per-decile rollup. The
+    ntile window is the one global-sort stage; at 100 TB you'd swap it for
+    approx percentile boundaries + a range join (the sketch_percentiles
+    query shows that path)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("spend"), F.count("*").alias("n_orders")
+    )
+    d = s.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("spend"), "o_custkey"))
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend").cast("double").alias("total_spend"),
+        (F.sum("spend") / F.count("*")).cast("double").alias("avg_spend"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )

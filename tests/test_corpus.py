@@ -1,0 +1,150 @@
+"""Unit/edge-case tests for operators/corpus.py (chunking, packing,
+deterministic shuffle, contamination, repetition quality). The full-corpus
+driver parity lives in test_queries_oracle.py; these pin the semantics on
+hand-built edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+
+def _docs(spark, texts, source="s"):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=source) for i, t in enumerate(texts)]
+    )
+
+
+class TestChunking:
+    def test_short_doc_single_chunk(self, spark):
+        d = _docs(spark, ["alpha beta gamma"])
+        out = corpus.chunk_documents(d, chunk_tokens=8, stride=4).collect()
+        assert len(out) == 1
+        assert out[0].chunk_id == 0
+        assert out[0].chunk_text == "alpha beta gamma"
+        assert out[0].n_tokens == 3
+
+    def test_empty_doc_one_empty_chunk(self, spark):
+        d = _docs(spark, ["   "])
+        out = corpus.chunk_documents(d, chunk_tokens=8, stride=4).collect()
+        assert len(out) == 1 and out[0].n_tokens == 0
+
+    def test_every_token_covered_with_overlap(self, spark):
+        toks = [f"t{i}" for i in range(23)]
+        d = _docs(spark, [" ".join(toks)])
+        rows = corpus.chunk_documents(d, chunk_tokens=8, stride=5).collect()
+        covered = set()
+        for r in rows:
+            covered.update(r.chunk_text.split(" "))
+            assert r.n_tokens <= 8
+        assert covered == set(toks)
+        # consecutive chunks overlap by chunk - stride = 3 tokens
+        by_id = {r.chunk_id: r.chunk_text.split(" ") for r in rows}
+        assert by_id[0][-3:] == by_id[1][:3]
+
+    def test_redundant_tail_dropped(self, spark):
+        # 10 tokens, chunk 8, stride 4 -> starts 1,5,9; window@9 has 2 tokens
+        # <= overlap(4), fully inside window@5 -> dropped
+        d = _docs(spark, [" ".join(f"t{i}" for i in range(10))])
+        rows = corpus.chunk_documents(d, chunk_tokens=8, stride=4).collect()
+        assert sorted(r.chunk_id for r in rows) == [0, 1]
+
+    def test_bad_params_raise(self, spark):
+        d = _docs(spark, ["x"])
+        with pytest.raises(ValueError):
+            corpus.chunk_documents(d, chunk_tokens=4, stride=8)
+
+
+class TestPacking:
+    def test_prefix_sum_assignment(self, spark):
+        # 4 docs x 3 tokens, budget 5: cum=3,6,9,12 -> starts 0,3,6,9 ->
+        # shards 0,0,1,1
+        d = _docs(spark, ["a b c"] * 4)
+        rows = {r.doc_id: r for r in corpus.pack_token_shards(d, budget=5).collect()}
+        assert [rows[i].shard_id for i in range(4)] == [0, 0, 1, 1]
+        assert [rows[i].shard_pos for i in range(4)] == [1, 2, 1, 2]
+
+    def test_partition_isolation(self, spark):
+        a = _docs(spark, ["a b c"] * 2, source="sa")
+        b = _docs(spark, ["x y z"] * 2, source="sb")
+        rows = corpus.pack_token_shards(a.unionByName(b), budget=100).collect()
+        # each source starts its own shard 0
+        assert sorted((r.source, r.shard_id) for r in rows) == [
+            ("sa", 0), ("sa", 0), ("sb", 0), ("sb", 0)
+        ]
+
+    def test_oversize_doc_own_shard_boundary(self, spark):
+        # doc bigger than budget still lands where it starts; next doc moves on
+        d = _docs(spark, [" ".join(["w"] * 10), "a b"])
+        rows = {r.doc_id: r.shard_id for r in corpus.pack_token_shards(d, budget=4).collect()}
+        assert rows[0] == 0 and rows[1] == 2  # starts at cum 10 -> 10//4
+
+
+class TestShuffleShards:
+    def test_partition_properties(self, spark):
+        d = _docs(spark, ["x"] * 100)
+        rows = corpus.shuffle_shards(d, n_shards=8, salt="v1").collect()
+        assert len(rows) == 100
+        assert {r.shard_id for r in rows} <= set(range(8))
+        # positions are 1..k contiguous within each shard
+        from collections import defaultdict
+
+        by_shard = defaultdict(list)
+        for r in rows:
+            by_shard[r.shard_id].append(r.shard_pos)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        d = _docs(spark, ["x"] * 50)
+        a = {(r.doc_id, r.shard_id, r.shard_pos) for r in corpus.shuffle_shards(d, salt="v1").collect()}
+        b = {(r.doc_id, r.shard_id, r.shard_pos) for r in corpus.shuffle_shards(d, salt="v1").collect()}
+        c = {(r.doc_id, r.shard_id, r.shard_pos) for r in corpus.shuffle_shards(d, salt="v2").collect()}
+        assert a == b
+        assert a != c  # a different salt is a different permutation
+
+    def test_not_identity_order(self, spark):
+        # the permutation must not preserve doc_id order within a shard
+        d = _docs(spark, ["x"] * 200)
+        rows = corpus.shuffle_shards(d, n_shards=1, salt="v1").collect()
+        order = [r.doc_id for r in sorted(rows, key=lambda r: r.shard_pos)]
+        assert order != sorted(order)
+
+
+class TestContamination:
+    def test_exact_copy_fully_contaminated(self, spark):
+        bench = _docs(spark, ["the quick brown fox jumps"])
+        cor = _docs(spark, ["the quick brown fox jumps", "zeta eta theta iota kappa"])
+        rows = {r.doc_id: r for r in corpus.contamination_stats(cor, bench, n=3).collect()}
+        assert rows[0].contaminated and rows[0].overlap_ratio == 1.0
+        assert not rows[1].contaminated and rows[1].n_hits == 0
+
+    def test_partial_overlap_counts_distinct_grams(self, spark):
+        bench = _docs(spark, ["a b c d"])  # 3-grams: "a b c", "b c d"
+        cor = _docs(spark, ["a b c x y z"])  # shares only "a b c"
+        r = corpus.contamination_stats(cor, bench, n=3, min_overlap=2).collect()[0]
+        assert r.n_hits == 1 and not r.contaminated
+
+    def test_too_short_doc_zero_shingles(self, spark):
+        bench = _docs(spark, ["a b c d"])
+        cor = _docs(spark, ["a b"])
+        r = corpus.contamination_stats(cor, bench, n=3).collect()[0]
+        assert r.n_shingles == 0 and r.overlap_ratio is None and not r.contaminated
+
+
+class TestRepetition:
+    def test_degenerate_doc_flagged(self, spark):
+        r = corpus.repetition_stats(_docs(spark, ["spam " * 50])).collect()[0]
+        assert r.top_ngram_frac == 1.0 and r.dup_ngram_frac == 1.0 and r.flagged
+
+    def test_diverse_doc_not_flagged(self, spark):
+        text = " ".join(f"w{i}" for i in range(40))
+        r = corpus.repetition_stats(_docs(spark, [text])).collect()[0]
+        assert r.top_ngram_frac == pytest.approx(1 / 39)
+        assert r.dup_ngram_frac == 0.0 and not r.flagged
+
+    def test_short_doc_zero_fracs(self, spark):
+        r = corpus.repetition_stats(_docs(spark, ["one"])).collect()[0]
+        assert r.top_ngram_frac == 0.0 and r.dup_ngram_frac == 0.0 and not r.flagged
