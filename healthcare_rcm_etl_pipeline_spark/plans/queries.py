@@ -2150,3 +2150,219 @@ def q21_customer_deciles(spark, sf_dir):
         (F.sum("spend") / F.count("*")).cast("double").alias("avg_spend"),
         F.sum("n_orders").cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(greatest(least(
+               coalesce(floor(x / nullif(scale, 0.0) + 0.5), 0), 127), -127) AS INTEGER)) AS q8
+      FROM s
+    )
+    SELECT vec_id, round(scale, 9) AS scale, q8,
+           CAST(len(list_filter(q8, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+           round(list_sum(list_transform(range(1, len(e) + 1),
+                          i -> (e[i] - q8[i] * scale) ** 2)) / len(e), 9) AS mse
+    FROM q
+    """,
+)
+def embedding_quantize_q(spark, sf_dir):
+    """Symmetric int8 embedding quantization (per-vector absmax scale) +
+    reconstruction-error audit — the standard 4×-compression step before an
+    embedding store ships to an ANN index. Pure transform/zip_with column
+    exprs, shuffle-free; the oracle recomputes the full quantized payload,
+    saturation count, and MSE."""
+    from healthcare_rcm_etl_pipeline_spark.functions import vector as V
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", "embedding", V.quantize_scale_int8("embedding").alias("__s"))
+    d = d.withColumn("q8", V.quantize_int8("embedding", F.col("__s")))
+    return d.select(
+        "vec_id",
+        F.round("__s", 9).alias("scale"),
+        "q8",
+        F.size(F.filter("q8", lambda x: F.abs(x) == 127)).cast("bigint").alias("n_saturated"),
+        F.round(V.dequant_mse("embedding", F.col("q8"), F.col("__s")), 9).alias("mse"),
+    )
+
+
+_CENTROID_ORACLE = """
+    WITH p AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM p GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.centroid, b.centroid)
+                 / (sqrt(list_dot_product(a.centroid, a.centroid))
+                    * sqrt(list_dot_product(b.centroid, b.centroid))), 6) AS cos_centroids
+    FROM cent a JOIN cent b ON a.label < b.label
+"""
+
+
+@query("label_centroids", _CENTROID_ORACLE)
+def label_centroids_q(spark, sf_dir):
+    """Per-label embedding centroids (exact DECIMAL component sums — the
+    order-insensitive way to average floats across a shuffle) + pairwise
+    centroid cosines, the cluster-separation audit for labeled embedding
+    corpora. posexplode keys the one shuffle on (label, pos) — 640 groups
+    regardless of corpus size; the 10×10 centroid self-join is trivially
+    broadcast."""
+    from pyspark.sql.types import DoubleType
+
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).withColumnRenamed("pos", "pos").withColumnRenamed("col", "x")
+    comp = pos.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    from healthcare_rcm_etl_pipeline_spark.functions import vector as V
+
+    a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("__ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("__cb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(V.cosine("__ca", "__cb"), 6).alias("cos_centroids"),
+        )
+    )
+
+
+_FUNNEL_ORACLE = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    flags AS (
+      SELECT doc_id,
+             len(toks) >= 10 AS f_len,
+             round((least(len(toks) / 64.0, 1.0)
+                    + (1.0 - least(coalesce((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 0.0) * 4, 1.0))
+                    + least(coalesce(len(list_filter(toks, x -> list_contains({_EN}, x))) / CAST(len(toks) AS DOUBLE), 0.0) * 5, 1.0)
+                    + coalesce(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 0.0)) / 4, 6) >= 0.5 AS f_quality,
+             coalesce(len(list_distinct(toks)) / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0) >= 0.3 AS f_uniq
+      FROM t
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN f_len AND f_quality THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN f_len AND f_quality AND f_uniq THEN 1 ELSE 0 END) AS n3
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'min_length' AS filter, CAST(n0 AS BIGINT) AS n_in,
+             CAST(n1 AS BIGINT) AS n_pass, CAST(n0 - n1 AS BIGINT) AS n_drop FROM agg
+      UNION ALL
+      SELECT 2, 'quality_score', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 3, 'uniq_ratio', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT) FROM agg
+    )
+"""
+
+
+@query("filter_funnel", _FUNNEL_ORACLE)
+def filter_funnel_q(spark, sf_dir):
+    """Quality-filter funnel audit: sequential per-document filters
+    (min length -> quality score -> uniqueness ratio) reported as per-stage
+    in/pass/drop counts — the provenance report every corpus-cleaning run
+    ships with. ONE scan computes all stage flags; counts come from
+    conditional sums (no per-stage re-scan), then a 3-row unpivot."""
+    d = _t(spark, sf_dir, "documents")
+    flags = d.select(
+        (token_count_ws("text") >= 10).alias("f_len"),
+        (quality_score("text") >= 0.5).alias("f_quality"),
+        (F.coalesce(uniq_token_ratio("text"), F.lit(0.0)) >= 0.3).alias("f_uniq"),
+    )
+    one = F.lit(1)
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("f_len"), one).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("f_len") & F.col("f_quality"), one).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("f_len") & F.col("f_quality") & F.col("f_uniq"), one).otherwise(0)
+        ).alias("n3"),
+    )
+    stages = [
+        (1, "min_length", "n0", "n1"),
+        (2, "quality_score", "n1", "n2"),
+        (3, "uniq_ratio", "n2", "n3"),
+    ]
+    rows = [
+        agg.select(
+            F.lit(i).alias("stage"),
+            F.lit(nm).alias("filter"),
+            F.col(i_in).cast("bigint").alias("n_in"),
+            F.col(i_out).cast("bigint").alias("n_pass"),
+            (F.col(i_in) - F.col(i_out)).cast("bigint").alias("n_drop"),
+        )
+        for i, nm, i_in, i_out in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich(spark, sf_dir):
+    """TPC-H Q22 analog (insured-but-lapsed patients): customers with
+    above-average positive balance and NO orders since 2000 — scalar
+    aggregate (broadcast single row, no collect), anti join against the
+    date-sliced orders (the date predicate pushes to the parquet scan),
+    grouped decimal-exact balance rollup. The anti join shuffles only
+    (custkey); the threshold never touches the driver."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_acctbal"),
+    )
