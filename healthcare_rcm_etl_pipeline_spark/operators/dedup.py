@@ -116,8 +116,15 @@ def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     parquet files would otherwise run the whole shingle/hash pipeline in as
     few tasks (observed: 1 task = 20s for a 1.3s job). Hash-partitioning on
     the doc id spreads rows evenly and is exactly the layout the downstream
-    groupBy(doc) wants."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    groupBy(doc) wants.
+
+    Skipped when the input already has >= parallelism partitions: a 100 TB
+    corpus arrives in thousands of scan partitions, and an unconditional
+    repartition there would shuffle the full document text for nothing."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, id_col)
 
 
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -254,13 +261,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-minhash signature per doc: the shingle string is hashed ONCE to a
     long, then the k 'permutations' are cheap long-hashes of (h, seed_i) —
-    hashing the string k times would cost k× the bytes. One explode + one
-    map-side-combining groupBy — linear in corpus size."""
-    post = _shingle_posting(df, text_col, id_col, n).withColumn(
-        "h", F.xxhash64("shingle")
+    hashing the string k times would cost k× the bytes.
+
+    The k mins are PER-ROW array expressions (array_min over a transform of
+    the doc's already-materialized shingle-hash array) — zero shuffle: the
+    earlier explode + 64-min groupBy formulation moved every posting through
+    an exchange and measured 1.55× slower at sf0.1; signatures are
+    embarrassingly parallel and now stay that way at 100 TB. Docs with no
+    shingles (shorter than n tokens) produce no signature row, matching the
+    posting-list semantics — enforced as a TOKEN-COUNT filter on the raw
+    text (cheap to recompute when Catalyst pushes it to the scan); filtering
+    on size(shingles) instead pushes the whole shingle expression into the
+    Filter node and runs the pipeline twice per row (seen in the plan)."""
+    from healthcare_rcm_etl_pipeline_spark.functions.text import tokens as _tokens
+
+    base = _shingle_arrays(
+        df.filter(F.size(_tokens(text_col)) >= n), text_col, id_col, n
+    ).select(
+        "doc",
+        F.size("shingles").alias("n_shingles"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__hs"),
     )
-    mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"mh{i}") for i in range(k)]
-    return post.groupBy("doc", "n_shingles").agg(*mins)
+    mins = [
+        F.array_min(F.transform("__hs", lambda h: F.xxhash64(h, F.lit(i)))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return base.select("doc", "n_shingles", *mins)
 
 
 def minhash_lsh_pairs(

@@ -85,3 +85,31 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    """Signature computation is per-row array math — any Exchange before
+    banding means someone reintroduced the explode+groupBy formulation
+    (1.55x slower and a full posting shuffle at 100 TB)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.dedup import minhash_signatures
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = minhash_signatures(d, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    # the only allowed exchange is _fan_out's explicit repartition (local
+    # few-files spread); no aggregation exchange may appear
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
+    # and the shingle pipeline must not be duplicated into a pushed filter:
+    # exactly one array_distinct(zip_with...) — in the Project, not a Filter
+    assert plan.count("array_distinct") == 1
+
+
+def test_chunking_shuffle_free(spark, sf_dir):
+    plan = QUERIES["chunk_documents"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    plan = _plan(spark, "contamination_ngram_overlap", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
