@@ -2366,3 +2366,83 @@ def q22_idle_rich(spark, sf_dir):
         F.count("*").alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: incremental aggregate maintenance (operators/incremental.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "incremental_agg_maintenance",
+    f"""
+    SELECT o_custkey,
+           {_dsum('o_totalprice')} AS total_price,
+           COUNT(*) AS n_orders,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_agg_q(spark, sf_dir):
+    """Incremental aggregate maintenance: per-customer lifetime state built
+    from history (< 2000-01-01), then the newer slice aggregated SEPARATELY
+    and merged group-wise — the refresh path that never re-scans history at
+    100 TB. The oracle recomputes the aggregate over ALL orders directly, so
+    a green row PROVES incremental merge ≡ full batch recompute (decimal
+    partials keep the sums exact through both paths)."""
+    from healthcare_rcm_etl_pipeline_spark.operators import incremental as inc
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    spec = {
+        "total_price": ("sum", "CAST(o_totalprice AS DECIMAL(18,6))"),
+        "n_orders": ("count", "*"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    keys = ["o_custkey"]
+    prior = inc.agg_state(o.filter(F.col("o_orderdate") < cutoff), keys, spec)
+    delta = inc.agg_state(o.filter(F.col("o_orderdate") >= cutoff), keys, spec)
+    merged = inc.merge_agg_state(prior, delta, keys, spec)
+    return merged.select(
+        "o_custkey",
+        F.col("total_price").cast("double").alias("total_price"),
+        "n_orders",
+        "first_order",
+        "last_order",
+    )
+
+
+@query(
+    "rollup_cascade_daily",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value,
+           {_dsum('value')} / COUNT(*) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def rollup_cascade_q(spark, sf_dir):
+    """Continuous-aggregate cascade (hypertable rollup): hourly partials
+    (sum/count over decimal) re-aggregate into daily — the coarser level
+    reads ONLY the finer rollup, never the raw events. Oracle computes daily
+    directly from raw, so a green row proves the cascade is lossless for
+    monoid aggregates. (COUNT DISTINCT deliberately absent: it does not
+    cascade — that's what the HLL sketch state in sketch_distinct_tolerance
+    is for.)"""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "hour").cast("date").alias("day")).agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").alias("tv"),
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+        (F.col("tv").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
