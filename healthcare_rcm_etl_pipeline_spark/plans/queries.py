@@ -2446,3 +2446,86 @@ def rollup_cascade_q(spark, sf_dir):
         F.col("tv").cast("double").alias("total_value"),
         (F.col("tv").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+@query(
+    "q23_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+               AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_weekly_small_qty_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(l.l_quantity AS DOUBLE) < pa.half_avg_qty
+    """,
+)
+def q23_small_qty(spark, sf_dir):
+    """TPC-H Q17 analog (below-typical-dose billing): lineitems whose
+    quantity is under half their part's average. The correlated subquery is
+    DECORRELATED by hand — per-part averages via one groupBy, joined back on
+    partkey — because a correlated form re-scans lineitem per row; Catalyst
+    gets an equi-join it can shuffle-hash on the same key the aggregate just
+    used. The average goes through an exact DECIMAL sum (never AVG(double):
+    partial-merge order varies with partitioning, and a 1-ulp drift at the
+    threshold boundary would flip rows vs the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            0.5
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("half_avg_qty")
+    )
+    j = li.join(pa, "l_partkey").filter(
+        F.col("l_quantity").cast("double") < F.col("half_avg_qty")
+    )
+    return j.agg(
+        (money_sum("l_extendedprice") / 7.0).alias("avg_weekly_small_qty_revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@query(
+    "q24_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q24_large_orders(spark, sf_dir):
+    """TPC-H Q18 analog (high-utilization encounters): orders whose summed
+    lineitem quantity exceeds 150, joined back to order + customer. The
+    HAVING-aggregate drives the plan: the big-order set is tiny, so both
+    upstream joins broadcast it — the orders/customer tables are filtered by
+    a broadcast hash lookup instead of shuffling."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    j = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    return j.select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "total_qty",
+    )
