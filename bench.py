@@ -64,6 +64,12 @@ HEADLINE = [
     "text_quality",
     "json_extract_events",
     "events_sessionize",
+    # round-2 surface additions
+    "chunk_documents",
+    "repetition_quality",
+    "incremental_agg_maintenance",
+    "embedding_quantize",
+    "q21_customer_deciles",
 ]
 
 
@@ -114,6 +120,11 @@ def main() -> None:
         }
         out["deltas_vs"] = prev_name
         out["deltas"] = deltas  # ratio this-round / prev-round per query
+        # total over only the queries the previous round also benched —
+        # the honest round-over-round number when HEADLINE grows
+        out["comparable_total"] = round(
+            sum(t for n, t in timings.items() if n in prev), 3
+        )
         out["delta_notes"] = {
             k: v for k, v in DELTA_NOTES.items() if deltas.get(k, 1.0) > 1.5
         }

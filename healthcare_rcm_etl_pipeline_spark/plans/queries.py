@@ -2529,3 +2529,51 @@ def q24_large_orders(spark, sf_dir):
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         "total_qty",
     )
+
+
+@query(
+    "q25_trailing_window",
+    """
+    WITH e AS (
+      SELECT user_id, ts, epoch(ts) AS sec, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, ts,
+           COUNT(*) OVER w AS n_trailing_1h,
+           round(SUM(v) OVER w, 6) AS sum_trailing_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q25_trailing_window(spark, sf_dir):
+    """Time-RANGE-frame trailing window (rolling 1-hour per-user purchase
+    stats) — a genuinely different operator from the ROWS-frame q14: the
+    frame is defined by timestamp distance, so ties and gaps behave per SQL
+    RANGE semantics. Epoch-seconds ordering keeps the frame arithmetic
+    integer-exact and engine-portable; the window shuffles once on user_id.
+    The SUM is rounded(6): a double sum over a sliding frame follows the
+    frame's own evaluation order in both engines (monotone window slide),
+    and round absorbs the removable-aggregation drift DuckDB's segment-tree
+    evaluation can introduce."""
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts",
+            F.unix_timestamp("ts").alias("sec"),
+            F.col("value").cast("double").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "ts",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.round(F.sum("v").over(w), 6).alias("sum_trailing_1h"),
+    )
