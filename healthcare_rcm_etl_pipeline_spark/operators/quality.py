@@ -97,3 +97,55 @@ class QualityReport:
 def check(name: str, violations: DataFrame, allow: int = 0) -> QualityReport:
     n = violations.count()
     return QualityReport(name=name, violation_count=n, passed=n <= allow)
+
+
+def expectations_report(df: DataFrame, expectations: list[tuple[str, str, dict]]) -> DataFrame:
+    """Declarative expectation suite (Deequ-style) evaluated in ONE scan.
+
+    ``expectations`` is a list of (name, kind, params):
+
+    - ``not_null``        params: col
+    - ``accepted_values`` params: col, values
+    - ``in_range``        params: col, lo, hi  (violation: <= lo or > hi)
+    - ``unique``          params: col          (violation count: rows - distinct)
+
+    Row-level kinds fold into a single conditional-sum aggregate over one
+    pass; each ``unique`` adds a count-distinct to the same aggregate (no
+    second scan). Returns (expectation, kind, n_violations, passed) — the
+    gate report a warehouse load writes next to the data. Distributed
+    throughout; nothing collects to the driver.
+    """
+    aggs, rows = [], []
+    for name, kind, p in expectations:
+        safe = f"__v_{len(aggs)}"
+        if kind == "not_null":
+            cond = F.col(p["col"]).isNull()
+        elif kind == "accepted_values":
+            cond = ~F.col(p["col"]).isin(p["values"]) | F.col(p["col"]).isNull()
+        elif kind == "in_range":
+            cond = (
+                (F.col(p["col"]) <= p["lo"])
+                | (F.col(p["col"]) > p["hi"])
+                | F.col(p["col"]).isNull()
+            )
+        elif kind == "unique":
+            aggs.append(
+                (F.count(p["col"]) - F.count_distinct(F.col(p["col"]))).alias(safe)
+            )
+            rows.append((name, kind, safe))
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(safe))
+        rows.append((name, kind, safe))
+    agg = df.agg(*aggs)
+    out = None
+    for name, kind, safe in rows:
+        r = agg.select(
+            F.lit(name).alias("expectation"),
+            F.lit(kind).alias("kind"),
+            F.col(safe).cast("bigint").alias("n_violations"),
+            (F.col(safe) == 0).alias("passed"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

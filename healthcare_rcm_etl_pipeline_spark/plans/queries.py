@@ -2577,3 +2577,107 @@ def q25_trailing_window(spark, sf_dir):
         F.count("*").over(w).alias("n_trailing_1h"),
         F.round(F.sum("v").over(w), 6).alias("sum_trailing_1h"),
     )
+
+
+@query(
+    "q26_sole_late_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1, 2
+    )
+    SELECT lt.l_suppkey AS suppkey, COUNT(*) AS numwait
+    FROM late lt
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = lt.l_orderkey
+                    AND l2.l_suppkey <> lt.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late lt3
+                      WHERE lt3.l_orderkey = lt.l_orderkey
+                        AND lt3.l_suppkey <> lt.l_suppkey)
+    GROUP BY lt.l_suppkey
+    """,
+)
+def q26_sole_late(spark, sf_dir):
+    """TPC-H Q21 analog (the one provider holding up multi-provider claims):
+    suppliers who were the ONLY late shipper (>60 days after the order date)
+    on orders involving other suppliers. The EXISTS / NOT-EXISTS pair is
+    decorrelated into two per-order aggregates — distinct-supplier count and
+    late-supplier count — joined back on orderkey: Catalyst executes three
+    keyed shuffles on l_orderkey (AQE reuses the partitioning) instead of
+    re-probing lineitem per row. The oracle keeps the literal correlated
+    form, so a green row proves the decorrelation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_supp = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    n_late = late.groupBy("l_orderkey").agg(F.count("*").alias("n_late"))
+    return (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_DQ_ORACLE = """
+    WITH rowchecks AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v_domain,
+             SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+                        OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS v_range
+      FROM orders
+    ),
+    uniq AS (
+      SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'o_custkey_not_null' AS expectation, 'not_null' AS kind,
+             CAST(v_null AS BIGINT) AS n_violations, v_null = 0 AS passed FROM rowchecks
+      UNION ALL
+      SELECT 'o_orderstatus_domain', 'accepted_values', CAST(v_domain AS BIGINT), v_domain = 0 FROM rowchecks
+      UNION ALL
+      SELECT 'o_totalprice_range', 'in_range', CAST(v_range AS BIGINT), v_range = 0 FROM rowchecks
+      UNION ALL
+      SELECT 'o_orderkey_unique', 'unique', CAST(v_dup AS BIGINT), v_dup = 0 FROM uniq
+    )
+"""
+
+
+@query("dq_expectations", _DQ_ORACLE)
+def dq_expectations_q(spark, sf_dir):
+    """Declarative data-quality expectations (Deequ-style, re-expressed as
+    one Spark scan): not-null, accepted-values, numeric-range checks fold
+    into a single conditional-sum aggregate; uniqueness adds one
+    count-distinct aggregate. Output is the audit report every warehouse
+    load gates on — expectation, violation count, pass flag. At 100 TB the
+    row checks stay one pass; uniqueness rides the same shuffle the load's
+    own key validation needs."""
+    from healthcare_rcm_etl_pipeline_spark.operators.quality import expectations_report
+
+    o = _t(spark, sf_dir, "orders")
+    return expectations_report(
+        o,
+        [
+            ("o_custkey_not_null", "not_null", {"col": "o_custkey"}),
+            ("o_orderstatus_domain", "accepted_values",
+             {"col": "o_orderstatus", "values": ["O", "F", "P"]}),
+            ("o_totalprice_range", "in_range",
+             {"col": "o_totalprice", "lo": 0, "hi": 1000000}),
+            ("o_orderkey_unique", "unique", {"col": "o_orderkey"}),
+        ],
+    )
