@@ -539,3 +539,116 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame, base_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus + within itself — the
+    production dedup mode at 100 TB: the base corpus is never re-deduped
+    (its fingerprint index is a fact you already have; here it is derived
+    from the base docs, in production you'd read the persisted index).
+
+    Returns surviving new docs as (id, fingerprint): not exact-duplicates of
+    any base doc, and the min-id survivor within each new-batch duplicate
+    group. Two hash shuffles over (id, 16-byte md5) — document text never
+    shuffles."""
+    new_fp = new_df.select(
+        F.col(id_col), fingerprint_md5(text_col).alias("fingerprint")
+    )
+    base_fp = base_df.select(fingerprint_md5(text_col).alias("fingerprint")).distinct()
+    fresh = new_fp.join(base_fp, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """CROSS-side near-dup: (base doc, new doc) pairs only — base-vs-base
+    pairs are never emitted or verified, which is what makes incremental
+    ingestion linear in the NEW batch (plus one pass to band the base; in
+    production the base's band buckets are a persisted index and that pass
+    disappears). Ids must be disjoint across sides (caller contract).
+
+    Same banded-LSH machinery as minhash_lsh_pairs; the bucket pair emission
+    keeps a side tag and drops same-side combinations BEFORE the d²/2
+    explosion, so a bucket of b base docs and m new docs emits b·m cross
+    pairs, not (b+m)²/2. Verification melts only cross candidates.
+    Returns (doc_base, doc_new, n_common, jaccard)."""
+    tagged = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("__is_new")
+    ).unionByName(
+        base_df.select(F.col(id_col), F.col(text_col), F.lit(False).alias("__is_new"))
+    )
+    sig = minhash_signatures(tagged, text_col, id_col, k=k, n=n)
+    side = tagged.select(F.col(id_col).alias("doc"), "__is_new")
+    sig = sig.join(side, "doc")
+    rows = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", "__is_new", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", "__is_new", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    grouped = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc", "__is_new"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ds") <= max_bucket)
+    cand = (
+        grouped.select(F.explode(_pairs_in_array(F.col("ds"))).alias("p"))
+        .filter(F.col("p.a.__is_new") != F.col("p.b.__is_new"))
+        .select(
+            F.when(F.col("p.a.__is_new"), F.col("p.b.doc"))
+            .otherwise(F.col("p.a.doc"))
+            .alias("doc_base"),
+            F.when(F.col("p.a.__is_new"), F.col("p.a.doc"))
+            .otherwise(F.col("p.b.doc"))
+            .alias("doc_new"),
+        )
+        .dropDuplicates()
+    )
+    sh = _shingle_arrays(tagged, text_col, id_col, n).select(
+        "doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    melt = cand.select(
+        "doc_base", "doc_new", F.explode(F.array("doc_base", "doc_new")).alias("doc")
+    )
+    return (
+        melt.join(sh, "doc")
+        .groupBy("doc_base", "doc_new")
+        .agg(
+            F.max(F.when(F.col("doc") == F.col("doc_base"), F.col("hs"))).alias("hs_a"),
+            F.max(F.when(F.col("doc") == F.col("doc_new"), F.col("hs"))).alias("hs_b"),
+        )
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_base", "doc_new", "n_common", "jaccard")
+    )

@@ -1,0 +1,85 @@
+"""Incremental dedup (batch vs existing corpus) + expectations report —
+hand-built edge cases; full-corpus driver parity in test_queries_oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from healthcare_rcm_etl_pipeline_spark.operators import dedup
+from healthcare_rcm_etl_pipeline_spark.operators.quality import expectations_report
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+class TestIncrementalExact:
+    def test_cross_and_within_batch_dedup(self, spark):
+        base = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon")])
+        new = _docs(
+            spark,
+            [
+                (10, "ALPHA   beta GAMMA"),   # canonical dup of base doc 1 -> dropped
+                (11, "zeta eta theta"),        # unique -> kept
+                (12, "zeta eta theta"),        # within-batch dup of 11 -> dropped
+                (13, "iota kappa"),            # unique -> kept
+            ],
+        )
+        out = dedup.incremental_exact_dedup(new, base, "text", "doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+    def test_empty_base_degrades_to_plain_dedup(self, spark):
+        base = _docs(spark, [(99, "unrelated")]).filter("doc_id < 0")
+        new = _docs(spark, [(1, "x y"), (2, "x  y")])
+        out = dedup.incremental_exact_dedup(new, base, "text", "doc_id")
+        assert [r.doc_id for r in out.collect()] == [1]
+
+
+class TestIncrementalLsh:
+    def test_only_cross_pairs_emitted(self, spark):
+        # 20/21 near-identical WITHIN new batch; 1/10 identical ACROSS sides
+        long_a = " ".join(f"w{i}" for i in range(30))
+        base = _docs(spark, [(1, long_a), (2, "completely different text here")])
+        new = _docs(
+            spark,
+            [
+                (10, long_a),                                   # cross near-dup of 1
+                (20, "red green blue cyan magenta yellow black white one two"),
+                (21, "red green blue cyan magenta yellow black white one three"),
+            ],
+        )
+        out = dedup.minhash_lsh_pairs_incremental(
+            new, base, "text", "doc_id", k=64, bands=16, n=3, verify_threshold=0.5
+        ).collect()
+        assert [(r.doc_base, r.doc_new) for r in out] == [(1, 10)]
+        assert out[0].jaccard == 1.0
+
+
+class TestExpectations:
+    def test_violations_counted_and_flagged(self, spark):
+        df = spark.createDataFrame(
+            [Row(k=1, s="A", v=5.0), Row(k=1, s="B", v=-1.0), Row(k=2, s="Z", v=None)]
+        )
+        out = {
+            r.expectation: (r.n_violations, r.passed)
+            for r in expectations_report(
+                df,
+                [
+                    ("v_not_null", "not_null", {"col": "v"}),
+                    ("s_domain", "accepted_values", {"col": "s", "values": ["A", "B"]}),
+                    ("v_range", "in_range", {"col": "v", "lo": 0, "hi": 10}),
+                    ("k_unique", "unique", {"col": "k"}),
+                ],
+            ).collect()
+        }
+        assert out["v_not_null"] == (1, False)
+        assert out["s_domain"] == (1, False)      # 'Z' not accepted
+        assert out["v_range"] == (2, False)       # -1.0 and NULL
+        assert out["k_unique"] == (1, False)      # k=1 twice
+
+    def test_unknown_kind_raises(self, spark):
+        with pytest.raises(ValueError):
+            expectations_report(
+                spark.range(1), [("bad", "regex_match", {"col": "id"})]
+            )
