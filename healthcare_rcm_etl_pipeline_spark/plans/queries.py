@@ -2763,3 +2763,237 @@ def dedup_incremental_lsh_q(spark, sf_dir):
         n=3,
         verify_threshold=0.5,
     )
+
+
+@query(
+    "oov_rate",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, source, unnest(toks) AS token FROM t),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM tok GROUP BY token
+      ) WHERE rn <= 50
+    ),
+    flags AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN vocab v USING (token)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           SUM(n_oov) / CAST(SUM(n_tokens) AS DOUBLE) AS oov_rate
+    FROM flags GROUP BY source
+    """,
+)
+def oov_rate_q(spark, sf_dir):
+    """Vocabulary coverage audit: build the top-50 corpus vocabulary (count
+    desc, token tie-break — a total order), then measure each source's
+    out-of-vocabulary token rate against it — the tokenizer-coverage check
+    run before committing a vocab. The derived vocab is tiny by construction
+    and BROADCAST to the token stream; the corpus shuffles only (token)
+    grams for the count and (doc, counts) afterwards."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+        )
+        .filter(F.col("rn") <= 50)
+        .select("token")
+    )
+    flags = (
+        tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_oov").cast("bigint").alias("total_oov"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_oov") / F.sum("n_tokens").cast("double")).alias("oov_rate"),
+    )
+
+
+@query(
+    "event_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    stages AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+               AND t_purchase IS NOT NULL AND t_purchase > t_click AS s3
+      FROM per_user
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS name,
+             CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM stages
+      UNION ALL
+      SELECT 2, 'view>click', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+    )
+    """,
+)
+def event_funnel_q(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing first-touch timestamps): ONE groupBy(user) computes the three
+    first-touch times as conditional MINs, stage flags are pure row
+    expressions, and the funnel is three conditional sums — no joins, no
+    re-scan per stage, one shuffle total."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    agg = per_user.agg(
+        F.sum(F.when(s1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(s2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(s3, 1).otherwise(0)).alias("n3"),
+    )
+    rows = [(1, "view", "n1"), (2, "view>click", "n2"), (3, "view>click>purchase", "n3")]
+    parts = [
+        agg.select(
+            F.lit(i).alias("stage"),
+            F.lit(nm).alias("name"),
+            F.col(c).cast("bigint").alias("n_users"),
+        )
+        for i, nm, c in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH first_week AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN first_week f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted per week-offset of later activity — the standard retention
+    triangle. Both aggregations key on user_id, so the cohort join reuses
+    the first groupBy's partitioning (AQE); the distinct collapses repeat
+    events before the final count."""
+    e = _t(spark, sf_dir, "events")
+    fw = e.groupBy("user_id").agg(F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    act = (
+        e.join(fw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", "ts"))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                )
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").alias("n_active_users"))
+
+
+@query(
+    "rare_bigram_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                           i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM t
+    ),
+    freq AS (SELECT bg, COUNT(*) AS c FROM g GROUP BY bg),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) AS n_rare
+      FROM g JOIN freq f USING (bg)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.n_rare, 0) AS BIGINT) AS n_rare,
+           COALESCE(p.n_rare / CAST(nullif(p.n_bigrams, 0) AS DOUBLE), 0.0) AS rare_ratio
+    FROM t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def rare_bigram_q(spark, sf_dir):
+    """Corpus-LM quality signal without float accumulation hazards: the
+    fraction of a document's bigram positions whose CORPUS-WIDE frequency is
+    <= 2 — high values mark disfluent/garbled text the way low LM
+    probability does, but every aggregate is an integer count (the one
+    division happens once per doc at the end), so the result is
+    bit-deterministic across partitionings and engines. Two shuffles: bigram
+    frequency count (map-side combined) and the per-doc rollup; the
+    frequency table joins back on the 8-byte-hashable gram."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("__t"))
+    from healthcare_rcm_etl_pipeline_spark.functions.text import ngram_array
+
+    g = toks.select("doc_id", F.explode(ngram_array(F.col("__t"), 2)).alias("bg"))
+    freq = g.groupBy("bg").agg(F.count("*").alias("c"))
+    per_doc = (
+        g.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_rare", F.lit(0)).cast("bigint").alias("n_rare"),
+            F.coalesce(
+                F.col("n_rare") / F.nullif(F.col("n_bigrams").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("rare_ratio"),
+        )
+    )
