@@ -2968,13 +2968,21 @@ def rare_bigram_q(spark, sf_dir):
     probability does, but every aggregate is an integer count (the one
     division happens once per doc at the end), so the result is
     bit-deterministic across partitionings and engines. Two shuffles: bigram
-    frequency count (map-side combined) and the per-doc rollup; the
-    frequency table joins back on the 8-byte-hashable gram."""
+    frequency count (map-side combined) and the per-doc rollup; the gram
+    string is hashed ONCE to a 64-bit key so both shuffles move 8-byte
+    longs, never bigram strings (repo-wide dedup convention; a cross-gram
+    collision ~n²/2⁶⁴ is negligible and could only merge two frequency
+    rows)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens("text").alias("__t"))
     from healthcare_rcm_etl_pipeline_spark.functions.text import ngram_array
 
-    g = toks.select("doc_id", F.explode(ngram_array(F.col("__t"), 2)).alias("bg"))
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(ngram_array(F.col("__t"), 2), lambda s: F.xxhash64(s))
+        ).alias("bg"),
+    )
     freq = g.groupBy("bg").agg(F.count("*").alias("c"))
     per_doc = (
         g.join(freq, "bg")
@@ -2996,4 +3004,69 @@ def rare_bigram_q(spark, sf_dir):
                 F.lit(0.0),
             ).alias("rare_ratio"),
         )
+    )
+
+
+@query(
+    "group_percentiles",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def group_percentiles_q(spark, sf_dir):
+    """Exact per-group percentiles (order-value distribution per priority
+    class): Spark's percentile() is bit-identical to SQL quantile_cont
+    (same linear interpolation over the sorted group). Exact percentiles
+    need the group's values together — fine for bounded group counts like
+    these 5 priorities; for high-cardinality groups at 100 TB the
+    percentile_approx/KLL path (sketch_percentiles_tolerance) is the scale
+    twin."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.percentile(v, F.lit(0.5)).alias("p50"),
+        F.percentile(v, F.lit(0.9)).alias("p90"),
+        F.percentile(v, F.lit(0.99)).alias("p99"),
+    )
+
+
+@query(
+    "q27_region_revenue",
+    f"""
+    SELECT r.r_name AS region,
+           {_dsum('o.o_totalprice')} AS total_revenue,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q27_region_revenue(spark, sf_dir):
+    """Snowflake-chain rollup (region <- nation <- customer <- orders): the
+    fact stream resolves three dimension hops. nation and region are
+    constant-bounded (25/5 rows) and explicitly broadcast; customer is
+    SF-proportional and left to AQE. The fact shuffles once — for the
+    final region aggregate — never for the dimension attachment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        money_sum("o_totalprice").alias("total_revenue"),
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
     )
