@@ -289,6 +289,30 @@ def minhash_signatures(
     return base.select("doc", "n_shingles", *mins)
 
 
+def minhash_band_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 64, bands: int = 16, n: int = 3
+) -> DataFrame:
+    """(doc, band, bh): the banded-minhash index rows for a corpus — each
+    doc appears once per band with the 64-bit hash of that band's signature
+    rows. THIS is the table a production pipeline persists (bucketed by
+    (band, bh)) as its near-dup index: incremental ingestion probes it
+    instead of re-banding history (see minhash_lsh_pairs_incremental's
+    ``base_bands``). Pure per-row expressions over the signatures + one
+    explode — shuffle-free."""
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k=k, n=n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -316,18 +340,7 @@ def minhash_lsh_pairs(
     the linear LSH pass quadratic. Near-dup clusters are tiny relative to
     1024; set None to disable.
     """
-    rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k=k, n=n)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    banded = minhash_band_table(df, text_col, id_col, k=k, bands=bands, n=n)
     grouped = (
         banded.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
@@ -575,36 +588,33 @@ def minhash_lsh_pairs_incremental(
     n: int = 3,
     verify_threshold: float = 0.5,
     max_bucket: int | None = 1024,
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-side near-dup: (base doc, new doc) pairs only — base-vs-base
     pairs are never emitted or verified, which is what makes incremental
-    ingestion linear in the NEW batch (plus one pass to band the base; in
-    production the base's band buckets are a persisted index and that pass
-    disappears). Ids must be disjoint across sides (caller contract).
+    ingestion linear in the NEW batch. Ids must be disjoint across sides
+    (caller contract).
+
+    ``base_bands``: a prebuilt/persisted ``minhash_band_table`` of the base
+    corpus. When given, the base is NOT re-shingled or re-banded — only its
+    index rows are read (the production shape: the index is maintained as
+    corpora are ingested, so each ingestion pays only for the new batch;
+    asserted equivalent to the recompute path in tests). Base document TEXT
+    is still fetched for the few candidate docs during verification.
 
     Same banded-LSH machinery as minhash_lsh_pairs; the bucket pair emission
     keeps a side tag and drops same-side combinations BEFORE the d²/2
     explosion, so a bucket of b base docs and m new docs emits b·m cross
     pairs, not (b+m)²/2. Verification melts only cross candidates.
     Returns (doc_base, doc_new, n_common, jaccard)."""
-    tagged = new_df.select(
-        F.col(id_col), F.col(text_col), F.lit(True).alias("__is_new")
-    ).unionByName(
-        base_df.select(F.col(id_col), F.col(text_col), F.lit(False).alias("__is_new"))
+    new_bands = minhash_band_table(new_df, text_col, id_col, k=k, bands=bands, n=n)
+    if base_bands is None:
+        base_bands = minhash_band_table(base_df, text_col, id_col, k=k, bands=bands, n=n)
+    banded = new_bands.withColumn("__is_new", F.lit(True)).unionByName(
+        base_bands.withColumn("__is_new", F.lit(False))
     )
-    sig = minhash_signatures(tagged, text_col, id_col, k=k, n=n)
-    side = tagged.select(F.col(id_col).alias("doc"), "__is_new")
-    sig = sig.join(side, "doc")
-    rows = k // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", "__is_new", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc", "__is_new", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    tagged = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        base_df.select(F.col(id_col), F.col(text_col))
     )
     grouped = (
         banded.groupBy("band", "bh")

@@ -3070,3 +3070,64 @@ def q27_region_revenue(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@query(
+    "q28_supplier_nation_share",
+    f"""
+    WITH sn AS (
+      SELECT s.s_suppkey, n.n_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    rev AS (
+      SELECT sn.n_name,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS d,
+             COUNT(*) AS n_lineitems,
+             COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+      FROM lineitem l JOIN sn ON l.l_suppkey = sn.s_suppkey
+      GROUP BY sn.n_name
+    ),
+    tot AS (SELECT SUM(d) AS totd FROM rev)
+    SELECT rev.n_name, CAST(rev.d AS DOUBLE) AS nation_revenue,
+           rev.n_lineitems, rev.n_suppliers,
+           CAST(rev.d AS DOUBLE) / CAST(tot.totd AS DOUBLE) AS revenue_share
+    FROM rev, tot
+    """,
+)
+def q28_supplier_share(spark, sf_dir):
+    """Supplier-nation revenue share (the payer-network concentration view):
+    lineitem revenue attributed through the supplier dimension to nations,
+    with each nation's share of the total. supplier⋈nation collapses to a
+    tiny (suppkey, nation) map and broadcasts; the global total is a
+    broadcast scalar join, not a collect. The share division happens on
+    exact decimal-summed doubles — deterministic; the revenue sums shuffle
+    only after map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("d"),
+            F.count("*").alias("n_lineitems"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+    # the total stays DECIMAL until the final division: summing the 25
+    # per-nation doubles instead would be partial-merge-order dependent
+    tot = rev.agg(F.sum("d").alias("totd"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        F.col("d").cast("double").alias("nation_revenue"),
+        "n_lineitems",
+        "n_suppliers",
+        (F.col("d").cast("double") / F.col("totd").cast("double")).alias("revenue_share"),
+    )

@@ -83,3 +83,28 @@ class TestExpectations:
             expectations_report(
                 spark.range(1), [("bad", "regex_match", {"col": "id"})]
             )
+
+
+class TestPersistedBandIndex:
+    def test_probe_against_persisted_index_equals_recompute(self, spark, tmp_path):
+        """The production claim made real: band the base corpus ONCE, persist
+        the index, then probe it for a new batch — identical pairs to the
+        recompute path, with the base never re-shingled."""
+        long_a = " ".join(f"w{i}" for i in range(30))
+        long_b = " ".join(f"x{i}" for i in range(25))
+        base = _docs(spark, [(1, long_a), (2, long_b), (3, "tiny unrelated doc")])
+        new = _docs(spark, [(10, long_a), (11, long_b + " extra"), (12, "nothing alike")])
+
+        idx_path = str(tmp_path / "band_index")
+        dedup.minhash_band_table(base, "text", "doc_id").write.parquet(idx_path)
+        idx = spark.read.parquet(idx_path)
+
+        via_index = dedup.minhash_lsh_pairs_incremental(
+            new, base, "text", "doc_id", base_bands=idx
+        ).collect()
+        recompute = dedup.minhash_lsh_pairs_incremental(
+            new, base, "text", "doc_id"
+        ).collect()
+        key = lambda r: (r.doc_base, r.doc_new, r.n_common, r.jaccard)
+        assert sorted(map(key, via_index)) == sorted(map(key, recompute))
+        assert (1, 10) in {(r.doc_base, r.doc_new) for r in via_index}
