@@ -2224,12 +2224,10 @@ def label_centroids_q(spark, sf_dir):
     corpora. posexplode keys the one shuffle on (label, pos) — 640 groups
     regardless of corpus size; the 10×10 centroid self-join is trivially
     broadcast."""
-    from pyspark.sql.types import DoubleType
-
     e = _t(spark, sf_dir, "embeddings")
     pos = e.select(
         "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
-    ).withColumnRenamed("pos", "pos").withColumnRenamed("col", "x")
+    ).withColumnRenamed("col", "x")
     comp = pos.groupBy("label", "pos").agg(
         (
             F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
@@ -3130,4 +3128,64 @@ def q28_supplier_share(spark, sf_dir):
         "n_lineitems",
         "n_suppliers",
         (F.col("d").cast("double") / F.col("totd").cast("double")).alias("revenue_share"),
+    )
+
+
+@query(
+    "feature_zscore",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt(greatest(
+               CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE)
+                             * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*)
+               - (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)),
+               0.0)) AS sigma
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           (CAST(o.o_totalprice AS DOUBLE) - m.mu) / nullif(m.sigma, 0.0) AS z
+    FROM orders o JOIN m USING (o_orderpriority)
+    """,
+)
+def feature_zscore_q(spark, sf_dir):
+    """Per-group z-score normalization (feature-scaling for ML pipelines):
+    group mean and population stddev from EXACT decimal sums (sum, sum of
+    squares — order-insensitive across any partitioning; q16's moments
+    convention), then a broadcast join of the 5-row moments table back onto
+    the stream. Each output z is one double expression over identical
+    operands in both engines — no window function, no second pass over the
+    fact, and constant-σ groups yield NULL (not inf)."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    # square in DOUBLE per row (deterministic, same operands both engines),
+    # then exact-sum the decimal-cast squares: decimal×decimal overflows at
+    # width 18 in external engines
+    sq = (F.col("o_totalprice").cast("double") * F.col("o_totalprice").cast("double")).cast(
+        "decimal(28,6)"
+    )
+    m = o.groupBy("o_orderpriority").agg(
+        (F.sum(dec).cast("double") / F.count("*")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(sq).cast("double") / F.count("*")
+                - (F.sum(dec).cast("double") / F.count("*"))
+                * (F.sum(dec).cast("double") / F.count("*")),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    return (
+        o.join(F.broadcast(m), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                (F.col("o_totalprice").cast("double") - F.col("mu"))
+                / F.nullif(F.col("sigma"), F.lit(0.0))
+            ).alias("z"),
+        )
     )

@@ -113,3 +113,11 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
     plan = _plan(spark, "contamination_ngram_overlap", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snowflake_chain_broadcasts_bounded_dims(spark, sf_dir):
+    """q27: nation/region attach via broadcast; the fact must reach the
+    final aggregate through at most one exchange of its own."""
+    plan = _plan(spark, "q27_region_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
