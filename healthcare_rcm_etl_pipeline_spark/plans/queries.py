@@ -3136,18 +3136,17 @@ def q28_supplier_share(spark, sf_dir):
     """
     WITH m AS (
       SELECT o_orderpriority,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
              sqrt(greatest(
-               CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE)
-                             * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
-                 / COUNT(*)
-               - (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-                 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)),
                0.0)) AS sigma
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o.o_orderkey, o.o_orderpriority,
-           (CAST(o.o_totalprice AS DOUBLE) - m.mu) / nullif(m.sigma, 0.0) AS z
+           round((CAST(o.o_totalprice AS DOUBLE) - m.mu) / nullif(m.sigma, 0.0), 9) AS z
     FROM orders o JOIN m USING (o_orderpriority)
     """,
 )
@@ -3158,20 +3157,22 @@ def feature_zscore_q(spark, sf_dir):
     convention), then a broadcast join of the 5-row moments table back onto
     the stream. Each output z is one double expression over identical
     operands in both engines — no window function, no second pass over the
-    fact, and constant-σ groups yield NULL (not inf)."""
+    fact, and constant-σ groups yield NULL (not inf). z is round(9): the
+    sum-of-squares decimal exceeds 2^53, and decimal→double CASTs of such
+    values differ by 1 ulp across engines (same issue the corr query
+    absorbs the same way)."""
     o = _t(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(18,6)")
-    # square in DOUBLE per row (deterministic, same operands both engines),
-    # then exact-sum the decimal-cast squares: decimal×decimal overflows at
-    # width 18 in external engines
-    sq = (F.col("o_totalprice").cast("double") * F.col("o_totalprice").cast("double")).cast(
-        "decimal(28,6)"
-    )
+    # DECIMAL(12,2): money has 2 decimals, so the cast is exact, and the
+    # square stays FULLY decimal (24 digits — no double is ever cast to a
+    # decimal finer than its own ULP, which diverges across engines; and
+    # width 12 inputs keep external engines off their overflowing int64
+    # multiply path)
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
     m = o.groupBy("o_orderpriority").agg(
         (F.sum(dec).cast("double") / F.count("*")).alias("mu"),
         F.sqrt(
             F.greatest(
-                F.sum(sq).cast("double") / F.count("*")
+                F.sum(dec * dec).cast("double") / F.count("*")
                 - (F.sum(dec).cast("double") / F.count("*"))
                 * (F.sum(dec).cast("double") / F.count("*")),
                 F.lit(0.0),
@@ -3183,9 +3184,10 @@ def feature_zscore_q(spark, sf_dir):
         .select(
             "o_orderkey",
             "o_orderpriority",
-            (
+            F.round(
                 (F.col("o_totalprice").cast("double") - F.col("mu"))
-                / F.nullif(F.col("sigma"), F.lit(0.0))
+                / F.nullif(F.col("sigma"), F.lit(0.0)),
+                9,
             ).alias("z"),
         )
     )
