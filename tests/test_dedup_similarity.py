@@ -229,3 +229,21 @@ def test_stratified_sample_deterministic_and_proportional(spark):
             assert 0.3 * before["en"] <= after["en"] <= 0.7 * before["en"]
         else:
             assert after[lang] == before[lang]
+
+
+def test_jaccard_cap_modes_agree(spark, sf_dir):
+    """All three max_df enforcement modes must produce the identical pair
+    set — the mode choice is a cost/skew decision, never a semantic one."""
+    from healthcare_rcm_etl_pipeline_spark.operators import dedup as dd
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = {
+        mode: sorted(
+            map(tuple, dd.ngram_jaccard_pairs(
+                d, "text", "doc_id", n=3, threshold=0.5, max_df=20, cap_mode=mode
+            ).collect())
+        )
+        for mode in ("window", "antijoin", "filter")
+    }
+    assert out["window"] == out["antijoin"] == out["filter"]
