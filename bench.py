@@ -23,8 +23,8 @@ from healthcare_rcm_etl_pipeline_spark.session import get_spark
 # explanations for expected round-over-round deltas (emitted with the JSON
 # so a regression vs the previous round is never silent)
 DELTA_NOTES = {
-    "dedup_ngram_jaccard": "r2 runs with the max_df skew cap ON (anti-join "
-    "pre-pass); r1 benched the uncapped form",
+    "dedup_ngram_jaccard": "r2 runs with the max_df skew cap ON "
+    "(single-pass window mode); r1 benched the uncapped form",
 }
 
 
