@@ -69,3 +69,47 @@ def merge_agg_state(
         for name, (kind, _) in spec.items()
     ]
     return prior.unionByName(delta_state).groupBy(*keys).agg(*merged)
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete events) to a snapshot —
+    the MERGE INTO analog for the reference's warehouse-load step
+    (python/load.py truncates and rewrites whole tables; this is the
+    incremental path that replaces a full rewrite at 100 TB).
+
+    ``changelog`` columns: the snapshot's columns + ``seq_col`` (a total
+    order per key — e.g. a log offset; ties would make the net effect
+    undefined, so the caller must guarantee uniqueness per key) + ``op_col``
+    with values 'I'/'U'/'D'. Net effect per key = the row with the highest
+    ``seq_col``; 'D' removes the key, 'I'/'U' upsert the payload.
+
+    Scale: the changelog reduction is ``groupBy(key).agg(max_by(payload,
+    seq))`` — a partial-aggregable reduction (map-side combine shrinks each
+    task's output to its distinct keys BEFORE the exchange), strictly better
+    than the window-function formulation which must shuffle every changelog
+    row. The snapshot side then does one left_anti equi-join on the touched
+    keys (AQE broadcasts it when the day's churn is small — the common case:
+    daily churn << snapshot size).
+    """
+    payload = [c for c in snapshot.columns if c != key]
+    missing = [c for c in [key, *payload, seq_col, op_col] if c not in changelog.columns]
+    if missing:
+        raise ValueError(f"changelog missing columns {missing}")
+    latest = (
+        changelog.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload], F.col(op_col)), F.col(seq_col)
+            ).alias("__r")
+        )
+        .select(key, "__r.*")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
+    untouched = snapshot.join(latest.select(key), key, "left_anti")
+    return untouched.unionByName(upserts)

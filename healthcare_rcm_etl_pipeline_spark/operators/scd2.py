@@ -145,3 +145,46 @@ def apply_scd_type2(
         # (scd_implementation.py:96-98) — documented hazard, not the default
         out = dense_sk(out, [key, "version"], sk_col=sk_col, dedup=False)
     return out
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    eff_col: str = "effective_date",
+    exp_col: str = "expiry_date",
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Join each fact row to the SCD2 dimension version valid AT the fact's
+    timestamp: ``dim.eff <= fact.ts`` and (``dim.exp`` is null OR
+    ``fact.ts <= dim.exp``). This is the correctness-critical lookup the
+    reference's analytics skip by always joining ``is_current`` rows
+    (Analysis/Big query/*.sql join the latest dim row regardless of claim
+    date) — historical facts there silently take on today's attributes.
+
+    Scale: the version intervals of one key never overlap, so each fact
+    matches at most one dim row — output cardinality == facts (inner drops
+    facts outside all versions, e.g. before the key first appeared).
+    A dimension is bounded (patients/customers), facts are not; default is
+    a broadcast of the dim so the fact table never shuffles. With
+    ``broadcast_dim=False`` Catalyst plans an equi-join on ``key`` with the
+    range predicates as join residual — one keyed shuffle per side, still
+    no range explosion.
+    """
+    d = dim.select(
+        F.col(key), *[F.col(c) for c in dim.columns if c != key]
+    ).alias("__d")
+    f = facts.alias("__f")
+    dside = F.broadcast(d) if broadcast_dim else d
+    ts = F.col(f"__f.{ts_col}")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__d.{key}"))
+        & (ts >= F.col(f"__d.{eff_col}"))
+        & (F.col(f"__d.{exp_col}").isNull() | (ts <= F.col(f"__d.{exp_col}")))
+    )
+    dim_attrs = [c for c in dim.columns if c != key]
+    return f.join(dside, cond, how).select(
+        "__f.*", *[F.col(f"__d.{c}").alias(c) for c in dim_attrs]
+    )

@@ -570,13 +570,11 @@ _SCD2_ORACLE = """
 """
 
 
-@query("scd2_type2_merge", _SCD2_ORACLE)
-def scd2_merge(spark, sf_dir):
-    """SCD Type 2 merge (§2l) on a deterministic customer scenario:
-    existing snapshot = custkey%10!=0 stamped v1@2024-01-01; incoming = all
-    customers with acctbal+100 for custkey%3==0; merge @2024-06-01.
-    Exercises first-version stamping, change detection, expiry, new-version,
-    and brand-new paths <- scd_implementation.py:16-100."""
+def _scd2_dim(spark, sf_dir):
+    """The deterministic SCD2 customer dimension shared by scd2_type2_merge
+    and scd2_point_in_time: existing snapshot = custkey%10!=0 stamped
+    v1@2024-01-01; incoming = all customers with acctbal+100 for
+    custkey%3==0; merged @2024-06-01."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
     incoming = c.withColumn(
         "c_acctbal",
@@ -592,6 +590,104 @@ def scd2_merge(spark, sf_dir):
         tracked=["c_mktsegment", "c_acctbal"],
         run_date="2024-06-01",
     )
+
+
+@query("scd2_type2_merge", _SCD2_ORACLE)
+def scd2_merge(spark, sf_dir):
+    """SCD Type 2 merge (§2l) on a deterministic customer scenario.
+    Exercises first-version stamping, change detection, expiry, new-version,
+    and brand-new paths <- scd_implementation.py:16-100."""
+    return _scd2_dim(spark, sf_dir)
+
+
+@query(
+    "scd2_point_in_time",
+    f"""
+    WITH dim AS ({_SCD2_ORACLE}),
+    facts AS (
+      SELECT o_orderkey, o_custkey AS c_custkey,
+             DATE '2024-01-01' + CAST(o_orderkey % 240 AS INTEGER) AS ts
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.c_custkey, f.ts,
+           d.version, d.c_mktsegment, d.c_acctbal,
+           d.effective_date, d.expiry_date
+    FROM facts f JOIN dim d
+      ON f.c_custkey = d.c_custkey
+     AND f.ts >= d.effective_date
+     AND (d.expiry_date IS NULL OR f.ts <= d.expiry_date)
+    """,
+)
+def scd2_pit(spark, sf_dir):
+    """Point-in-time SCD2 lookup: each order joins the dimension VERSION
+    valid at its (synthetic, deterministic) event date — the correct
+    historical join the reference's analytics skip by always joining the
+    latest row (Analysis/Big query/*.sql). Orders dated before a key's
+    first version (the custkey%10==0 late arrivals) drop out under inner
+    semantics. Dim is broadcast: the fact side never shuffles."""
+    from healthcare_rcm_etl_pipeline_spark.operators.scd2 import point_in_time_join
+
+    dim = _scd2_dim(spark, sf_dir).drop("c_name", "is_current")
+    facts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("o_orderkey") % 240).cast("int")).alias("ts"),
+    )
+    return point_in_time_join(facts, dim, key="c_custkey", ts_col="ts")
+
+
+@query(
+    "cdc_apply",
+    """
+    WITH log AS (
+      SELECT CASE WHEN o_custkey % 10 = 7 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+             'cdc-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+             o_totalprice AS c_acctbal,
+             o_orderpriority AS c_mktsegment,
+             o_orderkey AS seq,
+             CASE WHEN o_custkey % 10 = 3 THEN 'D'
+                  WHEN o_custkey % 10 = 7 THEN 'I' ELSE 'U' END AS op
+      FROM orders WHERE o_custkey % 4 = 1
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM log) t WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_q(spark, sf_dir):
+    """CDC changelog applied to a snapshot (MERGE INTO analog): a
+    deterministic I/U/D changelog derived from orders (seq = o_orderkey,
+    multiple events per customer) net-applied onto the customer snapshot.
+    The incremental replacement for the reference's truncate-and-rewrite
+    load (python/load.py:21-38). Reduction is max_by groupBy — map-side
+    combined, no window shuffle of the full log."""
+    from healthcare_rcm_etl_pipeline_spark.operators.incremental import apply_changelog
+
+    snap = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ck = F.col("o_custkey")
+    log = o.filter(ck % 4 == 1).select(
+        F.when(ck % 10 == 7, ck + 1000000).otherwise(ck).alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(ck % 10 == 3, F.lit("D"))
+        .when(ck % 10 == 7, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_changelog(snap, log, key="c_custkey", seq_col="seq")
 
 
 # ---------------------------------------------------------------------------

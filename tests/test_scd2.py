@@ -104,3 +104,63 @@ def test_literal_rekey_mode(spark):
     )
     sks = {r["pid"]: r["patient_sk"] for r in out.collect()}
     assert sks == {"p1": 0, "p2": 1}
+
+
+# -- point_in_time_join ------------------------------------------------------
+
+from healthcare_rcm_etl_pipeline_spark.operators.scd2 import point_in_time_join
+
+
+def _pit_dim(spark):
+    # p1: v1 [2024-01-01, 2024-05-31], v2 [2024-06-01, open)
+    rows = [
+        ("p1", 1, "addr-v1", D(2024, 1, 1), D(2024, 5, 31)),
+        ("p1", 2, "addr-v2", D(2024, 6, 1), None),
+        ("p2", 1, "only", D(2024, 3, 1), None),
+    ]
+    return spark.createDataFrame(
+        rows, "pid string, version int, Address string, effective_date date, expiry_date date"
+    )
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "fid int, pid string, ts date")
+
+
+def test_pit_selects_correct_version(spark):
+    facts = _facts(spark, [
+        (1, "p1", D(2024, 3, 15)),   # inside v1
+        (2, "p1", D(2024, 7, 1)),    # inside v2 (open-ended)
+        (3, "p2", D(2024, 4, 1)),    # p2 v1
+    ])
+    out = {r.fid: r.version for r in
+           point_in_time_join(facts, _pit_dim(spark), "pid", "ts").collect()}
+    assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_pit_boundaries_inclusive(spark):
+    facts = _facts(spark, [
+        (1, "p1", D(2024, 1, 1)),    # ts == effective_date of v1
+        (2, "p1", D(2024, 5, 31)),   # ts == expiry_date of v1
+        (3, "p1", D(2024, 6, 1)),    # ts == effective_date of v2
+    ])
+    out = {r.fid: r.version for r in
+           point_in_time_join(facts, _pit_dim(spark), "pid", "ts").collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_pit_fact_before_first_version(spark):
+    facts = _facts(spark, [(1, "p2", D(2024, 1, 1)), (2, "p2", D(2024, 3, 2))])
+    inner = point_in_time_join(facts, _pit_dim(spark), "pid", "ts")
+    assert [r.fid for r in inner.collect()] == [2]
+    left = point_in_time_join(facts, _pit_dim(spark), "pid", "ts", how="left")
+    rows = {r.fid: r.version for r in left.collect()}
+    assert rows == {1: None, 2: 1}
+
+
+def test_pit_at_most_one_match_per_fact(spark):
+    # every fact row appears exactly once: non-overlapping version intervals
+    facts = _facts(spark, [(i, "p1", D(2024, 1, 1) + datetime.timedelta(days=30 * i)) for i in range(8)])
+    out = point_in_time_join(facts, _pit_dim(spark), "pid", "ts")
+    assert out.count() == facts.count() == 8
+    assert out.select("fid").distinct().count() == 8
