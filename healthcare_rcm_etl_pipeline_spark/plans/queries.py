@@ -3287,3 +3287,256 @@ def feature_zscore_q(spark, sf_dir):
             ).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation-pattern analogs (q29-q33): argmin-per-group, zero-
+# inclusive histograms, disjunctive predicates, two-level market share,
+# double-aliased dimensions — the classic correlated-subquery shapes the
+# reference's BigQuery surface never exercises, re-expressed shuffle-lean.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_mincost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+      FROM lineitem
+    ),
+    best AS (
+      SELECT l_partkey, unit_price AS min_unit_price, l_suppkey AS best_suppkey
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                         ORDER BY unit_price, l_suppkey) AS rn
+            FROM unit) t
+      WHERE rn = 1
+    )
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           b.best_suppkey, s.s_name, b.min_unit_price
+    FROM best b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON b.best_suppkey = s.s_suppkey
+    """,
+)
+def q29_mincost_supplier(spark, sf_dir):
+    """TPC-H Q2 pattern: for each part, the supplier offering the minimum
+    unit price (tie-break: lowest suppkey). The correlated `price = (SELECT
+    MIN ...)` subquery is decorrelated into ONE map-side-combinable
+    aggregate: `min(struct(price, suppkey))` orders structs
+    lexicographically, so a single groupBy carries the argmin — no window
+    sort over the fact (the oracle's row_number formulation shuffles every
+    lineitem row; this shuffles only the per-task distinct partkeys after
+    partial aggregation). Dimensions attach AFTER the reduction, on
+    |part|-sized input, left to AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    best = (
+        unit.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_price", "l_suppkey")).alias("__b"))
+        .select(
+            "l_partkey",
+            F.col("__b.unit_price").alias("min_unit_price"),
+            F.col("__b.l_suppkey").alias("best_suppkey"),
+        )
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.best_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "p_brand", "best_suppkey", "s_name", "min_unit_price")
+    )
+
+
+@query(
+    "q30_order_count_histogram",
+    """
+    WITH oc AS (
+      SELECT o_custkey, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(oc.n, 0) AS n_orders, COUNT(*) AS n_customers
+    FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+    GROUP BY COALESCE(oc.n, 0)
+    """,
+)
+def q30_order_count_histogram(spark, sf_dir):
+    """TPC-H Q13 pattern: distribution of customers by order count,
+    INCLUDING zero-order customers (the left join no inner formulation can
+    express). Orders reduce to per-customer counts FIRST (map-side combine
+    shrinks the fact to its distinct custkeys before the exchange); the
+    customer table then left-joins the already-small count map and the
+    final histogram groups a tiny integer domain."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    oc = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    per = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
+    return per.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q31_disjunctive_revenue",
+    f"""
+    SELECT {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def q31_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 pattern: one partkey equi-join plus an OR-of-ANDs residual
+    mixing predicates from both sides. The equi-key is hoisted out of the
+    disjunction (naive per-branch joins would scan the fact three times and
+    union); per-side implied bounds (l_quantity <= 50, p_size >= 1) stay
+    derivable by Catalyst. Single row out — partial aggregation collapses
+    each task to one row before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty, size = F.col("l_quantity"), F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & size.between(10, 30) & qty.between(10, 30))
+        | ((F.col("p_type") == "PROMO") & size.between(20, 50) & qty.between(25, 50))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q32_market_share",
+    """
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS yr,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS v,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE) AS mkt_share,
+           CAST(SUM(v) AS DOUBLE) AS region_revenue
+    FROM rev GROUP BY yr
+    """,
+)
+def q32_market_share(spark, sf_dir):
+    """TPC-H Q8 pattern: NATION_3 suppliers' share of EUROPE-customer
+    revenue per order year — a conditional-sum ratio inside one aggregate,
+    NOT two scans joined back. The region filter prunes customers before
+    they meet the fact; nation/region are constant-bounded broadcasts;
+    both sums run exact-decimal so the share division is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    eur_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        n.n_regionkey == r.r_regionkey,
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    eur_cust = c.join(F.broadcast(eur_nations), c.c_nationkey == F.col("cn_key")).select(
+        "c_custkey"
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(eur_cust, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", v).otherwise(zero)).cast("double")
+                / F.sum(v).cast("double")
+            ).alias("mkt_share"),
+            F.sum(v).cast("double").alias("region_revenue"),
+        )
+    )
+
+
+@query(
+    "q33_nation_pair_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l.l_shipdate) AS yr,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+       OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+    GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+    """,
+)
+def q33_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 pattern: bilateral trade volume between two nations by ship
+    year — the same dimension (nation) attached twice under different
+    roles. Customers and suppliers are pre-filtered to the two nations
+    BEFORE touching the fact (inner joins against filtered dims shrink
+    lineitem early); the cross-pair residual then only removes same-nation
+    rows. Exact-decimal volume."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    cn = c.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    sn = s.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("yr"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
