@@ -229,3 +229,62 @@ def winnow_minima(grams: Column, w: int = 4) -> Column:
             )
         )
     )
+
+
+def hashed_classifier_margin(
+    toks: ColumnOrName, n_buckets: int = 1024, salt: str = "qw-v1"
+) -> Column:
+    """Integer margin of a hashing-trick linear classifier (feature hashing,
+    Weinberger et al. 2009; the fastText-style doc scorer used by
+    CCNet/Gopher-style quality filtering): each token hashes into one of
+    ``n_buckets`` weight buckets (collisions share a weight — that IS the
+    hashing trick), and the margin is the sum of the bucket weights.
+
+    Weights are INTEGER (md5-bucket derived, range [-1000, 1000]) so the sum
+    is exact and order-independent — the score reproduces bit-for-bit on any
+    engine and any partitioning, with no float-accumulation drift. The
+    md5-derived weights are deterministic stand-ins for a trained model
+    (none ships in this container); production swaps the weight expression
+    for a lookup against a broadcast array of learned per-bucket weights —
+    same plan shape, still one narrow pass, no shuffle.
+
+    ``toks`` must be an already-materialized token-array column (see
+    winnow_minima's note: expression lambdas inline their inputs, so passing
+    ``tokens(text)`` directly would re-run the tokenizer per reference).
+    """
+
+    def w(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+            % n_buckets
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), bucket.cast("string"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        )
+
+    return F.aggregate(
+        F.transform(_c(toks), w), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def hashed_classifier_score(
+    toks: ColumnOrName, n_buckets: int = 1024, salt: str = "qw-v1"
+) -> Column:
+    """Sigmoid quality score in (0,1) from the hashing-trick margin: the mean
+    per-token weight (margin / (1000 * n_tokens)) squashed by a logistic.
+    Empty docs score exactly 0.5 (zero margin over a floor of one token).
+    round(…, 6) because exp() may differ in the last ulp across libm
+    implementations; six decimals is far coarser than 1 ulp."""
+    margin = hashed_classifier_margin(toks, n_buckets, salt)
+    n = F.greatest(F.size(_c(toks)), F.lit(1))
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(margin / (F.lit(1000.0) * n)))), 6
+    )

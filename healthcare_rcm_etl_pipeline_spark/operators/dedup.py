@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from healthcare_rcm_etl_pipeline_spark.functions.text import fingerprint_md5
 from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine
-from healthcare_rcm_etl_pipeline_spark.operators.similarity import lsh_candidate_pairs
+from healthcare_rcm_etl_pipeline_spark.operators.similarity import (
+    hyperplanes,
+    lsh_candidate_pairs,
+    sign_sketch,
+)
 
 def deterministic_split(
     df: DataFrame,
@@ -680,4 +684,51 @@ def minhash_lsh_pairs_incremental(
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("doc_base", "doc_new", "n_common", "jaccard")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into cells, compute
+    pairwise cosine only WITHIN a cell, and drop every vector that has a
+    lower-id cell-mate with cosine >= threshold (min-id survivor — the
+    engine-wide convention). Returns surviving (id, cell) rows.
+
+    Cells are deterministic sign-sketch buckets (2^n_planes cells) rather
+    than the paper's k-means clusters: the assignment is a pure column
+    expression any SQL engine reproduces exactly (so the driver oracle can
+    recheck survivors end-to-end). At 100 TB, tune n_planes so the expected
+    cell population keeps the within-cell pair scan near-linear (cells grow
+    with N), or swap in ``ivf_fit`` centroids for data-adaptive cells when
+    portability matters less. As in the paper, cross-cell near-dups are
+    missed by design — that recall loss is the price of never forming a
+    cross join; raise recall with finer cells + a second seed pass, not a
+    bigger join.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    s = sign_sketch(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")),
+        "__vec",
+        planes,
+        out_col="__cell",
+    )
+    a = s.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "__cell")
+    b = s.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "__cell")
+    removed = (
+        a.join(b, "__cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(F.round(cosine("vec_a", "vec_b"), 6) >= threshold)
+        .select(F.col("id_a").alias("__id"))
+        .distinct()
+    )
+    return s.join(removed, "__id", "left_anti").select(
+        F.col("__id").alias(id_col), F.col("__cell").alias("cell")
     )

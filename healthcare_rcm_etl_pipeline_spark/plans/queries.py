@@ -31,6 +31,7 @@ from healthcare_rcm_etl_pipeline_spark.functions.text import (
     LANG_MARKERS,
     avg_token_len,
     fingerprint_md5,
+    hashed_classifier_score,
     kgram_hashes,
     langid,
     normalize_text,
@@ -3538,5 +3539,87 @@ def q33_nation_pair_volume(spark, sf_dir):
         .agg(
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
             F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: SemDeDup semantic dedup + hashing-trick quality classifier
+# ---------------------------------------------------------------------------
+
+def _semdedup_oracle(threshold: float = 0.35, n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    # identical hyperplane literals on both sides: repr(float) round-trips,
+    # and both engines fold the dot product left-to-right over doubles.
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    cell = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id, e, CAST({cell} AS BIGINT) AS cell FROM v),
+    rm AS (
+      SELECT DISTINCT a.vec_id
+      FROM c a JOIN c b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+            >= {threshold}
+    )
+    SELECT vec_id, cell FROM c WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+    """
+
+
+@query("semantic_dedup", _semdedup_oracle())
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): drop every vector with a lower-id
+    same-cell mate at cosine >= 0.35 (threshold matched to the synthetic
+    near-orthogonal embeddings, as for embedding_near_dup). Cells are
+    deterministic sign-sketch buckets, so the oracle recomputes cell
+    assignment, within-cell pair scan, and survivor set end-to-end in SQL —
+    the engine must reproduce the paper's semantics without ever forming a
+    cross join."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(e, "embedding", "vec_id", threshold=0.35)
+
+
+_QC_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('qw-v1' || CAST((('0x' || substr(md5(tok), 1, 12))::BIGINT % 1024) AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000) AS wt
+      FROM t
+    ),
+    s AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS margin, COUNT(*) AS n FROM w GROUP BY doc_id)
+    SELECT doc_id, quality_score,
+           CASE WHEN quality_score >= 0.5 THEN 'keep' ELSE 'cull' END AS quality_label
+    FROM (
+      SELECT d.doc_id,
+             round(1.0 / (1.0 + exp(-(COALESCE(s.margin, 0) / (1000.0 * COALESCE(s.n, 1))))), 6) AS quality_score
+      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    )
+    """
+
+
+@query("quality_classifier", _QC_ORACLE)
+def quality_classifier_q(spark, sf_dir):
+    """Hashing-trick linear quality classifier over documents: tokens hash
+    into 1024 shared-weight buckets, integer margin -> sigmoid score ->
+    keep/cull label at 0.5. One narrow pass (tokenize once into a real
+    column, then pure expressions) — zero shuffle; the oracle recomputes
+    the identical bucketing, integer weights, and sigmoid in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id", hashed_classifier_score("__toks").alias("quality_score")
+        )
+        .withColumn(
+            "quality_label",
+            F.when(F.col("quality_score") >= 0.5, F.lit("keep")).otherwise(
+                F.lit("cull")
+            ),
         )
     )
