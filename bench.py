@@ -70,6 +70,8 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "embedding_quantize",
     "q21_customer_deciles",
+    "semantic_dedup",
+    "quality_classifier",
 ]
 
 
