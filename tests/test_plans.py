@@ -121,3 +121,19 @@ def test_snowflake_chain_broadcasts_bounded_dims(spark, sf_dir):
     plan = _plan(spark, "q27_region_revenue", sf_dir)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_shuffle_free(spark, sf_dir):
+    # hashing-trick scoring is per-row expressions only: any Exchange means
+    # the tokenize/score pipeline regressed into a wide plan
+    plan = QUERIES["quality_classifier"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_joins_on_cell_only(spark, sf_dir):
+    # the within-cell scan must be an equi-join on the cell id (plus the
+    # survivor anti-join) — never a cartesian, and norms are precomputed so
+    # the join condition folds only the dot product
+    plan = _plan(spark, "semantic_dedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
