@@ -5,9 +5,10 @@ drop_duplicates (/root/reference/python/transform.py:46-56,
 dimensional_modeling.py:33,40, scd_implementation.py:96-98). That contract —
 dense 0..n-1 ids in a defined order — is re-expressed here two ways:
 
-- ``dense_sk``: row_number() over a single explicit global ordering. Simple,
-  exactly reproducible, right for dimensions (≤ millions of rows). The global
-  window funnels through one task, so it is deliberately NOT used for facts.
+- ``dense_sk``: dense ordinal over (optionally deduped) key columns. Since
+  round 4 it delegates to the scalable two-pass rank below — NO query plans
+  an unpartitioned window anywhere (pinned by
+  tests/test_plans.py::test_no_unpartitioned_window_anywhere).
 - ``dense_sk_scalable``: range-repartition by the ordering key, sort within
   partitions, per-partition row_number + broadcast cumulative offsets. Fully
   parallel, still produces the exact global-sort rank, safe at 100 TB. The
@@ -32,11 +33,14 @@ def dense_sk(
 ) -> DataFrame:
     """Dense ordinal surrogate key over (optionally deduped) key columns.
 
-    Deterministic: ordering is the key columns themselves. Use for dims.
-    """
+    Deterministic: ordering is the key columns themselves (a total order
+    once deduped). Delegates to ``dense_sk_scalable`` — the naive
+    ``row_number() over (order by keys)`` formulation would funnel the whole
+    relation through one task (Exchange SinglePartition); the two-pass rank
+    produces the identical ids fully in parallel, at the cost of one bounded
+    driver round-trip (a row count per partition)."""
     out = df.dropDuplicates(key_cols) if dedup else df
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
-    return out.withColumn(sk_col, (F.row_number().over(w) - 1 + start).cast("long"))
+    return dense_sk_scalable(out, order_cols=key_cols, sk_col=sk_col, start=start)
 
 
 def stable_sk(
@@ -55,9 +59,9 @@ def stable_sk(
     reference's positional re-key hazard (scd_implementation.py:96-98),
     which shifts every sk after any change run and silently breaks fact FKs.
 
-    The offset is attached with a broadcast crossJoin of a 1-row aggregate —
-    no driver-side collect; the new-key rank is a dense_sk (single-task
-    window) sized by the NEW keys per run, not the full dimension.
+    The offset is attached with a broadcast crossJoin of a 1-row aggregate;
+    the new-key rank is a dense_sk (two-pass parallel rank) sized by the
+    NEW keys per run, not the full dimension.
     """
     keys = df.select(*key_cols).distinct()
     if existing is None:

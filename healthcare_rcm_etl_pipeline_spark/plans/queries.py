@@ -2219,32 +2219,51 @@ def q20_order_gaps(spark, sf_dir):
       SELECT *, ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM s
     )
     SELECT decile, COUNT(*) AS n_customers,
-           CAST(SUM(spend) AS DOUBLE) AS total_spend,
-           CAST(SUM(spend) / COUNT(*) AS DOUBLE) AS avg_spend,
+           {_dsum('spend')} AS total_spend,
+           {_dsum('spend')} / COUNT(*) AS avg_spend,
            CAST(SUM(n_orders) AS BIGINT) AS n_orders
     FROM d GROUP BY decile
     """,
 )
 def q21_customer_deciles(spark, sf_dir):
     """Customer spend deciles (payer-mix stratification): per-customer spend
-    -> ntile(10) over a TOTAL order (spend desc, custkey tie-break — ntile
-    without the tie-break is nondeterministic) -> per-decile rollup. The
-    ntile window is the one global-sort stage; at 100 TB you'd swap it for
-    approx percentile boundaries + a range join (the sketch_percentiles
-    query shows that path)."""
-    from pyspark.sql import Window
+    -> exact ntile(10) over a TOTAL order (spend desc, custkey tie-break —
+    ntile without the tie-break is nondeterministic) -> per-decile rollup.
 
+    No unpartitioned window: the global rank comes from ``dense_sk_scalable``
+    (range-partitioned sort + per-partition row_number + broadcast offsets),
+    and the decile is computed arithmetically from (rank, N) with exact
+    ntile semantics — the first N mod 10 buckets hold ceil(N/10) rows, the
+    rest floor(N/10). N is one long collected off the already-persisted
+    ranked relation, so the whole query stays distributed at any scale."""
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         money_sum("o_totalprice").alias("spend"), F.count("*").alias("n_orders")
     )
-    d = s.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("spend"), "o_custkey"))
-    )
+    # total order: spend DESC, custkey ASC — encode DESC as a negated key so
+    # the range partitioner sees a plain ascending sort.
+    ranked = dense_sk_scalable(
+        s.withColumn("__neg_spend", -F.col("spend")),
+        order_cols=["__neg_spend", "o_custkey"],
+        sk_col="__r0",
+    ).drop("__neg_spend")
+    n = ranked.count()  # one long off the persisted ranked relation
+    small, rem = n // 10, n % 10  # bucket sizes: rem buckets of small+1
+    cutoff = rem * (small + 1)
+    r0 = F.col("__r0")
+    if small == 0:  # fewer rows than buckets: rank+1 IS the ntile bucket
+        decile = (r0 + 1).cast("int")
+    else:
+        decile = (
+            F.when(r0 < cutoff, F.floor(r0 / (small + 1)) + 1)
+            .otherwise(rem + F.floor((r0 - cutoff) / small) + 1)
+            .cast("int")
+        )
+    d = ranked.withColumn("decile", decile).drop("__r0")
     return d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
-        F.sum("spend").cast("double").alias("total_spend"),
-        (F.sum("spend") / F.count("*")).cast("double").alias("avg_spend"),
+        money_sum("spend").alias("total_spend"),
+        (money_sum("spend") / F.count("*")).alias("avg_spend"),
         F.sum("n_orders").cast("bigint").alias("n_orders"),
     )
 
@@ -2893,19 +2912,16 @@ def oov_rate_q(spark, sf_dir):
     out-of-vocabulary token rate against it — the tokenizer-coverage check
     run before committing a vocab. The derived vocab is tiny by construction
     and BROADCAST to the token stream; the corpus shuffles only (token)
-    grams for the count and (doc, counts) afterwards."""
+    grams for the count and (doc, counts) afterwards. The top-50 selection
+    is ``orderBy(...).limit(50)`` — TakeOrderedAndProject, a per-partition
+    top-k merged at the driver — NOT a row_number over an unpartitioned
+    window, which would funnel the entire distinct-token vocabulary through
+    a single sort task."""
     d = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
     tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("n"))
-    vocab = (
-        counts.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
-        )
-        .filter(F.col("rn") <= 50)
-        .select("token")
-    )
+    vocab = counts.orderBy(F.desc("n"), "token").limit(50).select("token")
     flags = (
         tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left")
         .groupBy("doc_id", "source")

@@ -93,16 +93,32 @@ def read_jdbc(
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects. Read nanos as long (legacy conf) and convert with exact integer
-    division to microseconds — matching DuckDB's read-time ns->us truncation
-    bit-for-bit (double division would round up near ms boundaries)."""
+    """events.parquet readers have seen two physical encodings of ``ts``:
+
+    - TIMESTAMP(NANOS), which Spark's parquet reader rejects outright: read
+      nanos as long (legacy conf) and convert with exact integer division to
+      microseconds — matching DuckDB's read-time ns->us truncation
+      bit-for-bit (double division would round up near ms boundaries).
+    - timestamp[us] with no timezone (isAdjustedToUTC=false), which Spark 4
+      infers as TIMESTAMP_NTZ. NTZ is rejected by ``unix_millis`` and by
+      ``withWatermark`` (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the whole
+      event surface would break downstream. Cast to TIMESTAMP here, under
+      the UTC session timezone, so the stored micros are reinterpreted as
+      UTC instants — exactly how DuckDB's naive-timestamp oracle reads them.
+
+    Normalizing once at this boundary keeps every downstream operator
+    (range join, windows, watermarks, as-of) on plain TIMESTAMP.
+    """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -127,8 +127,17 @@ def stream_from_files(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """File-source stream with a watermark — the late-data policy: events
-    older than max(event time) - watermark are dropped from open windows."""
-    return spark.readStream.schema(schema).parquet(path).withWatermark("ts", watermark)
+    older than max(event time) - watermark are dropped from open windows.
+
+    ``ts`` is normalized to TIMESTAMP before the watermark: a parquet source
+    whose timestamps carry no timezone is inferred as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The
+    cast reinterprets the stored micros under the session timezone (pinned
+    UTC by the session factory), matching the batch reader boundary."""
+    df = spark.readStream.schema(schema).parquet(path)
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.withWatermark("ts", watermark)
 
 
 def run_stream_to_memory(

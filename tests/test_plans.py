@@ -46,6 +46,30 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def _logical_nodes(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _logical_nodes(it.next())
+
+
+def test_no_unpartitioned_window_anywhere(spark, sf_dir):
+    """Sweep every registered query: a Window with an empty partitionSpec
+    funnels the ENTIRE relation through one task (Exchange SinglePartition
+    + single sort) — invisible at sf0.1, fatal at 100 TB. Checked on the
+    optimized logical plan so AQE wrapping can't hide nodes; zero
+    allow-list entries."""
+    offenders = []
+    for name in QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _logical_nodes(plan):
+            if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+                offenders.append(name)
+                break
+    assert not offenders, f"unpartitioned Window in: {offenders}"
+
+
 def test_aggregates_are_partial_final(spark, sf_dir):
     # map-side combine: grouped aggregation appears as partial+final pairs
     plan = _plan(spark, "q10_part_profitability", sf_dir)
