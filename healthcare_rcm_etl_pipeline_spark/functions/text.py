@@ -270,8 +270,15 @@ def hashed_classifier_margin(
             - 1000
         )
 
-    return F.aggregate(
-        F.transform(_c(toks), w), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    # NULL token arrays (NULL text upstream) coalesce to margin 0, so the
+    # downstream sigmoid scores them 0.5 — same as an empty doc, and same
+    # as the oracle's COALESCE. Without this a NULL row silently drops out
+    # of score-based filters instead of landing at the neutral point.
+    return F.coalesce(
+        F.aggregate(
+            F.transform(_c(toks), w), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ),
+        F.lit(0).cast("bigint"),
     )
 
 

@@ -23,6 +23,8 @@ partitionings, engine-internal (documented as not portable to SQL oracles).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -623,7 +625,12 @@ def minhash_lsh_pairs_incremental(
     index rows are read (the production shape: the index is maintained as
     corpora are ingested, so each ingestion pays only for the new batch;
     asserted equivalent to the recompute path in tests). Base document TEXT
-    is still fetched for the few candidate docs during verification.
+    is fetched — and shingled — ONLY for candidate docs during
+    verification: the corpus is broadcast-left-semi-joined to the candidate
+    doc ids before ``_shingle_arrays``, so ingestion cost is linear in the
+    new batch + its collision set, never the base corpus size. (Candidates
+    scale with the new batch by construction — bucket pairs are cross-side
+    only and ``max_bucket``-capped — so the broadcast stays bounded.)
 
     Same banded-LSH machinery as minhash_lsh_pairs; the bucket pair emission
     keeps a side tag and drops same-side combinations BEFORE the d²/2
@@ -663,11 +670,16 @@ def minhash_lsh_pairs_incremental(
         )
         .dropDuplicates()
     )
-    sh = _shingle_arrays(tagged, text_col, id_col, n).select(
-        "doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
-    )
     melt = cand.select(
         "doc_base", "doc_new", F.explode(F.array("doc_base", "doc_new")).alias("doc")
+    )
+    # shingle ONLY candidate docs: without this semi-join the whole base
+    # corpus is re-shingled on every ingestion, making it O(corpus) instead
+    # of O(new batch).
+    cand_ids = melt.select(F.col("doc").alias(id_col)).distinct()
+    relevant = tagged.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = _shingle_arrays(relevant, text_col, id_col, n).select(
+        "doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )
     return (
         melt.join(sh, "doc")
@@ -687,14 +699,25 @@ def minhash_lsh_pairs_incremental(
     )
 
 
+def adaptive_n_planes(n_rows: int, target_cell_rows: int = 512) -> int:
+    """Plane count that keeps the EXPECTED sign-sketch cell population near
+    ``target_cell_rows``: 2^n_planes cells for n rows. Clamped to [6, 24] —
+    at least 64 cells so small corpora still shard, at most 16M cells so
+    the per-row sketch stays a handful of dot products."""
+    ratio = max(n_rows / max(target_cell_rows, 1), 1.0)
+    return min(max(math.ceil(math.log2(ratio)), 6), 24)
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 7,
+    max_cell: int | None = 4096,
+    target_cell_rows: int = 512,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space into cells, compute
@@ -705,14 +728,28 @@ def semantic_dedup(
     Cells are deterministic sign-sketch buckets (2^n_planes cells) rather
     than the paper's k-means clusters: the assignment is a pure column
     expression any SQL engine reproduces exactly (so the driver oracle can
-    recheck survivors end-to-end). At 100 TB, tune n_planes so the expected
-    cell population keeps the within-cell pair scan near-linear (cells grow
-    with N), or swap in ``ivf_fit`` centroids for data-adaptive cells when
-    portability matters less. As in the paper, cross-cell near-dups are
-    missed by design — that recall loss is the price of never forming a
-    cross join; raise recall with finer cells + a second seed pass, not a
-    bigger join.
+    recheck survivors end-to-end).
+
+    Scale policy (the within-cell pair scan is quadratic in cell size, so
+    cell population — not corpus size — is what must stay bounded):
+
+    - ``n_planes=None`` (default) adapts cell count to the corpus: one
+      count job estimates N, then n_planes = clamp(ceil(log2(N /
+      target_cell_rows)), 6, 24) keeps the EXPECTED cell near
+      ``target_cell_rows`` regardless of scale. Pass an explicit n_planes
+      for reproducible fixed-cell runs (the registered oracle query does).
+    - ``max_cell`` is the hot-cell guard, mirroring ``max_bucket`` in the
+      LSH paths: cells with more than max_cell members are excluded from
+      the pair scan entirely (all their rows survive, a documented recall
+      loss on degenerate mass-duplicate cells) — without it one hot cell
+      re-introduces the quadratic blowup the cells exist to prevent.
+
+    As in the paper, cross-cell near-dups are missed by design — that
+    recall loss is the price of never forming a cross join; raise recall
+    with finer cells + a second seed pass, not a bigger join.
     """
+    if n_planes is None:
+        n_planes = adaptive_n_planes(df.count(), target_cell_rows)
     planes = hyperplanes(dim, n_planes, seed)
     s = sign_sketch(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")),
@@ -724,6 +761,17 @@ def semantic_dedup(
     # only the dot product (1 array fold/pair instead of 3). Same doubles as
     # cosine() — identical expressions, just materialized before the join.
     n = s.withColumn("__norm", norm("__vec"))
+    if max_cell is not None:
+        # hot-cell guard: the pair scan only sees cells within the cap.
+        # One extra partial-aggregated count shuffle on __cell; the hot-cell
+        # relation is tiny (one row per OVER-CAP cell) and broadcasts.
+        hot = (
+            n.groupBy("__cell")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_cell)
+            .select("__cell")
+        )
+        n = n.join(F.broadcast(hot), "__cell", "left_anti")
     a = n.select(
         F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"),
         F.col("__norm").alias("__na"), "__cell",

@@ -129,8 +129,11 @@ def expectations_report(df: DataFrame, expectations: list[tuple[str, str, dict]]
                 | F.col(p["col"]).isNull()
             )
         elif kind == "unique":
+            # COUNT(*) (not COUNT(col)): NULL-key rows count as violations —
+            # a NULL in a uniqueness-checked key is never a valid key, and
+            # this matches the oracle's COUNT(*) - COUNT(DISTINCT col).
             aggs.append(
-                (F.count(p["col"]) - F.count_distinct(F.col(p["col"]))).alias(safe)
+                (F.count(F.lit(1)) - F.count_distinct(F.col(p["col"]))).alias(safe)
             )
             rows.append((name, kind, safe))
             continue

@@ -3563,7 +3563,13 @@ def q33_nation_pair_volume(spark, sf_dir):
 # Beyond-reference: SemDeDup semantic dedup + hashing-trick quality classifier
 # ---------------------------------------------------------------------------
 
-def _semdedup_oracle(threshold: float = 0.35, n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+def _semdedup_oracle(
+    threshold: float = 0.35,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    max_cell: int = 4096,
+) -> str:
     # identical hyperplane literals on both sides: repr(float) round-trips,
     # and both engines fold the dot product left-to-right over doubles.
     planes = similarity.hyperplanes(dim, n_planes, seed)
@@ -3575,9 +3581,11 @@ def _semdedup_oracle(threshold: float = 0.35, n_planes: int = 6, dim: int = 64, 
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     c AS (SELECT vec_id, e, CAST({cell} AS BIGINT) AS cell FROM v),
+    hot AS (SELECT cell FROM c GROUP BY cell HAVING COUNT(*) > {max_cell}),
+    s AS (SELECT * FROM c WHERE cell NOT IN (SELECT cell FROM hot)),
     rm AS (
       SELECT DISTINCT a.vec_id
-      FROM c a JOIN c b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      FROM s a JOIN s b ON a.cell = b.cell AND b.vec_id < a.vec_id
       WHERE round(list_dot_product(a.e, b.e)
                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
             >= {threshold}
@@ -3592,11 +3600,16 @@ def semantic_dedup_q(spark, sf_dir):
     same-cell mate at cosine >= 0.35 (threshold matched to the synthetic
     near-orthogonal embeddings, as for embedding_near_dup). Cells are
     deterministic sign-sketch buckets, so the oracle recomputes cell
-    assignment, within-cell pair scan, and survivor set end-to-end in SQL —
-    the engine must reproduce the paper's semantics without ever forming a
-    cross join."""
+    assignment, hot-cell exclusion, within-cell pair scan, and survivor set
+    end-to-end in SQL — the engine must reproduce the paper's semantics
+    without ever forming a cross join. n_planes is pinned (the operator's
+    adaptive default would pick the same 6 at driver SFs, but the oracle's
+    hyperplane literals must be static); max_cell mirrors the operator's
+    hot-cell guard."""
     e = _t(spark, sf_dir, "embeddings")
-    return dedup.semantic_dedup(e, "embedding", "vec_id", threshold=0.35)
+    return dedup.semantic_dedup(
+        e, "embedding", "vec_id", threshold=0.35, n_planes=6, max_cell=4096
+    )
 
 
 _QC_ORACLE = f"""

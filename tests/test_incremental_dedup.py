@@ -59,7 +59,13 @@ class TestIncrementalLsh:
 class TestExpectations:
     def test_violations_counted_and_flagged(self, spark):
         df = spark.createDataFrame(
-            [Row(k=1, s="A", v=5.0), Row(k=1, s="B", v=-1.0), Row(k=2, s="Z", v=None)]
+            [
+                Row(k=1, s="A", v=5.0),
+                Row(k=1, s="B", v=-1.0),
+                Row(k=2, s="Z", v=None),
+                Row(k=None, s="A", v=3.0),  # NULL key: a uniqueness violation
+            ],
+            "k long, s string, v double",
         )
         out = {
             r.expectation: (r.n_violations, r.passed)
@@ -76,7 +82,9 @@ class TestExpectations:
         assert out["v_not_null"] == (1, False)
         assert out["s_domain"] == (1, False)      # 'Z' not accepted
         assert out["v_range"] == (2, False)       # -1.0 and NULL
-        assert out["k_unique"] == (1, False)      # k=1 twice
+        # 4 rows, 2 distinct non-null keys: k=1 twice + the NULL-key row
+        # both violate (COUNT(*) - COUNT(DISTINCT k) = 2, oracle semantics)
+        assert out["k_unique"] == (2, False)
 
     def test_unknown_kind_raises(self, spark):
         with pytest.raises(ValueError):
@@ -108,3 +116,32 @@ class TestPersistedBandIndex:
         key = lambda r: (r.doc_base, r.doc_new, r.n_common, r.jaccard)
         assert sorted(map(key, via_index)) == sorted(map(key, recompute))
         assert (1, 10) in {(r.doc_base, r.doc_new) for r in via_index}
+
+    def test_ingestion_never_shingles_non_candidate_base_docs(
+        self, spark, monkeypatch
+    ):
+        """Linearity claim made observable: with a prebuilt index, the only
+        base text that reaches the shingler is the candidate set — a base
+        doc sharing no LSH bucket with any new doc must never be shingled,
+        otherwise ingestion is O(corpus), not O(new batch)."""
+        long_a = " ".join(f"w{i}" for i in range(30))
+        base = _docs(
+            spark, [(1, long_a), (3, "tiny unrelated doc never colliding")]
+        )
+        new = _docs(spark, [(10, long_a), (12, "nothing alike at all")])
+        idx = dedup.minhash_band_table(base, "text", "doc_id")
+
+        shingled_ids: set = set()
+        real = dedup._shingle_arrays
+
+        def spy(df, text_col, id_col, n):
+            shingled_ids.update(r[0] for r in df.select(id_col).collect())
+            return real(df, text_col, id_col, n)
+
+        monkeypatch.setattr(dedup, "_shingle_arrays", spy)
+        out = dedup.minhash_lsh_pairs_incremental(
+            new, base, "text", "doc_id", base_bands=idx
+        ).collect()
+        assert (1, 10) in {(r.doc_base, r.doc_new) for r in out}
+        assert 3 not in shingled_ids  # non-candidate base doc never shingled
+        assert 1 in shingled_ids      # candidate base doc was verified

@@ -95,6 +95,38 @@ def test_semantic_dedup_partition_invariant(spark, sf_dir):
     assert base == shuffled
 
 
+def test_semantic_dedup_hot_cell_guard_bounds_pairs(spark):
+    """A degenerate mass-duplicate cell (every vector identical) must NOT
+    enter the quadratic pair scan when it exceeds max_cell: all its rows
+    survive (documented recall loss), instead of one hot cell re-creating
+    the all-pairs blowup the cells exist to prevent."""
+    dim = 64
+    vec = [1.0] + [0.0] * (dim - 1)
+    hot = spark.createDataFrame(
+        [(i, vec) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    # guard off: min-id survivor semantics collapse the cell to one row
+    no_guard = semantic_dedup(
+        hot, "embedding", "vec_id", threshold=0.9, n_planes=6, max_cell=None
+    )
+    assert no_guard.count() == 1
+    # guard on (cap below the cell size): the cell is skipped wholesale
+    guarded = semantic_dedup(
+        hot, "embedding", "vec_id", threshold=0.9, n_planes=6, max_cell=10
+    )
+    assert guarded.count() == 50
+
+
+def test_adaptive_n_planes_tracks_corpus_size():
+    from healthcare_rcm_etl_pipeline_spark.operators.dedup import adaptive_n_planes
+
+    assert adaptive_n_planes(0) == 6  # clamped floor, empty-safe
+    assert adaptive_n_planes(500) == 6
+    assert adaptive_n_planes(512 * 2**10) == 10
+    assert adaptive_n_planes(10**9) == 21  # ~1e9/512 -> 2^21 cells
+    assert adaptive_n_planes(10**12) == 24  # clamped ceiling
+
+
 def _py_margin(text: str, n_buckets: int = 1024, salt: str = "qw-v1") -> int:
     total = 0
     for tok in text.lower().strip().split():
@@ -119,7 +151,9 @@ def test_classifier_margin_matches_python_reimplementation(spark):
         (3, "   "),
         (4, "one-token"),
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(
+        rows + [(5, None)], "doc_id long, text string"
+    )
     got = {
         r.doc_id: r.m
         for r in df.select(
@@ -129,11 +163,13 @@ def test_classifier_margin_matches_python_reimplementation(spark):
     }
     for doc_id, text in rows:
         assert got[doc_id] == _py_margin(text), (doc_id, text)
+    assert got[5] == 0  # NULL text: margin coalesces to 0, not NULL
 
 
 def test_classifier_score_bounds_and_empty_doc(spark):
     df = spark.createDataFrame(
-        [(1, "some ordinary words here"), (2, "")], ["doc_id", "text"]
+        [(1, "some ordinary words here"), (2, ""), (3, None)],
+        "doc_id long, text string",
     )
     out = {
         r.doc_id: r.s
@@ -143,3 +179,4 @@ def test_classifier_score_bounds_and_empty_doc(spark):
     }
     assert 0.0 < out[1] < 1.0
     assert out[2] == 0.5  # empty doc: zero margin over a one-token floor
+    assert out[3] == 0.5  # NULL doc lands at the same neutral point
