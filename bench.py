@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan + execute + materialize via count/
 collect of the final small result). The SparkSession is created once —
 JVM startup is excluded, matching how a long-lived cluster runs queries.
+
+Contention guard: a fixed-cost calibration sentinel (pure JVM range-sum,
+independent of SF and of any engine code) is timed before and after the
+query loop. If the machine got busier mid-run the sentinel drifts, and the
+run is flagged "contended" — so an environment wobble can never masquerade
+as a code regression. Per-query dispersion (min/median/max over the timed
+iterations) is reported alongside the headline min for the same reason.
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -75,6 +83,18 @@ HEADLINE = [
 ]
 
 
+def _sentinel_sec(spark, iters: int = 5) -> float:
+    """Min wall-clock of a fixed-cost JVM-side job: 50M-row range sum over
+    32 partitions. No IO, no engine code — its only variable is machine
+    load, which is exactly what it exists to measure."""
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 + 1)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -98,19 +118,29 @@ def main() -> None:
     # at negligible added wall-clock.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
+    sentinel_before = _sentinel_sec(spark)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best, n = float("inf"), 0
+        runs: list[float] = []
+        n = 0
         for i in range(iters + extra):
-            if i >= iters and best >= 1.0:
+            if i >= iters and min(runs) >= 1.0:
                 break
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = [
+            round(min(runs), 3),
+            round(statistics.median(runs), 3),
+            round(max(runs), 3),
+        ]
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    sentinel_after = _sentinel_sec(spark)
 
+    drift = round(sentinel_after / sentinel_before, 2) if sentinel_before > 0 else 1.0
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -118,6 +148,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "spread": spread,  # per-query [min, median, max] over timed iters
+        "sentinel": {
+            "before_sec": round(sentinel_before, 3),
+            "after_sec": round(sentinel_after, 3),
+            "drift": drift,
+            # machine load changed >1.5x during the run: treat per-query
+            # numbers as unreliable for round-over-round comparison
+            "contended": bool(drift > 1.5 or drift < 1 / 1.5),
+        },
     }
     prev_name, prev = _prev_round()
     if prev:
