@@ -125,10 +125,17 @@ def build_dim_procedures(
             "ProcedureDescription",
             F.concat(F.lit("Desc for Code "), F.col("ProcedureCode").cast("string")),
         )
-    lookup = cptcodes.select(
-        F.col("CPT Codes").cast("int").alias("ProcedureCode"),
-        F.trim(F.col("Procedure Code Descriptions")).alias("ProcedureDescription"),
-    ).dropDuplicates(["ProcedureCode"])
+    # try_cast: the lookup carries alphanumeric Category-III codes ('0585T')
+    # that can never match the int ProcedureCode — they drop to null instead
+    # of throwing under ANSI mode.
+    lookup = (
+        cptcodes.select(
+            F.col("CPT Codes").try_cast("int").alias("ProcedureCode"),
+            F.trim(F.col("Procedure Code Descriptions")).alias("ProcedureDescription"),
+        )
+        .na.drop(subset=["ProcedureCode"])
+        .dropDuplicates(["ProcedureCode"])
+    )
     return dim.join(F.broadcast(lookup), "ProcedureCode", "left").withColumn(
         "ProcedureDescription",
         F.coalesce(

@@ -89,16 +89,31 @@ def run_pipeline(
     staging_dir: str | None = None,
     run_date: str = "2025-08-03",
     existing_dim_patients: DataFrame | None = None,
+    use_cpt_lookup: bool = False,
 ) -> dict[str, DataFrame]:
-    """Full batch run; returns {table_name: DataFrame} of dims + facts."""
+    """Full batch run; returns {table_name: DataFrame} of dims + facts.
+
+    ``use_cpt_lookup``: opt-in enrichment of dim_procedures from the
+    reference's dormant CPT lookup (Data/cptcode/cptcodes.csv — shipped but
+    never read by the reference, dimensional_modeling.py:34 fakes the
+    description instead). Codes found in the lookup get the real CPT
+    description; unknown codes keep the reference's synthetic
+    'Desc for Code N' fallback. Off by default for strict parity."""
     db_raw, claims_raw = extract(spark, reference_root)
     db, claims = transform(db_raw, claims_raw, run_date)
 
+    cpt = None
+    if use_cpt_lookup:
+        cpt = readers.read_csv(
+            spark,
+            os.path.join(reference_root, "Data", "cptcode", "cptcodes.csv"),
+            schemas.HOSPITAL_TABLE_SCHEMAS["cptcodes"],
+        )
     dims = {
         "dim_patients": model.build_dim_patients(db["patients"]),
         "dim_providers": model.build_dim_providers(db["providers"], db["departments"]),
         "dim_departments": model.build_dim_departments(db["departments"]),
-        "dim_procedures": model.build_dim_procedures(db["transactions"]),
+        "dim_procedures": model.build_dim_procedures(db["transactions"], cptcodes=cpt),
         "dim_date": model.build_dim_date(db["transactions"], db["encounters"]),
     }
 

@@ -108,3 +108,27 @@ def test_scd_first_run_stamping(star):
     dp = star["dim_patients"]
     assert dp.filter(~F.col("is_current")).count() == 0
     assert {r[0] for r in dp.select("version").distinct().collect()} == {1}
+
+
+def test_cpt_lookup_enrichment_opt_in(spark):
+    """use_cpt_lookup=True joins the reference's dormant CPT lookup
+    (Data/cptcode/cptcodes.csv — shipped but never read by the reference,
+    dimensional_modeling.py:34): codes present in the lookup get the real
+    CPT description, the rest keep the synthetic 'Desc for Code N'
+    fallback, and the sk assignment is identical either way."""
+    star = run_pipeline(spark, run_date="2025-08-03", use_cpt_lookup=True)
+    dim = star["dim_procedures"]
+    assert dim.count() == 996
+    real = dim.filter(~F.col("ProcedureDescription").startswith("Desc for Code"))
+    fake = dim.filter(F.col("ProcedureDescription").startswith("Desc for Code"))
+    # 12 of the 996 seed procedure codes exist in the CPT lookup
+    assert real.count() == 12
+    assert fake.count() == 984
+    assert dim.filter(F.col("ProcedureDescription").isNull()).count() == 0
+    # enrichment must not disturb the surrogate keys
+    base = run_pipeline(spark, run_date="2025-08-03")["dim_procedures"]
+    assert sorted(
+        (r.ProcedureCode, r.procedure_sk) for r in dim.select("ProcedureCode", "procedure_sk").collect()
+    ) == sorted(
+        (r.ProcedureCode, r.procedure_sk) for r in base.select("ProcedureCode", "procedure_sk").collect()
+    )
