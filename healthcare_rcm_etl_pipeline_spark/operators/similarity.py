@@ -233,8 +233,27 @@ def ivf_fit(
     return cents
 
 
-def ivf_topk(
+def ivf_index(
     corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF index RELATION: (id, vec, cell) with every corpus vector
+    assigned to its single nearest centroid. Persist it once per corpus —
+    ``df.write.partitionBy("cell").parquet(path)`` — and probes then read
+    only the probed cells' partitions (mirrors the persisted minhash band
+    table: fit/assign is paid at ingestion, probe cost is per-query)."""
+    cv = as_double_vec(vec_col)
+    return corpus.select(
+        F.col(id_col),
+        cv.alias(vec_col),
+        F.array_max(F.array(*_cell_scores(cv, centroids)))["cell"].alias("cell"),
+    )
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
     queries: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
@@ -242,20 +261,17 @@ def ivf_topk(
     k: int = 5,
     n_probe: int = 4,
 ) -> DataFrame:
-    """Approximate top-k via IVF cells: every corpus vector lives in exactly
-    ONE cell (nearest centroid); each query probes its ``n_probe``
-    closest cells. Candidate cost ≈ n_probe/n_cells of the corpus per
-    query — the other classic ANN scale path next to LSH (same shape as a
-    FAISS IVF-flat probe, re-expressed as a cell equi-join Catalyst can
-    plan: small query side broadcast, corpus scanned once, per-query
-    window top-k, no global sort)."""
-    cv = as_double_vec(vec_col)
-    c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(
+    """Probe a prebuilt ``ivf_index`` relation (in-memory or read back from
+    a cell-partitioned parquet layout): each query expands to its
+    ``n_probe`` closest cells, the index is equi-joined on cell (query side
+    broadcast — a cell-partitioned on-disk index is then pruned to the
+    probed cells via dynamic partition pruning), per-query window top-k.
+    Candidate cost ≈ n_probe/n_cells of the corpus per query; the corpus is
+    never re-assigned at probe time."""
+    c = index.select(
         F.col(id_col).alias("neighbor_id"),
-        cv.alias("__cvec"),
-        F.array_max(F.array(*_cell_scores(cv, centroids)))["cell"].alias("cell"),
+        as_double_vec(vec_col).alias("__cvec"),
+        F.col("cell"),
     )
     qv = as_double_vec(vec_col)
     q = queries.select(
@@ -282,6 +298,39 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF cells: every corpus vector lives in exactly
+    ONE cell (nearest centroid); each query probes its ``n_probe``
+    closest cells. Candidate cost ≈ n_probe/n_cells of the corpus per
+    query — the other classic ANN scale path next to LSH (same shape as a
+    FAISS IVF-flat probe, re-expressed as a cell equi-join Catalyst can
+    plan: small query side broadcast, corpus scanned once, per-query
+    window top-k, no global sort).
+
+    One-shot convenience: assigns cells inline (``ivf_index``) then probes
+    (``ivf_topk_indexed``) — a single shared code path, so the persisted
+    index is equivalent by construction (and pinned by test)."""
+    idx = ivf_index(
+        corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, id_col
+        ),
+        centroids,
+        vec_col,
+        id_col,
+    )
+    return ivf_topk_indexed(
+        idx, queries, centroids, vec_col, id_col, k=k, n_probe=n_probe
     )
 
 

@@ -179,6 +179,30 @@ def test_ivf_fit_deterministic_and_assign_total(spark):
     assert full == exact
 
 
+def test_ivf_persisted_index_probe_equals_recompute(spark, tmp_path):
+    """The production shape: assign cells ONCE (ivf_index), persist
+    partitioned by cell, then probe the on-disk index — identical results
+    to the one-shot recompute path, and the probe's scan carries a
+    partition filter on cell (dynamic partition pruning from the broadcast
+    query side), so only probed cells are read."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    cents = similarity.ivf_fit(emb, n_cells=8, iters=2)
+
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index(emb, cents).write.partitionBy("cell").parquet(path)
+    idx = spark.read.parquet(path)
+
+    probed = similarity.ivf_topk_indexed(idx, q, cents, k=5, n_probe=4)
+    recomputed = similarity.ivf_topk(emb, q, cents, k=5, n_probe=4)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
+    # the on-disk index scan is pruned to the probed cells, not read in full
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_ivf_partial_probe_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 40 == 0)
