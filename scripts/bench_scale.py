@@ -1,0 +1,152 @@
+"""10x scaling probe for the heavy corpus operators.
+
+Builds an sf1-equivalent corpus (10x the sf0.1 documents/embeddings) by
+replicating sf0.1 with per-replica structural isolation, then times
+minhash-LSH dedup, semantic dedup, and IVF ANN at both scales and prints
+the wall-clock ratio. Near-linear ratios (~10x for 10x data) are the pass
+condition recorded in SCALE.md.
+
+Replication is NOT naive duplication — that would create 10 exact copies
+of every doc and grow near-dup PAIRS quadratically, which is a worst-case
+stress test, not a scaling measurement. Instead each replica is made
+structurally identical to sf0.1 but disjoint from the others:
+
+- documents: every token is prefixed with the replica tag (one
+  regexp_replace), so within-replica shingle similarity is preserved
+  exactly while cross-replica similarity is zero — total near-dup pairs
+  scale linearly with replicas.
+- embeddings: each replica's vectors are circularly rotated by the replica
+  index. Rotation preserves norms and within-replica cosines; for the
+  synthetic near-orthogonal vectors, cross-replica cosines stay ~0.
+
+ANN probes a FIXED query set (the base replica's every-40th vector) at both
+scales, so its cost model is corpus-linear by construction.
+
+Usage: python scripts/bench_scale.py [replicas]   (default 10)
+Writes nothing outside /tmp; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, similarity
+from healthcare_rcm_etl_pipeline_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def scaled_documents(spark, replicas: int):
+    base = spark.read.parquet(f"{SF01}/documents.parquet")
+    parts = [
+        base.select(
+            (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"(^|\s)", f"$1r{r}x").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for r in range(replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_embeddings(spark, replicas: int, dim: int = 64):
+    base = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    parts = []
+    for r in range(replicas):
+        e = F.col("embedding")
+        rot = e if r == 0 else F.concat(F.slice(e, r + 1, dim - r), F.slice(e, 1, r))
+        parts.append(
+            base.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(fn, iters: int = 2) -> float:
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="hrcm-bench-scale")
+
+    # materialize both corpora to parquet so timed runs measure the
+    # operators, not the replication expressions
+    tmp = tempfile.mkdtemp(prefix="hrcm_scale_")
+    paths = {}
+    for name, df in [
+        ("docs1", spark.read.parquet(f"{SF01}/documents.parquet")),
+        ("docs10", scaled_documents(spark, replicas)),
+        ("emb1", spark.read.parquet(f"{SF01}/embeddings.parquet")),
+        ("emb10", scaled_embeddings(spark, replicas)),
+    ]:
+        p = f"{tmp}/{name}.parquet"
+        df.repartition(32).write.parquet(p)
+        paths[name] = p
+    docs1 = spark.read.parquet(paths["docs1"])
+    docs10 = spark.read.parquet(paths["docs10"])
+    emb1 = spark.read.parquet(paths["emb1"])
+    emb10 = spark.read.parquet(paths["emb10"])
+    queries = emb1.filter(F.col("vec_id") % 40 == 0)  # FIXED across scales
+
+    results = {}
+
+    def run(op, small, big):
+        small()  # warm codegen/JIT on the small corpus
+        t1, t10 = timed(small), timed(big)
+        results[op] = {
+            "sf0.1_sec": t1,
+            f"sf1({replicas}x)_sec": t10,
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+        }
+        print(f"  {op}: {t1}s -> {t10}s (x{results[op]['ratio']})", file=sys.stderr)
+
+    run(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(docs1, "text", "doc_id").count(),
+        lambda: dedup.minhash_lsh_pairs(docs10, "text", "doc_id").count(),
+    )
+    run(
+        "semantic_dedup",
+        lambda: dedup.semantic_dedup(emb1, "embedding", "vec_id", threshold=0.35).count(),
+        lambda: dedup.semantic_dedup(emb10, "embedding", "vec_id", threshold=0.35).count(),
+    )
+    cents1 = similarity.ivf_fit(emb1, n_cells=16, iters=1)
+    cents10 = similarity.ivf_fit(emb10, n_cells=16, iters=1)
+    run(
+        "ann_topk_ivf",
+        lambda: similarity.ivf_topk(emb1, queries, cents1, k=5, n_probe=4).count(),
+        lambda: similarity.ivf_topk(emb10, queries, cents10, k=5, n_probe=4).count(),
+    )
+
+    print(json.dumps({"replicas": replicas, "results": results}))
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
