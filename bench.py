@@ -80,6 +80,11 @@ HEADLINE = [
     "q21_customer_deciles",
     "semantic_dedup",
     "quality_classifier",
+    # round-4 surface additions
+    "events_range_join",
+    "ann_topk_ivf",
+    "oov_rate",
+    "dedup_keep_survivors",
 ]
 
 

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TESTDATA_TABLES = [
@@ -122,6 +123,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP. Parquet timestamps
+    written without a timezone (isAdjustedToUTC=false) arrive as NTZ, which
+    half the timestamp surface rejects (unix_millis, withWatermark) — under
+    a UTC session the cast reinterprets the stored micros as UTC instants,
+    exactly how a naive-timestamp SQL oracle reads the same file. Applied
+    at every table-load boundary so a testdata regeneration can never flip
+    the engine's timestamp type out from under the operators again."""
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver testdata table (TESTDATA.md).
 
@@ -132,7 +147,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -73,3 +73,41 @@ def test_read_orc_roundtrip_with_pushdown(spark, tmp_path):
     q = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_normalize_ntz_casts_all_ntz_columns(spark, tmp_path):
+    """A parquet file whose timestamps carry no timezone is read as
+    TIMESTAMP_NTZ; normalize_ntz must flip every such column to TIMESTAMP
+    under the UTC session preserving the stored wall-clock micros — the
+    guard that keeps a testdata regeneration from breaking unix_millis /
+    withWatermark consumers (it did, in round 3)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import normalize_ntz
+
+    p = str(tmp_path / "ntz.parquet")
+    ts = [datetime.datetime(2026, 1, 2, 3, 4, 5, 123456)]
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(ts, type=pa.timestamp("us")),  # NTZ
+                "b": pa.array(ts, type=pa.timestamp("us", tz="UTC")),
+                "k": pa.array([7], type=pa.int64()),
+            }
+        ),
+        p,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(p)
+    assert dict(raw.dtypes)["a"] == "timestamp_ntz"
+    out = normalize_ntz(raw)
+    assert dict(out.dtypes) == {"a": "timestamp", "b": "timestamp", "k": "bigint"}
+    r = out.collect()[0]
+    assert r["a"] == r["b"] == ts[0]  # wall-clock preserved, byte-equal epochs
+    from pyspark.sql import functions as F
+
+    ms = out.select(F.unix_millis("a").alias("m")).collect()[0]["m"]
+    assert ms == int(ts[0].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)

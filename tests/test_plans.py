@@ -70,6 +70,21 @@ def test_no_unpartitioned_window_anywhere(spark, sf_dir):
     assert not offenders, f"unpartitioned Window in: {offenders}"
 
 
+def test_no_python_row_udf_anywhere(spark, sf_dir):
+    """Zero-UDF policy sweep: no registered query may plan a Python
+    evaluation node. BatchEvalPython (row-at-a-time, ~10-100x slower than
+    codegen) is banned outright; ArrowEvalPython (pandas UDF) is banned
+    from the QUERY surface too — the one sanctioned Python path is the
+    multimodal mapInPandas decode, which plans as MapInPandas and is
+    allowed."""
+    offenders = []
+    for name in QUERIES:
+        plan = _plan(spark, name, sf_dir)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python eval nodes in: {offenders}"
+
+
 def test_aggregates_are_partial_final(spark, sf_dir):
     # map-side combine: grouped aggregation appears as partial+final pairs
     plan = _plan(spark, "q10_part_profitability", sf_dir)
