@@ -216,6 +216,29 @@ def contamination_stats(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """The removal half of decontamination: returns the CORPUS ROWS (all
+    columns) whose documents are NOT contaminated per
+    ``contamination_stats`` — i.e. fewer than ``min_overlap`` distinct word
+    n-grams shared with the benchmark set. Detection is a broadcast
+    semi-join against the benchmark shingle set; removal is one more
+    anti-join of the corpus against the flagged ids, so the full pipeline
+    still never shuffles the corpus on text."""
+    flagged = (
+        contamination_stats(df, bench, text_col, id_col, n=n, min_overlap=min_overlap)
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return df.join(flagged, id_col, "left_anti")
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

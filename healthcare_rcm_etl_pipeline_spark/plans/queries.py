@@ -2118,6 +2118,53 @@ def contamination_q(spark, sf_dir):
     )
 
 
+_DECONTAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                          i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM t
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+    ),
+    corpus AS (SELECT * FROM sh WHERE source <> 'src0'),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus) c
+      JOIN bench b ON c.shingle = b.shingle
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN corpus c ON d.doc_id = c.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE COALESCE(h.n_hits, 0) < 2
+    """
+
+
+@query("decontaminate_corpus", _DECONTAM_ORACLE)
+def decontaminate_corpus_q(spark, sf_dir):
+    """The removal half of GPT-3-style decontamination: drop every corpus
+    doc sharing >= 2 distinct word 3-grams with the benchmark set
+    (source='src0'), return the surviving corpus rows. Detection rides the
+    broadcast benchmark shingle set; removal is a left-anti join on the
+    flagged ids — the corpus is never shuffled on text."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = corpus.decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=3,
+        min_overlap=2,
+    )
+    return survivors.select("doc_id", "source", "n_chars")
+
+
 _REPETITION_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     g2 AS (
@@ -3630,6 +3677,60 @@ _QC_ORACLE = f"""
       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     )
     """
+
+
+_QPF_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('qw-v1' || CAST((('0x' || substr(md5(tok), 1, 12))::BIGINT % 1024) AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000) AS wt
+      FROM t
+    ),
+    s AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS margin, COUNT(*) AS n FROM w GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             round(1.0 / (1.0 + exp(-(COALESCE(s.margin, 0) / (1000.0 * COALESCE(s.n, 1))))), 6) AS quality_score
+      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    ),
+    th AS (
+      SELECT source, round(quantile_cont(quality_score, 0.75), 9) AS threshold
+      FROM scored GROUP BY source
+    )
+    SELECT sc.doc_id, sc.source, sc.quality_score, th.threshold
+    FROM scored sc JOIN th USING (source)
+    WHERE sc.quality_score >= th.threshold
+    """
+
+
+@query("quality_percentile_filter", _QPF_ORACLE)
+def quality_percentile_filter_q(spark, sf_dir):
+    """Percentile-thresholded quality filter (the FineWeb-style 'keep the
+    top quartile of each source' pattern): score every doc with the
+    hashing-trick classifier, compute each source's exact 75th-percentile
+    score (Spark ``percentile`` ≡ DuckDB quantile_cont, pinned bitwise by
+    q15), broadcast the per-source thresholds back, keep docs at-or-above
+    their source's threshold. Two passes over the scored relation and one
+    tiny broadcast — no window, no sort. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (KLL sketch, one pass, bounded memory — the
+    sketch_percentiles_tolerance query pins its error envelope)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "source",
+        hashed_classifier_score("__toks").alias("quality_score"),
+    )
+    th = scored.groupBy("source").agg(
+        F.round(F.percentile("quality_score", F.lit(0.75)), 9).alias("threshold")
+    )
+    return (
+        scored.join(F.broadcast(th), "source")
+        .filter(F.col("quality_score") >= F.col("threshold"))
+        .select("doc_id", "source", "quality_score", "threshold")
+    )
 
 
 @query("quality_classifier", _QC_ORACLE)
