@@ -1,0 +1,79 @@
+"""Near-dup-gated streaming corpus ingestion (streaming/ingest.py):
+within-batch exact + LSH dedup, cross-corpus probe of the persisted band
+index, per-epoch idempotent appends. Drives a real file-source stream with
+availableNow triggers across three 'days' of arrivals."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from healthcare_rcm_etl_pipeline_spark.streaming import ingest
+
+LONG_A = " ".join(f"w{i}" for i in range(30))
+LONG_B = " ".join(f"x{i}" for i in range(25))
+LONG_C = " ".join(f"y{i}" for i in range(28))
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _run_once(spark, src, base, ckpt):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = ingest.dedup_ingest_stream(stream, base, ckpt)
+    q.awaitTermination(120)
+    return q
+
+
+def _corpus_ids(spark, base):
+    return sorted(
+        r.doc_id for r in ingest.read_corpus(spark, base).select("doc_id").collect()
+    )
+
+
+def test_gated_ingestion_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # day 1: exact dup (2), near dup of 1 (3), one genuinely new doc (4)
+    _write_docs(
+        spark,
+        src,
+        [(1, LONG_A), (2, LONG_A), (3, LONG_A + " extra"), (4, LONG_B)],
+    )
+    _run_once(spark, src, base, ckpt)
+    assert _corpus_ids(spark, base) == [1, 4]
+    idx = ingest.read_band_index(spark, base)
+    assert {r.doc for r in idx.select("doc").distinct().collect()} == {1, 4}
+
+    # day 2: cross-corpus near dup (10 ~ 1) dropped, new doc kept (11),
+    # within-batch exact dup of the new doc (12) dropped
+    _write_docs(spark, src, [(10, LONG_A), (11, LONG_C), (12, LONG_C)])
+    _run_once(spark, src, base, ckpt)
+    assert _corpus_ids(spark, base) == [1, 4, 11]
+    idx = ingest.read_band_index(spark, base)
+    assert {r.doc for r in idx.select("doc").distinct().collect()} == {1, 4, 11}
+
+    # day 3: nothing new arrived — a re-run must change nothing
+    _run_once(spark, src, base, ckpt)
+    assert _corpus_ids(spark, base) == [1, 4, 11]
+
+
+def test_replayed_epoch_is_skipped(spark, tmp_path):
+    """Simulate foreachBatch replay: applying the same epoch twice must be
+    a no-op the second time (marker gate), and re-applying a LOWER epoch
+    must also be skipped."""
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_dedup_ingest_batch_fn(base)
+    b1 = spark.createDataFrame([Row(doc_id=1, text=LONG_A), Row(doc_id=2, text=LONG_B)])
+    fn(b1, 0)
+    assert _corpus_ids(spark, base) == [1, 2]
+    # replay epoch 0 with DIFFERENT content: must be ignored entirely
+    fn(spark.createDataFrame([Row(doc_id=9, text=LONG_C)]), 0)
+    assert _corpus_ids(spark, base) == [1, 2]
+    # next epoch applies normally
+    fn(spark.createDataFrame([Row(doc_id=9, text=LONG_C)]), 1)
+    assert _corpus_ids(spark, base) == [1, 2, 9]
