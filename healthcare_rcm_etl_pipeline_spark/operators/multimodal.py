@@ -130,6 +130,227 @@ def decode_features(payload: bytes, strict: bool = False) -> tuple[int, int, int
         return w, h, 0, float("nan"), False
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-numpy RIFF/WAV PCM decode (the published RIFF spec: 12-byte
+    header then length-prefixed chunks; fmt tag 1 = integer PCM, 16- or
+    8-bit). Returns {sample_rate, channels, bits, samples(np.ndarray float
+    in [-1, 1], shape (n, channels))}. Raises ValueError for anything that
+    is not uncompressed PCM WAV — compressed audio (mp3/ogg/aac) needs
+    codec libraries this container doesn't ship."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    if tag != 1:
+        raise ValueError(f"only integer PCM supported (fmt tag {tag})")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=(len(data) // 2) // channels * channels)
+        samples = raw.astype(np.float64) / 32768.0
+    elif bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        raw = np.frombuffer(data, dtype=np.uint8, count=len(data) // channels * channels)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{bits}-bit PCM not supported")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "samples": samples.reshape(-1, channels),
+    }
+
+
+def audio_features(payload: bytes, strict: bool = False) -> tuple:
+    """(sample_rate, channels, bits, n_samples, duration, rms, peak, zcr,
+    decoded) — real for PCM WAV, declared-fake fallback otherwise (the
+    image-path policy applied to audio)."""
+    try:
+        wav = decode_wav(payload)
+        s = wav["samples"]
+        mono = s.mean(axis=1)
+        n = s.shape[0]
+        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+        return (
+            wav["sample_rate"], wav["channels"], wav["bits"], n,
+            n / wav["sample_rate"] if wav["sample_rate"] else float("nan"),
+            float(np.sqrt(np.mean(s * s))) if n else 0.0,
+            float(np.abs(s).max()) if n else 0.0,
+            zcr,
+            True,
+        )
+    except ValueError:
+        if strict:
+            raise NotImplementedError(
+                "compressed audio decode requires codec libs — not in this container"
+            ) from None
+        h = hashlib.sha256(payload).digest()
+        return (8000 * (1 + h[0] % 6), 1 + h[1] % 2, 16, 0, float("nan"),
+                float("nan"), float("nan"), float("nan"), False)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction (mapInPandas) — same plumbing
+    contract as ``extract_features``: payload bytes never leave executors,
+    explicit output schema, one output row per input row."""
+    id_name, payload_name = id_col, payload_col
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_name]
+            feats = [audio_features(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "sample_rate": pd.Series([f[0] for f in feats], dtype="int32"),
+                    "channels": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "bits": pd.Series([f[2] for f in feats], dtype="int32"),
+                    "n_samples": pd.Series([f[3] for f in feats], dtype="int64"),
+                    "duration_sec": pd.Series([f[4] for f in feats], dtype="float64"),
+                    "rms": pd.Series([f[5] for f in feats], dtype="float64"),
+                    "peak": pd.Series([f[6] for f in feats], dtype="float64"),
+                    "zcr": pd.Series([f[7] for f in feats], dtype="float64"),
+                    "decoded": pd.Series([f[8] for f in feats], dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, AUDIO_SCHEMA)
+
+
+def split_pnm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated binary-netpbm stream (back-to-back P6/P5 frames
+    — the pnm-pipe 'video' layout ffmpeg emits with ``-f image2pipe``) into
+    individual frame payloads. Raises ValueError if the payload does not
+    start with a netpbm magic."""
+    frames: list[bytes] = []
+    i = 0
+    while i + 2 <= len(payload):
+        magic = payload[i : i + 2]
+        if magic not in (b"P6", b"P5"):
+            if not frames:
+                raise ValueError("not a netpbm stream")
+            break  # trailing garbage after the last full frame
+        (w, h, maxval), off = _pnm_tokens(payload[i:], 3)
+        if maxval > 255:
+            raise ValueError("16-bit netpbm not supported")
+        ch = 3 if magic == b"P6" else 1
+        end = i + off + w * h * ch
+        if end > len(payload):
+            break  # truncated final frame: drop it
+        frames.append(payload[i:end])
+        i = end
+    if not frames:
+        raise ValueError("no complete frames")
+    return frames
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every: int = 1,
+    max_frames: int = 32,
+    strict: bool = False,
+) -> DataFrame:
+    """Frame sampling over video payloads (mapInPandas, EXPLODING output:
+    one row per sampled frame). Real for concatenated-netpbm streams —
+    every ``every``-th frame up to ``max_frames``, each decoded for
+    (width, height, mean_luma) with a content sha256. Container formats
+    (mp4/webm) need ffmpeg: strict raises; lenient emits ONE placeholder
+    row flagged ``decoded=false`` so downstream counts stay honest. The
+    plumbing contract — schema, batching, per-frame rows — is identical
+    either way, which is the part a real cluster cares about."""
+    id_name, payload_name = id_col, payload_col
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                    "mean_luma", "frame_sha256", "decoded")}
+            for doc_id, p in zip(pdf[id_name], pdf[payload_name]):
+                payload = bytes(p)
+                try:
+                    frames = split_pnm_stream(payload)[::every][:max_frames]
+                    for idx, fr in enumerate(frames):
+                        img = decode_image(fr)
+                        rows["doc_id"].append(int(doc_id))
+                        rows["frame_idx"].append(idx)
+                        rows["width"].append(img.shape[1])
+                        rows["height"].append(img.shape[0])
+                        rows["mean_luma"].append(float(img.mean()))
+                        rows["frame_sha256"].append(hashlib.sha256(fr).hexdigest())
+                        rows["decoded"].append(True)
+                except ValueError:
+                    if strict:
+                        raise NotImplementedError(
+                            "container video decode requires ffmpeg — not in this container"
+                        ) from None
+                    w, h = decode_stub(payload)
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(0)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_luma"].append(float("nan"))
+                    rows["frame_sha256"].append(hashlib.sha256(payload).hexdigest())
+                    rows["decoded"].append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "mean_luma": pd.Series(rows["mean_luma"], dtype="float64"),
+                    "frame_sha256": pd.Series(rows["frame_sha256"], dtype="object"),
+                    "decoded": pd.Series(rows["decoded"], dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Treat a text column as an opaque binary payload (UTF-8 bytes) — the
     stand-in for real image/audio bytes in this container."""

@@ -1842,6 +1842,48 @@ def multimodal_q(spark, sf_dir):
     return extract_features(d).select("doc_id", "n_bytes", "sha256")
 
 
+@query(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           FALSE AS decoded
+    FROM documents
+    """,
+)
+def multimodal_audio_q(spark, sf_dir):
+    """Audio feature extraction through the same mapInPandas plumbing:
+    real pure-numpy PCM-WAV decode (RMS/peak/zero-crossing-rate — exercised
+    on synthesized RIFF bytes in tests); the documents fixture carries text
+    bytes, so every row takes the flagged decoded=false fallback here — the
+    oracle pins exactly that honesty property plus the byte accounting."""
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_audio_features(d).select("doc_id", "n_bytes", "decoded")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, 0 AS frame_idx, sha256(text) AS frame_sha256, FALSE AS decoded
+    FROM documents
+    """,
+)
+def multimodal_frames_q(spark, sf_dir):
+    """Video frame sampling through mapInPandas with EXPLODING output (one
+    row per sampled frame): real for concatenated-netpbm streams (tested on
+    synthesized multi-frame payloads), one flagged placeholder row per
+    undecodable container — which is what the text-bytes fixture yields, as
+    the oracle pins (no silent row loss)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import sample_frames
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(d).select("doc_id", "frame_idx", "frame_sha256", "decoded")
+
+
 # ---------------------------------------------------------------------------
 # hq1-hq11: the reference's ACTUAL analytical surface, over the staged star
 # (/root/reference/Analysis/Big query/*.sql). The star is staged once per

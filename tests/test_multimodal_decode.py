@@ -71,3 +71,88 @@ def test_extract_features_real_decode_in_spark(spark):
     # (pandas NaN is the float64 NA sentinel, so Arrow lands it as null)
     assert not got[3]["decoded"] and got[3]["channels"] == 0
     assert got[3]["mean_luma"] is None
+
+
+def make_wav(rate: int = 8000, channels: int = 1, n: int = 800, bits: int = 16):
+    """Synthesize a PCM WAV byte-by-byte from the RIFF spec: a full-scale-ish
+    sine at rate/8 Hz per channel."""
+    t = np.arange(n)
+    wave = (0.5 * np.sin(2 * np.pi * t / 8.0))
+    if bits == 16:
+        raw = np.tile((wave * 32767).astype("<i2"), (channels, 1)).T.tobytes()
+        block, bps = channels * 2, rate * channels * 2
+    else:
+        raw = np.tile((wave * 127 + 128).astype(np.uint8), (channels, 1)).T.tobytes()
+        block, bps = channels, rate * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, bps, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(raw)) + raw
+    samples = np.tile(wave, (channels, 1)).T
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body, samples
+
+
+def test_decode_wav_roundtrip():
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import decode_wav
+
+    payload, expect = make_wav(rate=16000, channels=2, n=640)
+    wav = decode_wav(payload)
+    assert (wav["sample_rate"], wav["channels"], wav["bits"]) == (16000, 2, 16)
+    assert wav["samples"].shape == (640, 2)
+    # int16 write truncates toward zero and decode divides by 32768, so the
+    # worst-case roundtrip error is two LSBs
+    np.testing.assert_allclose(wav["samples"], expect, atol=2 / 32767)
+
+
+def test_extract_audio_features_in_spark(spark):
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    wav, _ = make_wav(rate=8000, channels=1, n=800)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"ID3not-really-audio"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    real = out[1]
+    assert real.decoded and real.sample_rate == 8000 and real.n_samples == 800
+    assert abs(real.duration_sec - 0.1) < 1e-9
+    # RMS of a 0.5-amplitude sine ~ 0.5/sqrt(2); zcr of rate/8 Hz sine ~ 1/4
+    assert abs(real.rms - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(real.zcr - 0.25) < 0.02
+    fake = out[2]
+    # pandas NaN is Arrow's null sentinel, so fake metrics surface as NULL
+    assert not fake.decoded and fake.duration_sec is None and fake.n_samples == 0
+
+
+def test_sample_frames_real_pnm_stream_in_spark(spark):
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import sample_frames
+
+    f0, img0 = make_ppm(8, 6)
+    f1, _ = make_ppm(8, 6)
+    f2, img2 = make_pgm(5, 4)
+    stream = f0 + f1 + f2  # 3-frame 'video'
+    df = spark.createDataFrame(
+        [(1, bytearray(stream)), (2, bytearray(b"\x00\x00\x00 ftypisommp4"))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, every=2).collect()  # frames 0 and 2
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    real = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.width, r.height, r.decoded) for r in real] == [
+        (0, 8, 6, True),
+        (1, 5, 4, True),  # every=2 sampled original frames 0 and 2
+    ]
+    assert abs(real[0].mean_luma - float(img0.mean())) < 1e-9
+    assert abs(real[1].mean_luma - float(img2.mean())) < 1e-9
+    # container format: one flagged placeholder row, never silent absence
+    fake = by_doc[2]
+    assert len(fake) == 1 and not fake[0].decoded
+
+
+def test_audio_and_frames_strict_raise():
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import audio_features
+
+    with pytest.raises(NotImplementedError):
+        audio_features(b"OggSwhatever", strict=True)
