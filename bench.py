@@ -121,8 +121,8 @@ def main() -> None:
     # Sub-second queries get extra iterations — their min is dominated by
     # scheduler/GC jitter, so a deeper min tightens round-over-round deltas
     # at negligible added wall-clock.
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-    extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3")))
     sentinel_before = _sentinel_sec(spark)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

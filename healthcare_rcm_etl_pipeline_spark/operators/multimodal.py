@@ -186,6 +186,10 @@ def decode_wav(payload: bytes) -> dict:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if channels < 1 or rate < 1:
+        # a crafted/corrupt fmt chunk must land in the flagged-fake
+        # fallback (ValueError), not ZeroDivisionError out of the worker
+        raise ValueError(f"invalid fmt chunk (channels={channels}, rate={rate})")
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=(len(data) // 2) // channels * channels)
         samples = raw.astype(np.float64) / 32768.0
@@ -274,13 +278,18 @@ def split_pnm_stream(payload: bytes) -> list[bytes]:
             if not frames:
                 raise ValueError("not a netpbm stream")
             break  # trailing garbage after the last full frame
-        (w, h, maxval), off = _pnm_tokens(payload[i:], 3)
+        try:
+            (w, h, maxval), off = _pnm_tokens(payload[i:], 3)
+        except ValueError:
+            if not frames:
+                raise
+            break  # stream cut inside a later frame's HEADER: keep priors
         if maxval > 255:
             raise ValueError("16-bit netpbm not supported")
         ch = 3 if magic == b"P6" else 1
         end = i + off + w * h * ch
         if end > len(payload):
-            break  # truncated final frame: drop it
+            break  # truncated final frame's pixel data: drop it
         frames.append(payload[i:end])
         i = end
     if not frames:

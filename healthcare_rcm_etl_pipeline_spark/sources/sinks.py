@@ -88,10 +88,13 @@ def _fs_path(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
-def _current_version(spark: SparkSession, base: str) -> int:
-    fs, marker = _fs_path(spark, os.path.join(base, "_CURRENT"))
+def read_int_marker(spark: SparkSession, path: str, default: int) -> int:
+    """Read a small integer marker file via the Hadoop FS API (works on any
+    Hadoop-supported store). Shared by the versioned-sink _CURRENT marker
+    and the streaming _EPOCH replay gates."""
+    fs, marker = _fs_path(spark, path)
     if not fs.exists(marker):
-        return 0
+        return default
     stream = fs.open(marker)
     try:
         data = []
@@ -101,7 +104,27 @@ def _current_version(spark: SparkSession, base: str) -> int:
             b = stream.read()
     finally:
         stream.close()
-    return int(bytes(data).decode().strip() or "0")
+    return int(bytes(data).decode().strip() or str(default))
+
+
+def write_int_marker(spark: SparkSession, path: str, value: int) -> None:
+    """Atomically-ish advance an integer marker: write to ``.tmp`` then
+    delete+rename. (A crash between delete and rename loses the marker —
+    callers treat a missing marker as 'default', which for both _CURRENT
+    and _EPOCH means re-applying idempotent work, never corruption.)"""
+    fs, tmp = _fs_path(spark, path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(value).encode()))
+    finally:
+        out.close()
+    _, cur = _fs_path(spark, path)
+    fs.delete(cur, False)
+    fs.rename(tmp, cur)
+
+
+def _current_version(spark: SparkSession, base: str) -> int:
+    return read_int_marker(spark, os.path.join(base, "_CURRENT"), 0)
 
 
 def zorder_value(cols: list[str], bits: int = 8, bounds: dict[str, tuple[float, float]] | None = None):
@@ -221,15 +244,7 @@ def write_versioned(df: DataFrame, base: str) -> int:
     spark = df.sparkSession
     v = _current_version(spark, base) + 1
     df.write.mode("overwrite").parquet(os.path.join(base, f"v={v}"))
-    fs, tmp = _fs_path(spark, os.path.join(base, "_CURRENT.tmp"))
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(str(v).encode()))
-    finally:
-        out.close()
-    _, cur = _fs_path(spark, os.path.join(base, "_CURRENT"))
-    fs.delete(cur, False)
-    fs.rename(tmp, cur)
+    write_int_marker(spark, os.path.join(base, "_CURRENT"), v)
     return v
 
 

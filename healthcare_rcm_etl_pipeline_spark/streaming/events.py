@@ -214,30 +214,10 @@ def make_upsert_batch_fn(base: str, keys: list[str], order_cols: list[str]):
     from healthcare_rcm_etl_pipeline_spark.sources import sinks
 
     def _last_epoch(spark: SparkSession) -> int:
-        fs, marker = sinks._fs_path(spark, f"{base}/_EPOCH")
-        if not fs.exists(marker):
-            return -1
-        stream = fs.open(marker)
-        try:
-            data = []
-            b = stream.read()
-            while b != -1 and len(data) < 32:
-                data.append(b)
-                b = stream.read()
-        finally:
-            stream.close()
-        return int(bytes(data).decode().strip() or "-1")
+        return sinks.read_int_marker(spark, f"{base}/_EPOCH", -1)
 
     def _write_epoch(spark: SparkSession, epoch_id: int) -> None:
-        fs, tmp = sinks._fs_path(spark, f"{base}/_EPOCH.tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(str(epoch_id).encode()))
-        finally:
-            out.close()
-        _, cur = sinks._fs_path(spark, f"{base}/_EPOCH")
-        fs.delete(cur, False)
-        fs.rename(tmp, cur)
+        sinks.write_int_marker(spark, f"{base}/_EPOCH", epoch_id)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -39,47 +39,48 @@ from healthcare_rcm_etl_pipeline_spark.sources import sinks
 
 
 def _read_epoch(spark: SparkSession, base: str) -> int:
-    fs, marker = sinks._fs_path(spark, f"{base}/_EPOCH")
-    if not fs.exists(marker):
-        return -1
-    stream = fs.open(marker)
-    try:
-        data = []
-        b = stream.read()
-        while b != -1 and len(data) < 32:
-            data.append(b)
-            b = stream.read()
-    finally:
-        stream.close()
-    return int(bytes(data).decode().strip() or "-1")
+    return sinks.read_int_marker(spark, f"{base}/_EPOCH", -1)
 
 
 def _write_epoch(spark: SparkSession, base: str, epoch_id: int) -> None:
-    fs, tmp = sinks._fs_path(spark, f"{base}/_EPOCH.tmp")
-    out = fs.create(tmp, True)
+    sinks.write_int_marker(spark, f"{base}/_EPOCH", epoch_id)
+
+
+def _read_epoched(spark: SparkSession, path: str, max_epoch: int | None) -> DataFrame | None:
+    """Read an epoch-partitioned dataset, None if it doesn't exist yet.
+
+    ``max_epoch`` filters to COMMITTED epochs only (epoch <= marker): a
+    crash after writing ``epoch=N`` but before advancing the marker leaves
+    ghost files that the replay of epoch N must not see — reading them
+    would make the batch collide with its own partial write, verify
+    against itself at jaccard 1.0, and dedup the whole batch away. Only a
+    genuinely-missing path maps to None; any other read failure (corrupt
+    footer, permissions, transient storage error) propagates — silently
+    treating those as 'no corpus yet' would skip cross-corpus dedup and
+    ingest duplicates without a trace."""
     try:
-        out.write(bytearray(str(epoch_id).encode()))
-    finally:
-        out.close()
-    _, cur = sinks._fs_path(spark, f"{base}/_EPOCH")
-    fs.delete(cur, False)
-    fs.rename(tmp, cur)
+        df = spark.read.parquet(path)
+    except Exception as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    if max_epoch is not None:
+        df = df.filter(F.col("epoch") <= max_epoch)
+    return df.drop("epoch")
 
 
-def read_corpus(spark: SparkSession, base: str) -> DataFrame | None:
-    """All ingested docs across epochs (None before the first epoch)."""
-    try:
-        return spark.read.parquet(f"{base}/docs").drop("epoch")
-    except Exception:
-        return None
+def read_corpus(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """All ingested docs across committed epochs (None before the first)."""
+    return _read_epoched(spark, f"{base}/docs", max_epoch)
 
 
-def read_band_index(spark: SparkSession, base: str) -> DataFrame | None:
-    """The accumulated minhash band index across epochs."""
-    try:
-        return spark.read.parquet(f"{base}/bands").drop("epoch")
-    except Exception:
-        return None
+def read_band_index(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """The accumulated minhash band index across committed epochs."""
+    return _read_epoched(spark, f"{base}/bands", max_epoch)
 
 
 def make_dedup_ingest_batch_fn(
@@ -95,7 +96,8 @@ def make_dedup_ingest_batch_fn(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if epoch_id <= _read_epoch(spark, base):
+        last = _read_epoch(spark, base)
+        if epoch_id <= last:
             return  # replayed epoch: already fully applied
 
         # 1. within-batch: exact, then near-dup clusters -> min-id survivor
@@ -115,9 +117,12 @@ def make_dedup_ingest_batch_fn(
         batch = batch.join(losers, id_col, "left_anti")
 
         # 2. cross-corpus: probe the persisted band index; only candidate
-        # docs are shingled (operators/dedup.py semi-join guarantee)
-        corpus = read_corpus(spark, base)
-        index = read_band_index(spark, base)
+        # docs are shingled (operators/dedup.py semi-join guarantee).
+        # max_epoch=last: a replay of a partially-committed epoch must not
+        # see its own ghost files, or every batch doc would collide with
+        # itself and the anti-join would silently drop the whole batch.
+        corpus = read_corpus(spark, base, max_epoch=last)
+        index = read_band_index(spark, base, max_epoch=last)
         if corpus is not None and index is not None:
             dup_new = (
                 dedup.minhash_lsh_pairs_incremental(
@@ -130,11 +135,18 @@ def make_dedup_ingest_batch_fn(
             )
             batch = batch.join(dup_new, id_col, "left_anti")
 
-        # 3. per-epoch overwrite (idempotent on replay), marker last
-        batch.write.mode("overwrite").parquet(f"{base}/docs/epoch={epoch_id}")
-        dedup.minhash_band_table(
-            batch, text_col, id_col, k=k, bands=bands, n=n
-        ).write.mode("overwrite").parquet(f"{base}/bands/epoch={epoch_id}")
+        # 3. per-epoch overwrite (idempotent on replay), marker last.
+        # persist: the docs write and the band-table write are two actions
+        # over the same lineage (LSH + connected components + cross probe) —
+        # without it the whole dedup graph executes twice per epoch.
+        batch = batch.persist()
+        try:
+            batch.write.mode("overwrite").parquet(f"{base}/docs/epoch={epoch_id}")
+            dedup.minhash_band_table(
+                batch, text_col, id_col, k=k, bands=bands, n=n
+            ).write.mode("overwrite").parquet(f"{base}/bands/epoch={epoch_id}")
+        finally:
+            batch.unpersist()
         _write_epoch(spark, base, epoch_id)
 
     return apply_batch

@@ -156,3 +156,29 @@ def test_audio_and_frames_strict_raise():
 
     with pytest.raises(NotImplementedError):
         audio_features(b"OggSwhatever", strict=True)
+
+
+def test_decode_wav_zero_channels_is_value_error_not_crash():
+    """A crafted fmt chunk with channels=0 must land in the flagged-fake
+    fallback (ValueError), not ZeroDivisionError out of the Spark worker."""
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+    assert audio_features(payload)[-1] is False  # lenient path: flagged fake
+
+
+def test_split_pnm_stream_truncated_header_keeps_prior_frames():
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+        split_pnm_stream,
+    )
+
+    f0, _ = make_ppm(8, 6)
+    frames = split_pnm_stream(f0 + b"P6 8")  # cut inside 2nd frame's header
+    assert frames == [f0]

@@ -77,3 +77,28 @@ def test_replayed_epoch_is_skipped(spark, tmp_path):
     # next epoch applies normally
     fn(spark.createDataFrame([Row(doc_id=9, text=LONG_C)]), 1)
     assert _corpus_ids(spark, base) == [1, 2, 9]
+
+
+def test_replay_of_partially_committed_epoch_keeps_batch(spark, tmp_path):
+    """Crash-window regression: epoch N wrote its files but died before the
+    marker advanced. The replay must NOT see those ghost files as corpus —
+    otherwise the batch collides with its own partial write at jaccard 1.0
+    and the anti-join silently drops every doc."""
+    from healthcare_rcm_etl_pipeline_spark.operators import dedup
+
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_dedup_ingest_batch_fn(base)
+    fn(spark.createDataFrame([Row(doc_id=1, text=LONG_A)]), 0)
+
+    # simulate the partial commit of epoch 1: files on disk, marker still 0
+    ghost = spark.createDataFrame([Row(doc_id=5, text=LONG_B)])
+    ghost.write.parquet(f"{base}/docs/epoch=1")
+    dedup.minhash_band_table(ghost, "text", "doc_id").write.parquet(
+        f"{base}/bands/epoch=1"
+    )
+    assert ingest._read_epoch(spark, base) == 0
+
+    # replay epoch 1 with the same content: doc 5 must survive
+    fn(spark.createDataFrame([Row(doc_id=5, text=LONG_B)]), 1)
+    assert _corpus_ids(spark, base) == [1, 5]
+    assert ingest._read_epoch(spark, base) == 1
