@@ -36,23 +36,24 @@ DELTA_NOTES = {
 }
 
 
-def _prev_round() -> tuple[str | None, dict[str, float]]:
-    """Latest committed BENCH_r{N}.json, for per-query deltas."""
+def _prev_round() -> tuple[str | None, dict[str, float], float | None]:
+    """Latest committed BENCH_r{N}.json: (name, per-query secs, sentinel)."""
     best_n, best = -1, None
     for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m and int(m.group(1)) > best_n:
             best_n, best = int(m.group(1)), p
     if best is None:
-        return None, {}
+        return None, {}, None
     try:
         with open(best) as f:
             doc = json.load(f)
         # the driver wraps the bench's JSON line under "parsed"
         doc = doc.get("parsed", doc) or {}
-        return f"r{best_n:02d}", doc.get("queries", {})
+        prev_sent = (doc.get("sentinel") or {}).get("before_sec")
+        return f"r{best_n:02d}", doc.get("queries", {}), prev_sent
     except Exception:
-        return None, {}
+        return None, {}, None
 
 HEADLINE = [
     "q01_collection_rate",
@@ -163,7 +164,15 @@ def main() -> None:
             "contended": bool(drift > 1.5 or drift < 1 / 1.5),
         },
     }
-    prev_name, prev = _prev_round()
+    prev_name, prev, prev_sentinel = _prev_round()
+    if prev_sentinel:
+        # before/after drift only catches load CHANGES during the run; the
+        # cross-round sentinel ratio catches a uniformly slower/faster
+        # environment (the r02->r03 2x machine shift) — per-query deltas
+        # should be read relative to it
+        env = round(min(sentinel_before, sentinel_after) / prev_sentinel, 2)
+        out["sentinel"]["vs_prev_round"] = env
+        out["sentinel"]["env_shifted"] = bool(env > 1.5 or env < 1 / 1.5)
     if prev:
         deltas = {
             name: round(timings[name] / prev[name], 2)
