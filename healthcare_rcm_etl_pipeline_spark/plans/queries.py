@@ -1768,6 +1768,47 @@ def sketch_distinct_q(spark, sf_dir):
 
 
 @query(
+    "sketch_rollup_distinct",
+    """
+    SELECT CAST(date_trunc('week', CAST(date_trunc('day', ts) AS DATE)) AS DATE) AS week,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def sketch_rollup_distinct_q(spark, sf_dir):
+    """Distinct-count ROLLUP via mergeable sketch partials — the piece
+    rollup_cascade_daily deliberately leaves out (COUNT DISTINCT is not a
+    monoid over counts). Daily DataSketches-HLL partials
+    (``hll_sketch_agg``) merge into weekly estimates (``hll_union_agg`` +
+    estimate) reading ONLY the daily sketch table — at 100 TB this answers
+    distinct-users-over-any-range from pre-aggregated state without ever
+    re-scanning raw events. Checked in-engine against the exact weekly
+    distinct (recomputed from raw); the driver hashes the exact count plus
+    a within-5% boolean, both deterministic (HLL is hash-based, union is
+    order-insensitive)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"))
+    weekly_exact = e.groupBy(
+        F.date_trunc("week", F.date_trunc("day", "ts").cast("date"))
+        .cast("date")
+        .alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return weekly_exact.join(weekly_est, "week").select(
+        "week",
+        "n_exact",
+        (
+            (F.abs(F.col("__est") - F.col("n_exact")) / F.col("n_exact")) <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
     "events_asof_join",
     """
     WITH purchases AS (
