@@ -6,6 +6,7 @@ float bit-inequality is caught, not papered over)."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -13,7 +14,10 @@ import pytest
 from healthcare_rcm_etl_pipeline_spark.plans.queries import ORACLES, QUERIES
 from healthcare_rcm_etl_pipeline_spark.sources.readers import TESTDATA_TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 keeps the sweep fast; override to audit scale-sensitive
+# oracle contracts (HLL tolerance, LSH recall, df caps) at bigger SFs —
+# the round-4 sf0.1 audit caught four divergences invisible at small SF
+SF_DIR = os.environ.get("HRCM_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _canon(v):
