@@ -33,6 +33,11 @@ from healthcare_rcm_etl_pipeline_spark.session import get_spark
 DELTA_NOTES = {
     "dedup_ngram_jaccard": "r2 runs with the max_df skew cap ON "
     "(single-pass window mode); r1 benched the uncapped form",
+    "q21_customer_deciles": "r4 computes the exact ntile via the two-pass "
+    "parallel rank (one extra bounded count job) instead of the "
+    "single-task global window r3 benched",
+    "semantic_dedup": "r4 adds the max_cell hot-cell guard (one extra "
+    "partial-aggregated cell-count pass before the pair scan)",
 }
 
 
