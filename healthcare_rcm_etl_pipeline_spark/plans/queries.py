@@ -3573,6 +3573,55 @@ def q30_order_count_histogram(spark, sf_dir):
 
 
 @query(
+    "q34_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q34_top_supplier(spark, sf_dir):
+    """TPC-H Q15 pattern: quarterly revenue per supplier, return the
+    supplier(s) hitting the GLOBAL max — the scalar-subquery-over-a-view
+    decorrelation. The revenue view computes once; the max is a 1-row
+    aggregate broadcast back as a cross join (no second scan of lineitem,
+    no self-join of the view at full width) and the equality filter runs
+    map-side. Exact-decimal revenue so 'equals the max' is well-defined on
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    top = revenue.crossJoin(F.broadcast(best)).filter(
+        F.col("total_revenue") == F.col("__max_rev")
+    )
+    # broadcast the ~1-row max-filtered side, NOT supplier (which grows
+    # with SF); the dim is then probed map-side with no exchange of its own
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
     "q31_disjunctive_revenue",
     f"""
     SELECT {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
