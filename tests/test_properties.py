@@ -83,3 +83,34 @@ def test_union_with_drift_preserves_rows_and_nulls(spark, xs, ys):
     assert u.count() == len(xs) + len(ys)
     assert u.filter(F.col("only_b").isNull()).count() >= len(xs)
     assert u.filter(F.col("only_a").isNull()).count() >= len(ys)
+
+
+def _ntile_ref(n_rows: int, k: int) -> list[int]:
+    """Reference ntile semantics (SQL standard): first n_rows mod k buckets
+    get ceil(n_rows/k) rows, the rest floor(n_rows/k)."""
+    small, rem = divmod(n_rows, k)
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (small + 1 if b <= rem else small))
+    return out
+
+
+def _ntile_arith(n_rows: int, k: int) -> list[int]:
+    """q21's arithmetic decile from (0-based rank, N) — must equal ntile."""
+    small, rem = divmod(n_rows, k)
+    cutoff = rem * (small + 1)
+    out = []
+    for r0 in range(n_rows):
+        if small == 0:
+            out.append(r0 + 1)
+        elif r0 < cutoff:
+            out.append(r0 // (small + 1) + 1)
+        else:
+            out.append(rem + (r0 - cutoff) // small + 1)
+    return out
+
+
+@SET
+@given(n_rows=st.integers(min_value=0, max_value=5000), k=st.integers(min_value=1, max_value=20))
+def test_q21_arithmetic_ntile_equals_reference(n_rows, k):
+    assert _ntile_arith(n_rows, k) == _ntile_ref(n_rows, k)
