@@ -41,24 +41,48 @@ DELTA_NOTES = {
 }
 
 
+def _recover_from_tail(tail: str) -> tuple[dict[str, float], float | None]:
+    """The driver keeps only the LAST 2000 chars of bench stdout; if the
+    JSON line outgrew that window (round 4 did), "parsed" is null and only
+    a suffix survives. The per-query [min, median, max] spread entries that
+    fall inside the window still carry the headline min — recover those,
+    plus the sentinel, by regex. (The compact-stdout format below keeps
+    this from recurring; this path only rescues old rounds.)"""
+    queries = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"(\w+)": \[([\d.]+), [\d.]+, [\d.]+\]', tail)
+    }
+    sent = re.search(r'"before_sec": ([\d.]+)', tail)
+    return queries, float(sent.group(1)) if sent else None
+
+
 def _prev_round() -> tuple[str | None, dict[str, float], float | None]:
-    """Latest committed BENCH_r{N}.json: (name, per-query secs, sentinel)."""
-    best_n, best = -1, None
-    for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best_n, best = int(m.group(1)), p
-    if best is None:
-        return None, {}, None
-    try:
-        with open(best) as f:
-            doc = json.load(f)
-        # the driver wraps the bench's JSON line under "parsed"
-        doc = doc.get("parsed", doc) or {}
-        prev_sent = (doc.get("sentinel") or {}).get("before_sec")
-        return f"r{best_n:02d}", doc.get("queries", {}), prev_sent
-    except Exception:
-        return None, {}, None
+    """Newest BENCH_r{N}.json with recoverable per-query numbers:
+    (name, per-query secs, sentinel). Walks older rounds if the newest is
+    unparseable even via tail recovery."""
+    here = os.path.dirname(__file__) or "."
+    rounds = sorted(
+        (
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ),
+        reverse=True,
+    )
+    for n, p in rounds:
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except Exception:
+            continue
+        parsed = doc.get("parsed", doc) or {}
+        queries = parsed.get("queries", {})
+        prev_sent = (parsed.get("sentinel") or {}).get("before_sec")
+        if not queries and doc.get("tail"):
+            queries, prev_sent = _recover_from_tail(doc["tail"])
+        if queries:
+            return f"r{n:02d}", queries, prev_sent
+    return None, {}, None
 
 HEADLINE = [
     "q01_collection_rate",
@@ -92,6 +116,49 @@ HEADLINE = [
     "oov_rate",
     "dedup_keep_survivors",
 ]
+
+
+def _bench_streaming_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Per-batch latency of the near-dup-gated ingestion path
+    (streaming/ingest.py): the documents table split into n_batches
+    micro-batches driven through the foreachBatch body, the persisted band
+    index growing across batches. The trend matters more than the level —
+    per-batch cost must stay FLAT as the corpus accumulates (the index is
+    probed, never rebuilt); a rising trend would mean ingestion cost scales
+    with corpus size and the recipe is wrong at scale."""
+    import shutil
+    import tempfile
+
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+    from healthcare_rcm_etl_pipeline_spark.streaming.ingest import (
+        make_dedup_ingest_batch_fn,
+    )
+
+    base = tempfile.mkdtemp(prefix="hrcm_bench_ingest_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        fn = make_dedup_ingest_batch_fn(base)
+        per_batch: list[float] = []
+        for b in range(n_batches):
+            batch = docs.filter((docs.doc_id % n_batches) == b)
+            t0 = time.perf_counter()
+            fn(batch, b)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        total = round(sum(per_batch), 3)
+        return {
+            "batches": n_batches,
+            "docs": n_docs,
+            "per_batch_sec": per_batch,
+            "total_sec": total,
+            "docs_per_sec": round(n_docs / total, 1) if total else None,
+            # last batch probes the largest index: ratio ~1 == flat trend
+            "last_over_first": round(per_batch[-1] / per_batch[0], 2)
+            if per_batch[0]
+            else None,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _sentinel_sec(spark, iters: int = 5) -> float:
@@ -149,25 +216,51 @@ def main() -> None:
             round(max(runs), 3),
         ]
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    ingest_stats = _bench_streaming_ingest(spark, sf_dir)
+    # median per-batch latency rides the per-query delta machinery; the
+    # full per-batch trend (must stay flat) is attached alongside
+    timings["streaming_ingest_batch"] = round(
+        statistics.median(ingest_stats["per_batch_sec"]), 3
+    )
+    spread["streaming_ingest_batch"] = [
+        min(ingest_stats["per_batch_sec"]),
+        timings["streaming_ingest_batch"],
+        max(ingest_stats["per_batch_sec"]),
+    ]
+    print(f"  streaming_ingest: {ingest_stats}", file=sys.stderr)
     sentinel_after = _sentinel_sec(spark)
 
     drift = round(sentinel_after / sentinel_before, 2) if sentinel_before > 0 else 1.0
     total = round(sum(timings.values()), 3)
+    # The driver records only the LAST 2000 chars of stdout; the printed
+    # JSON line must stay comfortably inside that window or it arrives
+    # unparseable (round 4's did). So stdout carries the compact headline
+    # document, and everything bulky — spread, per-query deltas, notes,
+    # the streaming-ingest trend — goes to BENCH_DETAIL.json next to the
+    # repo's committed bench artifacts.
+    sentinel = {
+        "before_sec": round(sentinel_before, 3),
+        "after_sec": round(sentinel_after, 3),
+        "drift": drift,
+        # machine load changed >1.5x during the run: treat per-query
+        # numbers as unreliable for round-over-round comparison
+        "contended": bool(drift > 1.5 or drift < 1 / 1.5),
+    }
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sentinel": sentinel,
+        "detail": "BENCH_DETAIL.json",
+    }
+    detail = {
         "spread": spread,  # per-query [min, median, max] over timed iters
-        "sentinel": {
-            "before_sec": round(sentinel_before, 3),
-            "after_sec": round(sentinel_after, 3),
-            "drift": drift,
-            # machine load changed >1.5x during the run: treat per-query
-            # numbers as unreliable for round-over-round comparison
-            "contended": bool(drift > 1.5 or drift < 1 / 1.5),
-        },
+        "streaming_ingest": ingest_stats,  # per-batch trend must stay flat
+        "sentinel": sentinel,
+        "queries": timings,
+        "sf": out["sf"],
     }
     prev_name, prev, prev_sentinel = _prev_round()
     if prev_sentinel:
@@ -176,8 +269,8 @@ def main() -> None:
         # environment (the r02->r03 2x machine shift) — per-query deltas
         # should be read relative to it
         env = round(min(sentinel_before, sentinel_after) / prev_sentinel, 2)
-        out["sentinel"]["vs_prev_round"] = env
-        out["sentinel"]["env_shifted"] = bool(env > 1.5 or env < 1 / 1.5)
+        sentinel["vs_prev_round"] = env
+        sentinel["env_shifted"] = bool(env > 1.5 or env < 1 / 1.5)
     if prev:
         deltas = {
             name: round(timings[name] / prev[name], 2)
@@ -185,16 +278,30 @@ def main() -> None:
             if name in prev and prev[name] > 0
         }
         out["deltas_vs"] = prev_name
-        out["deltas"] = deltas  # ratio this-round / prev-round per query
         # total over only the queries the previous round also benched —
         # the honest round-over-round number when HEADLINE grows
         out["comparable_total"] = round(
             sum(t for n, t in timings.items() if n in prev), 3
         )
-        out["delta_notes"] = {
-            k: v for k, v in DELTA_NOTES.items() if deltas.get(k, 1.0) > 1.5
+        detail["deltas_vs"] = prev_name
+        detail["deltas"] = deltas  # ratio this-round / prev-round per query
+        detail["comparable_total"] = out["comparable_total"]
+        # always-on: every intentionally-changed plan carries its note AND
+        # the measured ratio, whatever the magnitude — an expected
+        # regression below the old 1.5x gate must still surface in the
+        # artifact, not only in the git log
+        detail["delta_notes"] = {
+            k: {"ratio": deltas.get(k), "note": v}
+            for k, v in DELTA_NOTES.items()
+            if k in timings
         }
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(out)
+    if len(line) > 1900:  # stay inside the driver's 2000-char stdout window
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

@@ -675,9 +675,14 @@ def minhash_lsh_pairs_incremental(
     )
     # shingle ONLY candidate docs: without this semi-join the whole base
     # corpus is re-shingled on every ingestion, making it O(corpus) instead
-    # of O(new batch).
+    # of O(new batch). The broadcast hint is safe only while max_bucket
+    # bounds the candidate set (<= buckets * cap); with the cap disabled a
+    # degenerate collision pattern could exceed broadcast memory, so leave
+    # the strategy to AQE in that case.
     cand_ids = melt.select(F.col("doc").alias(id_col)).distinct()
-    relevant = tagged.join(F.broadcast(cand_ids), id_col, "left_semi")
+    if max_bucket is not None:
+        cand_ids = F.broadcast(cand_ids)
+    relevant = tagged.join(cand_ids, id_col, "left_semi")
     sh = _shingle_arrays(relevant, text_col, id_col, n).select(
         "doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )

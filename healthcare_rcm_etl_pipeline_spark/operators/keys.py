@@ -30,6 +30,7 @@ def dense_sk(
     sk_col: str = "sk",
     start: int = 0,
     dedup: bool = True,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Dense ordinal surrogate key over (optionally deduped) key columns.
 
@@ -40,7 +41,9 @@ def dense_sk(
     produces the identical ids fully in parallel, at the cost of one bounded
     driver round-trip (a row count per partition)."""
     out = df.dropDuplicates(key_cols) if dedup else df
-    return dense_sk_scalable(out, order_cols=key_cols, sk_col=sk_col, start=start)
+    return dense_sk_scalable(
+        out, order_cols=key_cols, sk_col=sk_col, start=start, materialize=materialize
+    )
 
 
 def stable_sk(
@@ -101,12 +104,27 @@ def first_row_per_key(
     )
 
 
+# persist-mode relations awaiting release (see release_sk_caches)
+_SK_CACHES: list[DataFrame] = []
+
+
+def release_sk_caches() -> None:
+    """Unpersist every relation cached by persist-mode ``dense_sk_scalable``
+    calls. Call AFTER the terminal action over the sk outputs — unpersisting
+    earlier would re-sample range boundaries on recomputation and corrupt
+    ids. sk-heavy pipelines (many id assignments per session) should either
+    call this between stages or pass ``materialize='checkpoint'``."""
+    while _SK_CACHES:
+        _SK_CACHES.pop().unpersist()
+
+
 def dense_sk_scalable(
     df: DataFrame,
     order_cols: list[str],
     sk_col: str = "sk",
     start: int = 0,
     num_partitions: int | None = None,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Dense global-sort-rank ids without a single-task global window.
 
@@ -115,19 +133,39 @@ def dense_sk_scalable(
     cumulative offsets back as a literal map. Result equals
     ``row_number() over (order by order_cols) - 1 + start`` for any
     partitioning, as long as ``order_cols`` is a total order (unique keys).
+
+    The offsets job and the output job must see the SAME range boundaries
+    (repartitionByRange samples, so recomputation could differ), so the
+    ranked relation is materialized. ``materialize`` picks the lifetime:
+
+    - ``'persist'`` (default): cached and registered; the cache must outlive
+      the caller's action (unpersisting earlier would re-sample boundaries
+      and corrupt ids), so call ``release_sk_caches()`` after the terminal
+      action. Spark's LRU eviction bounds the damage either way.
+    - ``'checkpoint'``: lineage is TRUNCATED at the ranked relation —
+      reliable ``checkpoint()`` when a checkpoint dir is set, else
+      ``localCheckpoint()``. Ids are stable across any later re-execution
+      and no cache registration is needed; the right mode for sk-heavy
+      pipelines that would otherwise accumulate LRU pressure.
     """
+    if materialize not in ("persist", "checkpoint"):
+        raise ValueError(f"materialize must be persist|checkpoint, got {materialize!r}")
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order_exprs = [F.col(c) for c in order_cols]
     parted = df.repartitionByRange(n_part, *order_exprs).sortWithinPartitions(*order_exprs)
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*order_exprs)
-    # persist: the offsets job and the output job must see the SAME range
-    # boundaries (repartitionByRange samples, so recomputation could differ).
-    # Deliberately NOT unpersisted here — the returned DataFrame's lineage
-    # still runs through this RDD, and dropping it before the caller's action
-    # would re-sample boundaries and corrupt ids. Spark evicts LRU; callers
-    # doing many huge id assignments in one session can checkpoint instead.
-    local = with_pid.withColumn("__local_rn", F.row_number().over(w) - 1).persist()
+    local = with_pid.withColumn("__local_rn", F.row_number().over(w) - 1)
+    if materialize == "checkpoint":
+        sc = df.sparkSession.sparkContext
+        try:
+            has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+        except Exception:
+            has_dir = False
+        local = local.checkpoint(eager=True) if has_dir else local.localCheckpoint(eager=True)
+    else:
+        local = local.persist()
+        _SK_CACHES.append(local)
 
     # partition sizes: one long per partition — bounded driver traffic
     sizes = {

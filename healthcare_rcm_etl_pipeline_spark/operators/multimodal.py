@@ -285,7 +285,10 @@ def split_pnm_stream(payload: bytes) -> list[bytes]:
                 raise
             break  # stream cut inside a later frame's HEADER: keep priors
         if maxval > 255:
-            raise ValueError("16-bit netpbm not supported")
+            if not frames:
+                raise ValueError("16-bit netpbm not supported")
+            break  # unsupported LATER frame: keep priors, same policy as
+            # a truncated frame — raising would discard good frames
         ch = 3 if magic == b"P6" else 1
         end = i + off + w * h * ch
         if end > len(payload):

@@ -20,6 +20,10 @@ Determinism contract (why results hash-match an external engine):
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1973,7 +1977,16 @@ def multimodal_frames_q(spark, sf_dir):
 # sf_dir is ignored: this surface is reference-seeded, not TPC-H-scaled.
 # ---------------------------------------------------------------------------
 
-_HQ_STAR_DIR = "/root/repo/.hq_star"
+# Staged under the system tmpdir, keyed by uid+pid: a query function must
+# not side-effect-write relative to the repo CWD, and the per-process key
+# keeps concurrent pytest/driver processes from clobbering each other's
+# stage. The path is baked into the DuckDB oracle SQL at import, so staging
+# and oracle always read the same files within a process; the dir is
+# removed at interpreter exit.
+_HQ_STAR_DIR = os.path.join(
+    tempfile.gettempdir(), f"hrcm_hq_star_{os.getuid()}_{os.getpid()}"
+)
+atexit.register(shutil.rmtree, _HQ_STAR_DIR, ignore_errors=True)
 _hq_staged = False
 
 

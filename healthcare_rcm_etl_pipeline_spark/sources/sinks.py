@@ -88,8 +88,16 @@ def _fs_path(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
-def read_int_marker(spark: SparkSession, path: str, default: int) -> int:
-    """Read a small integer marker file via the Hadoop FS API (works on any
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe via the Hadoop FS API — the portable way to ask
+    'is there a dataset here yet?' (matching exception message strings from
+    a failed read is brittle across Spark versions)."""
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def read_text_marker(spark: SparkSession, path: str, default: str) -> str:
+    """Read a small text marker file via the Hadoop FS API (works on any
     Hadoop-supported store). Shared by the versioned-sink _CURRENT marker
     and the streaming _EPOCH replay gates."""
     fs, marker = _fs_path(spark, path)
@@ -99,28 +107,36 @@ def read_int_marker(spark: SparkSession, path: str, default: int) -> int:
     try:
         data = []
         b = stream.read()
-        while b != -1 and len(data) < 32:
+        while b != -1 and len(data) < 256:
             data.append(b)
             b = stream.read()
     finally:
         stream.close()
-    return int(bytes(data).decode().strip() or str(default))
+    return bytes(data).decode().strip() or default
 
 
-def write_int_marker(spark: SparkSession, path: str, value: int) -> None:
-    """Atomically-ish advance an integer marker: write to ``.tmp`` then
+def write_text_marker(spark: SparkSession, path: str, value: str) -> None:
+    """Atomically-ish advance a marker: write to ``.tmp`` then
     delete+rename. (A crash between delete and rename loses the marker —
     callers treat a missing marker as 'default', which for both _CURRENT
     and _EPOCH means re-applying idempotent work, never corruption.)"""
     fs, tmp = _fs_path(spark, path + ".tmp")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(str(value).encode()))
+        out.write(bytearray(value.encode()))
     finally:
         out.close()
     _, cur = _fs_path(spark, path)
     fs.delete(cur, False)
     fs.rename(tmp, cur)
+
+
+def read_int_marker(spark: SparkSession, path: str, default: int) -> int:
+    return int(read_text_marker(spark, path, str(default)))
+
+
+def write_int_marker(spark: SparkSession, path: str, value: int) -> None:
+    write_text_marker(spark, path, str(value))
 
 
 def _current_version(spark: SparkSession, base: str) -> int:

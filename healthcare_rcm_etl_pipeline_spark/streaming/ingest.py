@@ -24,12 +24,25 @@ per epoch, the marker only gates the skip. (Plain ``mode("append")`` would
 double-apply a partially-failed epoch; the per-epoch overwrite is what
 upgrades the recipe to exactly-once.)
 
+Checkpoint/base lifecycle: the stream's epoch_id counter lives in the
+CHECKPOINT; the replay marker lives in the BASE. If they were coupled only
+by the raw epoch number, pointing a FRESH checkpoint at an existing base
+would restart epoch ids at 0 and every new batch would be silently skipped
+as a 'replay'. The marker therefore carries a RUN TOKEN (minted once per
+checkpoint instance and stored inside the checkpoint dir) plus an epoch
+OFFSET: same token -> physical epoch = offset + epoch_id, replay gate as
+usual; different token (new checkpoint against an existing base) -> the
+stream REBINDS, mapping its first batch to the next free physical epoch.
+Ingestion continues where the corpus left off instead of dropping data.
+
 This composes three independently-tested pieces: the incremental LSH probe
 (operators/dedup.py), the persisted band index layout, and the _EPOCH
 marker recipe shared with ``events.make_upsert_batch_fn``.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,12 +51,43 @@ from healthcare_rcm_etl_pipeline_spark.operators import dedup, graph
 from healthcare_rcm_etl_pipeline_spark.sources import sinks
 
 
+def _read_marker(spark: SparkSession, base: str) -> tuple[str, int, int]:
+    """(run_token, epoch_offset, last_physical_epoch). Legacy int-only
+    markers parse as token='' offset=0 — behaviorally identical to the
+    pre-token recipe."""
+    raw = sinks.read_text_marker(spark, f"{base}/_EPOCH", "")
+    if not raw:
+        return "", 0, -1
+    parts = raw.split()
+    if len(parts) == 1:
+        return "", 0, int(parts[0])
+    token = "" if parts[0] == "-" else parts[0]
+    return token, int(parts[1]), int(parts[2])
+
+
+def _write_marker(
+    spark: SparkSession, base: str, token: str, offset: int, last: int
+) -> None:
+    sinks.write_text_marker(spark, f"{base}/_EPOCH", f"{token or '-'} {offset} {last}")
+
+
 def _read_epoch(spark: SparkSession, base: str) -> int:
-    return sinks.read_int_marker(spark, f"{base}/_EPOCH", -1)
+    """Last COMMITTED physical epoch (-1 before the first)."""
+    return _read_marker(spark, base)[2]
 
 
-def _write_epoch(spark: SparkSession, base: str, epoch_id: int) -> None:
-    sinks.write_int_marker(spark, f"{base}/_EPOCH", epoch_id)
+def checkpoint_run_token(spark: SparkSession, checkpoint: str) -> str:
+    """The run token for a checkpoint instance: minted on first use, stored
+    INSIDE the checkpoint dir so it lives and dies with the stream's own
+    epoch counter. A deleted/re-created checkpoint gets a fresh token, which
+    is exactly the signal the ingest marker needs to rebind epoch numbering
+    instead of misreading restarted epoch ids as replays."""
+    path = f"{checkpoint}/_INGEST_RUN_TOKEN"
+    token = sinks.read_text_marker(spark, path, "")
+    if not token:
+        token = uuid.uuid4().hex[:16]
+        sinks.write_text_marker(spark, path, token)
+    return token
 
 
 def _read_epoched(spark: SparkSession, path: str, max_epoch: int | None) -> DataFrame | None:
@@ -53,17 +97,15 @@ def _read_epoched(spark: SparkSession, path: str, max_epoch: int | None) -> Data
     crash after writing ``epoch=N`` but before advancing the marker leaves
     ghost files that the replay of epoch N must not see — reading them
     would make the batch collide with its own partial write, verify
-    against itself at jaccard 1.0, and dedup the whole batch away. Only a
-    genuinely-missing path maps to None; any other read failure (corrupt
-    footer, permissions, transient storage error) propagates — silently
-    treating those as 'no corpus yet' would skip cross-corpus dedup and
-    ingest duplicates without a trace."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
+    against itself at jaccard 1.0, and dedup the whole batch away.
+    Existence is probed via the Hadoop FS API (not by pattern-matching a
+    read failure's message, which drifts across Spark versions); any READ
+    failure on an existing path (corrupt footer, permissions, transient
+    storage error) propagates — silently treating those as 'no corpus yet'
+    would skip cross-corpus dedup and ingest duplicates without a trace."""
+    if not sinks.path_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
     if max_epoch is not None:
         df = df.filter(F.col("epoch") <= max_epoch)
     return df.drop("epoch")
@@ -91,14 +133,29 @@ def make_dedup_ingest_batch_fn(
     bands: int = 16,
     n: int = 3,
     verify_threshold: float = 0.5,
+    run_token: str | None = None,
 ):
-    """foreachBatch body implementing the gated ingestion described above."""
+    """foreachBatch body implementing the gated ingestion described above.
+
+    ``run_token`` identifies the checkpoint instance driving this stream
+    (see module docstring). None keeps raw-epoch semantics — correct only
+    when the caller guarantees the checkpoint and base live and die
+    together; ``dedup_ingest_stream`` always passes a token."""
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = _read_epoch(spark, base)
-        if epoch_id <= last:
-            return  # replayed epoch: already fully applied
+        token, offset, last = _read_marker(spark, base)
+        if run_token is None or run_token == token:
+            physical = offset + epoch_id
+            if physical <= last:
+                return  # replayed epoch: already fully applied
+            bound = token if run_token is None else run_token
+        else:
+            # new checkpoint instance against an existing base: rebind this
+            # stream's epoch numbering to continue after the last commit.
+            physical = last + 1
+            offset = physical - epoch_id
+            bound = run_token
 
         # 1. within-batch: exact, then near-dup clusters -> min-id survivor
         keep = dedup.exact_dedup(batch_df, text_col, id_col).select(
@@ -141,13 +198,13 @@ def make_dedup_ingest_batch_fn(
         # without it the whole dedup graph executes twice per epoch.
         batch = batch.persist()
         try:
-            batch.write.mode("overwrite").parquet(f"{base}/docs/epoch={epoch_id}")
+            batch.write.mode("overwrite").parquet(f"{base}/docs/epoch={physical}")
             dedup.minhash_band_table(
                 batch, text_col, id_col, k=k, bands=bands, n=n
-            ).write.mode("overwrite").parquet(f"{base}/bands/epoch={epoch_id}")
+            ).write.mode("overwrite").parquet(f"{base}/bands/epoch={physical}")
         finally:
             batch.unpersist()
-        _write_epoch(spark, base, epoch_id)
+        _write_marker(spark, base, bound, offset, physical)
 
     return apply_batch
 
@@ -161,9 +218,12 @@ def dedup_ingest_stream(
     **lsh_kwargs,
 ):
     """Drive a document stream through the near-dup-gated ingestion."""
+    token = checkpoint_run_token(stream_df.sparkSession, checkpoint)
     return (
         stream_df.writeStream.foreachBatch(
-            make_dedup_ingest_batch_fn(base, text_col, id_col, **lsh_kwargs)
+            make_dedup_ingest_batch_fn(
+                base, text_col, id_col, run_token=token, **lsh_kwargs
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -26,6 +26,34 @@ def test_dense_sk_scalable_start_offset(spark):
     assert out == [100, 101, 102]
 
 
+def test_dense_sk_scalable_checkpoint_mode_stable_ids(spark, tmp_path):
+    """materialize='checkpoint' truncates lineage at the ranked relation:
+    ids must be identical across repeated actions (re-execution cannot
+    re-sample range boundaries) and no cache registration happens."""
+    from healthcare_rcm_etl_pipeline_spark.operators import keys as K
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    data = [(i * 7919 % 1000,) for i in range(1000)]
+    df = spark.createDataFrame(data, ["k"]).repartition(13)
+    before = len(K._SK_CACHES)
+    out = dense_sk_scalable(df, ["k"], num_partitions=7, materialize="checkpoint")
+    assert len(K._SK_CACHES) == before  # checkpoint mode registers nothing
+    first = sorted((r["k"], r["sk"]) for r in out.collect())
+    second = sorted((r["k"], r["sk"]) for r in out.collect())  # re-execution
+    assert first == second == [(k, k) for k in range(1000)]
+
+
+def test_release_sk_caches_unpersists(spark):
+    from healthcare_rcm_etl_pipeline_spark.operators import keys as K
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], ["k"])
+    out = dense_sk_scalable(df, ["k"])
+    assert sorted(r["sk"] for r in out.collect()) == [0, 1, 2]
+    assert K._SK_CACHES
+    K.release_sk_caches()
+    assert not K._SK_CACHES
+
+
 def test_stable_sk_first_run_is_dense(spark):
     from healthcare_rcm_etl_pipeline_spark.operators.keys import stable_sk
 

@@ -182,3 +182,17 @@ def test_split_pnm_stream_truncated_header_keeps_prior_frames():
     f0, _ = make_ppm(8, 6)
     frames = split_pnm_stream(f0 + b"P6 8")  # cut inside 2nd frame's header
     assert frames == [f0]
+
+
+def test_split_pnm_stream_16bit_later_frame_keeps_prior_frames():
+    """An unsupported (maxval>255) frame MID-stream salvages prior frames —
+    same policy as truncation; only a 16-bit FIRST frame raises."""
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+        split_pnm_stream,
+    )
+
+    f0, _ = make_ppm(8, 6)
+    deep = b"P6\n8 6\n65535\n" + b"\x00" * (8 * 6 * 3 * 2)
+    assert split_pnm_stream(f0 + deep) == [f0]
+    with pytest.raises(ValueError):
+        split_pnm_stream(deep)

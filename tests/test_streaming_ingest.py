@@ -102,3 +102,30 @@ def test_replay_of_partially_committed_epoch_keeps_batch(spark, tmp_path):
     fn(spark.createDataFrame([Row(doc_id=5, text=LONG_B)]), 1)
     assert _corpus_ids(spark, base) == [1, 5]
     assert ingest._read_epoch(spark, base) == 1
+
+
+def test_fresh_checkpoint_rebinds_instead_of_dropping(spark, tmp_path):
+    """A FRESH checkpoint dir against an existing base restarts stream
+    epoch ids at 0; the run-token marker must REBIND (continue at the next
+    physical epoch) rather than misread epoch 0 as an already-applied
+    replay and silently drop every new batch."""
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    base = str(tmp_path / "corpus")
+
+    _write_docs(spark, src1, [(1, LONG_A), (2, LONG_B)])
+    _run_once(spark, src1, base, str(tmp_path / "ckpt1"))
+    assert _corpus_ids(spark, base) == [1, 2]
+    assert ingest._read_epoch(spark, base) == 0
+
+    # new checkpoint, new source: epoch_id restarts at 0 but data must land
+    _write_docs(spark, src2, [(10, LONG_C), (11, LONG_A)])  # 11 ~ corpus 1
+    _run_once(spark, src2, base, str(tmp_path / "ckpt2"))
+    assert _corpus_ids(spark, base) == [1, 2, 10]  # 10 in, near-dup 11 out
+    assert ingest._read_epoch(spark, base) == 1  # rebound to next physical
+
+    # replay WITHIN the rebound run (same token, same epoch) still skips
+    tok = ingest.checkpoint_run_token(spark, str(tmp_path / "ckpt2"))
+    fn = ingest.make_dedup_ingest_batch_fn(base, run_token=tok)
+    fn(spark.createDataFrame([Row(doc_id=99, text=LONG_C + " zz")]), 0)
+    assert _corpus_ids(spark, base) == [1, 2, 10]
