@@ -152,9 +152,11 @@ def _bench_streaming_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
             "per_batch_sec": per_batch,
             "total_sec": total,
             "docs_per_sec": round(n_docs / total, 1) if total else None,
-            # last batch probes the largest index: ratio ~1 == flat trend
-            "last_over_first": round(per_batch[-1] / per_batch[0], 2)
-            if per_batch[0]
+            # last batch probes the largest index: ratio ~1 == flat trend.
+            # Baseline is the SECOND batch — the first is structurally
+            # cheaper (empty base corpus, no cross-corpus probe).
+            "steady_trend": round(per_batch[-1] / per_batch[1], 2)
+            if len(per_batch) > 1 and per_batch[1]
             else None,
         }
     finally:

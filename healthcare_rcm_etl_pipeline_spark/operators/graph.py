@@ -4,12 +4,17 @@ into dedup CLUSTERS: every doc labeled with the min doc-id of its component,
 so one survivor per cluster can be kept with a single groupBy.
 
 Algorithm: iterative min-label propagation (the MapReduce-CC shape of
-Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
-simple alternating rounds rather than their optimized star operations):
-each node starts labeled with itself; every round each node takes the min
-of its own label and its neighbors' labels; converged when a round changes
-nothing. Rounds needed ≈ graph diameter — near-dup clusters are dense and
-shallow (a handful of rounds), NOT web-graph chains.
+Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+plus a per-round POINTER-JUMPING compression (label <- label(label), the
+hash-to-min idea of Rastogi et al., "Finding Connected Components in
+Map-Reduce in Logarithmic Rounds", ICDE'13): each node starts labeled with
+itself; every round each node takes the min of its own label and its
+neighbors' labels, then relabels through its label's own label — so the
+propagation distance roughly DOUBLES per round and convergence is
+O(log diameter), not O(diameter). Near-dup clusters are dense and shallow
+(a handful of rounds either way), but a pathological duplicate CHAIN of
+length 1000 now converges in ~10 rounds instead of 1000 (pinned by the
+diameter-stress test).
 
 Scale notes (100 TB):
 - Each round is one equi-join (edges ⋈ labels on src) + one groupBy(dst)
@@ -35,6 +40,7 @@ def connected_components(
     max_iters: int = 20,
     out_node: str = "doc",
     out_component: str = "component",
+    compress: bool = True,
 ) -> DataFrame:
     """Label every node reachable through ``pairs`` with the minimum node id
     of its connected component. Only nodes appearing in at least one pair
@@ -42,7 +48,33 @@ def connected_components(
 
     Deterministic: min-label is order-independent, so the result does not
     depend on partitioning or iteration scheduling.
+
+    ``compress`` enables the pointer-jumping step (one extra self-join per
+    round) that makes convergence O(log diameter); disable it only for the
+    convergence-behavior tests — every label is itself a node id of the same
+    component and labels only decrease, so compression never changes the
+    fixed point, just how fast it is reached.
     """
+    labels, rounds = _cc_labels(pairs, src_col, dst_col, max_iters, compress)
+    return labels.select(
+        F.col("node").alias(out_node), F.col("label").alias(out_component)
+    )
+
+
+def cc_rounds(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 20,
+    compress: bool = True,
+) -> int:
+    """Rounds to convergence (for scale probes / diameter stress tests)."""
+    return _cc_labels(pairs, src_col, dst_col, max_iters, compress)[1]
+
+
+def _cc_labels(
+    pairs: DataFrame, src_col: str, dst_col: str, max_iters: int, compress: bool
+) -> tuple[DataFrame, int]:
     edges = (
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
         .unionByName(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t")))
@@ -55,7 +87,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         # neighbor-propagated candidate labels, then keep the per-node min
         # of (current label, best neighbor label)
         prop = (
@@ -64,25 +96,34 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "new_label"
+            ),
+            "label",
+        )
+        if compress:
+            # pointer jump: relabel through the label's own (new) label.
+            # Every label value is a node id, so the lookup always resolves;
+            # the chase roughly doubles propagation distance per round.
+            lookup = stepped.select(
+                F.col("node").alias("__ln"), F.col("new_label").alias("__ll")
             )
-        ).localCheckpoint(eager=True)
+            stepped = (
+                stepped.join(lookup, stepped["new_label"] == lookup["__ln"], "left")
+                .select(
+                    "node",
+                    F.coalesce("__ll", "new_label").alias("new_label"),
+                    "label",
+                )
+            )
+        new_labels = stepped.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds — "
-            "component diameter exceeds max_iters; raise it for chain-shaped graphs"
-        )
-    return labels.select(
-        F.col("node").alias(out_node), F.col("label").alias(out_component)
+            return labels, rounds
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "component diameter exceeds 2^max_iters; raise max_iters"
     )

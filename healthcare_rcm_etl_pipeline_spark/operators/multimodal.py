@@ -6,13 +6,15 @@ with an explicit output schema, and partitioning/batching is controlled by
 the caller.
 
 Decode is REAL for the formats a numpy-only container can parse —
-binary netpbm (P6 RGB / P5 gray) and uncompressed 24-bit BI_RGB BMP —
-implemented from the published format specs in pure numpy
-(``decode_image``), plus a nearest-neighbor ``resize_nearest``. Formats
-that genuinely need PIL/ffmpeg (JPEG/PNG/video frame-sampling) fall back to
-``decode_stub``: strict mode raises, lenient mode emits deterministic fake
-dimensions flagged ``decoded=False`` so fake features can never be mistaken
-for real ones downstream.
+binary netpbm (P6 RGB / P5 gray), uncompressed 24-bit BI_RGB BMP, and
+baseline-sequential JPEG (a full T.81 Huffman + IDCT decoder in
+operators/jpeg.py) — implemented from the published format specs in pure
+numpy (``decode_image``), plus a nearest-neighbor ``resize_nearest``.
+Formats that genuinely need PIL/ffmpeg (progressive JPEG, PNG's zlib
+streams, video containers) fall back to ``decode_stub``: strict mode
+raises, lenient mode emits deterministic fake dimensions flagged
+``decoded=False`` so fake features can never be mistaken for real ones
+downstream.
 
 At 100 TB: payload bytes stay in executors end-to-end (parquet binary ->
 Arrow batch -> pandas bytes), nothing is collected; `maxRecordsPerBatch`
@@ -68,11 +70,18 @@ def _pnm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
 def decode_image(payload: bytes) -> np.ndarray:
     """Pure-numpy image decode -> array of shape (h, w, channels).
 
-    Supports binary netpbm (P6 RGB, P5 gray, maxval<=255) and uncompressed
-    24-bit BI_RGB BMP (bottom-up or top-down). Raises ValueError for
-    anything else.
+    Supports binary netpbm (P6 RGB, P5 gray, maxval<=255), uncompressed
+    24-bit BI_RGB BMP (bottom-up or top-down), and baseline-sequential
+    JFIF/JPEG (full entropy + IDCT pipeline in operators/jpeg.py — SOF0,
+    4:4:4/4:2:2/4:2:0, restart markers). Raises ValueError for anything
+    else (progressive JPEG, PNG, containers), which routes the payload to
+    the flagged ``decode_stub`` fallback.
     """
     magic = payload[:2]
+    if magic == b"\xff\xd8":
+        from healthcare_rcm_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if magic in (b"P6", b"P5"):
         (w, h, maxval), off = _pnm_tokens(payload, 3)
         if maxval > 255:
@@ -100,6 +109,43 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError(f"unsupported format (magic={magic!r})")
 
 
+JPEG_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-JPEG payload per row (mapInPandas): a solid-color
+    image whose dimensions/color/quality/subsampling are pure functions of
+    the id. Solid color is the oracle-friendly fixture: a flat block's only
+    nonzero coefficient is the DC = 8*(v-128), which is even, and quality
+    >= 93 keeps the DC quantizer at 1 or 2 — so quantization is EXACT and
+    the decoded mean_luma equals the color bit-for-bit, checkable in plain
+    SQL with no tolerance."""
+    id_name = id_col
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from healthcare_rcm_etl_pipeline_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for raw in pdf[id_name]:
+                i = int(raw)
+                w, h, v = 8 + i % 16, 8 + i % 8, i % 256
+                img = np.full((h, w, 3), v, dtype=np.uint8)
+                payloads.append(
+                    encode_jpeg(img, quality=93 + i % 8, subsample=(i % 2 == 0))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_name].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, JPEG_SYNTH_SCHEMA)
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure index arithmetic (no interpolation
     libraries): output pixel (y, x) samples input (y*h//out_h, x*w//out_w)."""
@@ -114,7 +160,10 @@ def decode_stub(payload: bytes, strict: bool = False) -> tuple[int, int]:
     strict raises; lenient returns deterministic fake (width, height)
     derived from the payload hash (stable, testable, flagged as fake)."""
     if strict:
-        raise NotImplementedError("JPEG/PNG/video decode requires PIL/ffmpeg — not in this container")
+        raise NotImplementedError(
+            "progressive-JPEG/PNG/video decode requires PIL/ffmpeg — not in "
+            "this container (baseline JPEG decodes for real via operators/jpeg.py)"
+        )
     h = hashlib.sha256(payload).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240
 

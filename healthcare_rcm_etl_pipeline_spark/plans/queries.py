@@ -1927,6 +1927,37 @@ def multimodal_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_features",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           CAST(8 + doc_id % 8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_luma,
+           TRUE AS decoded
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def multimodal_jpeg_q(spark, sf_dir):
+    """REAL JPEG decode end-to-end in Spark: per-row baseline-JFIF payloads
+    synthesized with the numpy encoder (operators/jpeg.py), decoded back
+    through the Arrow-batched mapInPandas feature extractor. Solid-color
+    fixtures quantize EXACTLY (flat DC, quality>=93), so width/height/
+    mean_luma/decoded are pure functions of doc_id the DuckDB oracle pins
+    with zero tolerance — this is the query that retires the
+    'JPEG is a flagged stub' class."""
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthesize_jpeg_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return extract_features(synthesize_jpeg_payloads(d)).select(
+        "doc_id", "width", "height", "channels", "mean_luma", "decoded"
+    )
+
+
+@query(
     "multimodal_audio_features",
     """
     SELECT doc_id,

@@ -38,8 +38,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
-from healthcare_rcm_etl_pipeline_spark.operators import dedup, similarity
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, graph, similarity
 from healthcare_rcm_etl_pipeline_spark.session import get_spark
+from healthcare_rcm_etl_pipeline_spark.streaming.ingest import (
+    make_dedup_ingest_batch_fn,
+)
 
 SF01 = "/root/testdata/sf0.1"
 
@@ -142,6 +145,72 @@ def main() -> None:
         lambda: similarity.ivf_topk(emb1, queries, cents1, k=5, n_probe=4).count(),
         lambda: similarity.ivf_topk(emb10, queries, cents10, k=5, n_probe=4).count(),
     )
+    run(
+        "dedup_ngram_jaccard",
+        lambda: dedup.ngram_jaccard_pairs(
+            docs1, "text", "doc_id", n=3, threshold=0.5, max_df=20
+        ).count(),
+        lambda: dedup.ngram_jaccard_pairs(
+            docs10, "text", "doc_id", n=3, threshold=0.5, max_df=20
+        ).count(),
+    )
+
+    def survivors(d):
+        pairs = dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+        )
+        clusters = graph.connected_components(pairs)
+        losers = clusters.filter(F.col("doc") != F.col("component")).select(
+            F.col("doc").alias("doc_id")
+        )
+        return d.select("doc_id").join(losers, "doc_id", "left_anti").count()
+
+    run(
+        "dedup_keep_survivors",
+        lambda: survivors(docs1),
+        lambda: survivors(docs10),
+    )
+    # CC round count must be scale-invariant (pointer jumping: O(log
+    # diameter), and replica isolation keeps per-replica diameter fixed)
+    results["cc_rounds"] = {
+        "sf0.1": graph.cc_rounds(
+            dedup.ngram_jaccard_pairs(docs1, "text", "doc_id", n=3, threshold=0.5, max_df=20)
+        ),
+        f"sf1({replicas}x)": graph.cc_rounds(
+            dedup.ngram_jaccard_pairs(docs10, "text", "doc_id", n=3, threshold=0.5, max_df=20)
+        ),
+    }
+    print(f"  cc_rounds: {results['cc_rounds']}", file=sys.stderr)
+
+    # streaming ingest: per-batch latency at both scales — the batch is the
+    # unit of work, so per-batch cost should scale with BATCH size (10x
+    # docs -> ~10x batch) while staying flat across batches at a fixed size
+    def ingest_batches(d, tag):
+        base_dir = f"{tmp}/ingest_{tag}"
+        fn = make_dedup_ingest_batch_fn(base_dir)
+        per = []
+        for b in range(3):
+            batch = d.filter((F.col("doc_id") % 3) == b).select("doc_id", "text")
+            t0 = time.perf_counter()
+            fn(batch, b)
+            per.append(round(time.perf_counter() - t0, 3))
+        return per
+
+    p1 = ingest_batches(docs1, "1x")
+    p10 = ingest_batches(docs10, f"{replicas}x")
+    # flatness compares LAST vs SECOND batch: the first batch is
+    # structurally cheaper (empty base corpus -> no cross-corpus probe), so
+    # steady-state index-growth cost shows from batch 2 onward
+    results["streaming_ingest"] = {
+        "sf0.1_per_batch": p1,
+        f"sf1({replicas}x)_per_batch": p10,
+        "batch_ratio": round(
+            (sum(p10) / len(p10)) / (sum(p1) / len(p1)), 2
+        ),
+        "flat_1x": round(p1[-1] / p1[1], 2) if p1[1] else None,
+        f"flat_{replicas}x": round(p10[-1] / p10[1], 2) if p10[1] else None,
+    }
+    print(f"  streaming_ingest: {results['streaming_ingest']}", file=sys.stderr)
 
     print(json.dumps({"replicas": replicas, "results": results}))
     shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,154 @@
+"""Degenerate-skew stress tests for the load-bearing scale guards:
+``max_bucket`` (minhash LSH), ``max_df`` (n-gram Jaccard posting lists),
+``max_cell`` (semantic dedup). Uniform fixtures never exercise these; here
+a mass-duplicate group / stop-shingle / hot cell is constructed on purpose
+and BOTH sides of the trade are pinned: the guard bounds the pair blowup
+(cost), and the documented recall loss is exactly the hot group — nothing
+else — while genuine small clusters keep deduping (semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    semantic_dedup,
+)
+
+WORDS = [f"tok{i}" for i in range(40)]
+HOT_TEXT = " ".join(WORDS)  # 50 identical copies of this form the hot group
+
+
+def _mk_docs(spark):
+    """50 identical docs (ids 0-49: every LSH band collides -> one 50-doc
+    bucket), one genuine near-dup pair (100, 101), and 10 distinct docs."""
+    rows = [Row(doc_id=i, text=HOT_TEXT) for i in range(50)]
+    near = " ".join(f"near{i}" for i in range(30))
+    rows += [Row(doc_id=100, text=near), Row(doc_id=101, text=near + " tail")]
+    rows += [
+        Row(doc_id=200 + i, text=" ".join(f"u{i}w{j}" for j in range(25)))
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# max_bucket: banded-LSH hot bucket
+# ---------------------------------------------------------------------------
+
+
+def test_max_bucket_bounds_pairs_and_keeps_genuine_clusters(spark):
+    docs = _mk_docs(spark)
+
+    # uncapped: the 50-duplicate group alone emits 50*49/2 pairs
+    full = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=None)
+    hot_full = full.filter(F.col("doc_a") < 50).count()
+    assert hot_full == 50 * 49 // 2
+
+    capped = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=10).collect()
+    # cost bound: identical docs collide on EVERY band, so all their buckets
+    # hold 50 > 10 members and are dropped — zero pairs from the hot group,
+    # the d^2/2 blowup never happens
+    assert all(r.doc_a >= 100 for r in capped)
+    # semantics: the genuine near-dup pair (bucket size 2 <= cap) is intact
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+    # recall trade is EXACTLY the over-cap group: min-id-survivor semantics
+    # over the capped pairs drops only 101 — all 50 hot docs survive
+    # (documented loss), every distinct doc survives
+    assert {r.doc_b for r in capped} == {101}
+
+
+# ---------------------------------------------------------------------------
+# max_df: stop-shingle in the posting lists
+# ---------------------------------------------------------------------------
+
+
+def _mk_stop_shingle_docs(spark):
+    """Every doc shares one stop-phrase (-> one shingle with df = corpus
+    size); docs 0/1 are genuine near-dups through their OWN content."""
+    stop = "the quick brown"
+    rows = [
+        Row(doc_id=0, text=stop + " " + " ".join(f"a{i}" for i in range(20))),
+        Row(doc_id=1, text=stop + " " + " ".join(f"a{i}" for i in range(19)) + " zz"),
+    ]
+    rows += [
+        Row(
+            doc_id=10 + i,
+            text=stop + " " + " ".join(f"d{i}x{j}" for j in range(15)),
+        )
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("cap_mode", ["window", "antijoin", "filter"])
+def test_max_df_drops_stop_shingle_keeps_true_pairs(spark, cap_mode):
+    docs = _mk_stop_shingle_docs(spark)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_df=5, cap_mode=cap_mode
+    ).collect()
+    # the stop-shingle (df=32 > 5) is dropped BEFORE pair emission: no pair
+    # exists whose only overlap is the stop-phrase — the 32*31/2 blowup from
+    # that single posting list never happens
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+    # and the surviving pair's overlap counts only non-hot shingles
+    [p] = pairs
+    assert p.n_common > 0
+
+
+def test_max_df_uncapped_emits_stop_shingle_candidates(spark):
+    """Control: without the cap the stop-shingle connects everything below
+    threshold (no false pairs emitted) but the CANDIDATE work is quadratic —
+    visible here as the threshold=0 pair count."""
+    docs = _mk_stop_shingle_docs(spark)
+    all_pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.0, max_df=None
+    ).count()
+    assert all_pairs == 32 * 31 // 2  # every doc pair shares the stop-shingle
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.0, max_df=5
+    ).count()
+    assert capped < all_pairs  # the cap is what kills the quadratic term
+
+
+# ---------------------------------------------------------------------------
+# max_cell: hot sign-sketch cell in semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _mk_vectors(spark):
+    """100 near-identical vectors (one hot cell), 3 identical vectors in an
+    orthogonal direction (small cell), 5 scattered singletons."""
+    rows = [
+        Row(id=i, vec=[1.0, 0.001 * i, 0.0, 0.0]) for i in range(100)
+    ]
+    rows += [Row(id=200 + i, vec=[0.0, 0.0, 1.0, 0.0]) for i in range(3)]
+    rows += [
+        Row(id=300 + i, vec=[float(i % 2) - 0.5, -1.0, 0.3 * i - 0.7, 1.0])
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_max_cell_excludes_hot_cell_dedupes_small_cells(spark):
+    vecs = _mk_vectors(spark)
+    kwargs = dict(threshold=0.99, n_planes=6, dim=4, seed=7)
+
+    # uncapped: the 100 near-identical vectors collapse to their min id
+    full = semantic_dedup(vecs, "vec", "id", max_cell=None, **kwargs)
+    full_ids = {r.id for r in full.collect()}
+    assert set(range(1, 100)) & full_ids == set()
+    assert 0 in full_ids
+
+    capped = semantic_dedup(vecs, "vec", "id", max_cell=50, **kwargs)
+    ids = {r.id for r in capped.collect()}
+    # recall trade: the over-cap cell is excluded from the pair scan, so all
+    # 100 hot rows survive (documented loss — bounded cost wins)...
+    assert set(range(100)) <= ids
+    # ...but small cells still dedup: 3 identical vectors -> min id only
+    assert 200 in ids and {201, 202} & ids == set()
+    # singletons untouched
+    assert {300 + i for i in range(5)} <= ids
