@@ -296,3 +296,313 @@ def repetition_stats(
         "flagged",
         (F.col("top_ngram_frac") > top_frac_max) | (F.col("dup_ngram_frac") > dup_frac_max),
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line/paragraph-level dedup signal (the RefinedWeb / CCNet "duplicated
+    lines" stage, adapted to token chunks since the synthetic corpus has no
+    newlines): split each doc into NON-overlapping ``chunk_tokens``-token
+    chunks (tail partial chunk included), mark a chunk position duplicated
+    when its exact text occurs in >= ``min_docs`` DISTINCT documents, and
+    report the per-doc duplicated fraction.
+
+    Scale shape — deliberately different from the pair ops: corpus-wide
+    chunk frequency is a map-side-combinable groupBy on an 8-byte chunk
+    hash (never a posting-list pair emission), so a boilerplate chunk
+    shared by 10^8 docs costs one count row, not d(d-1)/2 pairs. Shuffles
+    carry (doc_id, hash) only; the hot-chunk set joins back by hash (AQE
+    broadcasts it when small). No skew cap needed: frequency is the
+    OUTPUT here, not a join fan-out.
+
+    Returns (id_col, n_chunks, n_dup_chunks, dup_chunk_frac).
+    """
+    c = chunk_tokens
+    toks = _repartition_if_narrow(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
+    )
+    n_chunks = F.ceil(F.size("__t") / F.lit(float(c))).cast("int")
+    chunks = toks.select(
+        "doc",
+        F.when(
+            F.size("__t") > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("__t", i * c + 1, c), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__chunks"),
+    )
+    post = chunks.select(
+        "doc",
+        F.size("__chunks").cast("bigint").alias("n_chunks"),
+        F.explode_outer("__chunks").alias("__chunk"),
+    ).withColumn(
+        # xxhash64(NULL) yields the SEED, not NULL — guard so the
+        # explode_outer placeholder of an empty doc can't form a phantom
+        # "duplicated chunk" group with other empty docs
+        "__ch",
+        F.when(F.col("__chunk").isNotNull(), F.xxhash64("__chunk")),
+    ).drop("__chunk")
+    # corpus-wide chunk frequency in DISTINCT docs (same chunk repeated
+    # within one doc is repetition_stats' job, not cross-doc boilerplate)
+    hot = (
+        post.filter(F.col("__ch").isNotNull())
+        .select("doc", "__ch")
+        .distinct()
+        .groupBy("__ch")
+        .agg(F.count("*").alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("__ch")
+    )
+    dup = (
+        post.join(hot, "__ch", "left_semi")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_dup_chunks"))
+    )
+    return (
+        post.groupBy("doc", "n_chunks")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+        .join(dup, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_chunks",
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("bigint").alias("n_dup_chunks"),
+            (
+                F.coalesce("n_dup_chunks", F.lit(0))
+                / F.nullif(F.col("n_chunks").cast("double"), F.lit(0.0))
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+def _repartition_if_narrow(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread explode-heavy work when the input arrives in few partitions
+    (same rationale as dedup._fan_out; duplicated to keep modules acyclic)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, id_col)
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "domcap-v1",
+    exact: bool = False,
+) -> DataFrame:
+    """Per-domain document cap (corpus balancing: no single source/domain
+    dominates the training mix). Two modes:
+
+    - ``exact=False`` (default, the 100 TB path): per-domain KEEP FRACTION
+      ``min(1, cap / n_domain)`` applied via the deterministic md5-bucket
+      device (see deterministic_split) — one map-side-combined count per
+      domain, broadcast back, then a narrow filter. Kept count is cap in
+      expectation (± binomial noise); NO per-domain sort, so a 10^8-doc hot
+      domain costs the same as a cold one. Deterministic: the same doc
+      survives on every run/engine/partitioning.
+    - ``exact=True``: at most ``cap`` rows per domain exactly, chosen by
+      md5-bucket order via a per-domain row_number window. Right when
+      domains are known-bounded (the window sorts each domain inside one
+      task); wrong for web-scale domain skew.
+
+    Returns the surviving rows (all columns).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    if exact:
+        w = Window.partitionBy(domain_col).orderBy(bucket.asc(), F.col(id_col).asc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n_dom"))
+    keep_below = F.least(
+        F.lit(1_000_000),
+        F.ceil(F.lit(cap) * F.lit(1_000_000) / F.col("__n_dom")).cast("bigint"),
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .filter(bucket < keep_below)
+        .drop("__n_dom")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020 score
+    corpora with a KenLM n-gram model; here the model IS the corpus): train
+    a maximum-likelihood bigram LM on the whole corpus, then score every
+    document by its average negative log-likelihood
+    ``avg over positions of  ln C(w1 ·) - ln C(w1 w2)``.
+    Low avg_nll = the doc's transitions are corpus-typical; high = atypical
+    (noise, boilerplate-free rare text — the tails a perplexity filter
+    trims). Self-scoring means every doc bigram has count >= 1, so the MLE
+    needs no smoothing and the score is exact.
+
+    Scale shape: bigram/context counts are map-side-combinable groupBys on
+    an 8-byte gram hash; the per-position scoring join moves (doc_id, hash)
+    against the (hash, nll) model table — an equi-join AQE broadcasts when
+    the vocab fits, shuffle-hash otherwise. No posting-list pair emission,
+    no window over the corpus.
+
+    Returns (id_col, n_bigrams, avg_nll) with avg_nll rounded to 6 (null
+    for docs with < 2 tokens).
+    """
+    toks = _repartition_if_narrow(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
+    )
+    L = F.greatest(F.size("__t") - 1, F.lit(0))
+    pos = toks.select(
+        "doc",
+        F.explode_outer(
+            F.arrays_zip(
+                F.slice("__t", 1, L).alias("w1"), F.slice("__t", 2, L).alias("w2")
+            )
+        ).alias("bg"),
+    ).select(
+        "doc",
+        # xxhash64(NULL) yields the SEED, not NULL — keep the explode_outer
+        # placeholder of a <2-token doc out of the model and the counts
+        F.when(F.col("bg.w1").isNotNull(), F.xxhash64(F.col("bg.w1"))).alias("__h1"),
+        F.when(
+            F.col("bg.w1").isNotNull(), F.xxhash64(F.col("bg.w1"), F.col("bg.w2"))
+        ).alias("__h12"),
+    )
+    bg_counts = (
+        pos.filter(F.col("__h12").isNotNull())
+        .groupBy("__h1", "__h12")
+        .agg(F.count("*").alias("__c12"))
+    )
+    ctx_counts = bg_counts.groupBy("__h1").agg(F.sum("__c12").alias("__c1"))
+    model = bg_counts.join(ctx_counts, "__h1").select(
+        "__h12", (F.log("__c1") - F.log("__c12")).alias("__nll")
+    )
+    scored = pos.join(model, "__h12", "left")
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count("__h12").alias("n_bigrams"),
+            F.round(F.avg("__nll"), 6).alias("avg_nll"),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "avg_nll")
+    )
+
+
+def bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions of a value in an m_bits bloom filter, as an
+    array<bigint> — k independent xxhash64 draws (seed folded into the
+    input), each reduced mod m_bits. Pure JVM expressions."""
+    return F.array(
+        *[F.pmod(F.xxhash64(F.lit(f"bloom{i}:"), col), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def bloom_build_mask(keys: DataFrame, key_col: str, m_bits: int, k: int) -> list[int]:
+    """Driver-side bloom bitmask (list of m_bits/64 longs) from a SMALL key
+    set (benchmark shingles — MBs by definition; the corpus side never
+    touches the driver). The distinct bit positions are computed
+    distributed and only the <= |keys|*k position ints are collected."""
+    rows = (
+        keys.select(F.explode(bloom_positions(F.col(key_col), m_bits, k)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    mask = [0] * ((m_bits + 63) // 64)
+    for r in rows:
+        p = r["p"]
+        mask[p // 64] |= 1 << (p % 64)
+    # to signed 64-bit for Spark LongType
+    return [x - (1 << 64) if x >= (1 << 63) else x for x in mask]
+
+
+def bloom_might_contain(col: Column, mask_col: Column, m_bits: int, k: int) -> Column:
+    """Membership test against a bitmask array column: true iff ALL k bit
+    positions of ``col`` are set. One-sided: never false for a member
+    (no false negatives), occasionally true for a non-member (fp rate
+    ~ (1 - e^{-kn/m})^k)."""
+    cond = None
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.lit(f"bloom{i}:"), col), F.lit(m_bits))
+        bit = (
+            F.getbit(
+                F.element_at(mask_col, F.floor(p / 64).cast("int") + 1), p % 64
+            )
+            == 1
+        )
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 2,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination: byte-identical output to
+    :func:`decontaminate`, with a broadcast bloom BITMASK (m_bits/8 bytes —
+    32 KB at the default, vs the benchmark shingle hash table's MBs)
+    screening corpus shingles MAP-SIDE before the exact semi-join probe.
+    At 100 TB the prefilter drops the overwhelming majority of corpus
+    shingles with a few arithmetic ops per shingle and no join at all; the
+    exact broadcast semi-join then runs only on bloom survivors, so its
+    probe cost scales with true+false positives, not the corpus. The bloom
+    is one-sided (no false negatives), so exactness is preserved by
+    construction; false positives are removed by the exact probe.
+
+    The mask rides a broadcast single-row cross join (not a 4096-literal
+    array expression, which would blow past codegen's method-size limit
+    and fall back to interpreted eval row-by-row).
+    """
+    spark = df.sparkSession
+    bench_sh = (
+        bench.select(
+            F.explode(shingles_from_tokens(tokens(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    mask = bloom_build_mask(bench_sh, "shingle", m_bits, k)
+    mask_df = spark.createDataFrame([(mask,)], "__bloom_mask array<bigint>")
+
+    base = df.select(
+        id_col, shingles_from_tokens(tokens(text_col), n).alias("__sh")
+    ).select(id_col, F.explode("__sh").alias("shingle"))
+    candidates = (
+        base.join(F.broadcast(mask_df))
+        .filter(bloom_might_contain(F.col("shingle"), F.col("__bloom_mask"), m_bits, k))
+        .drop("__bloom_mask")
+    )
+    flagged = (
+        candidates.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__hits"))
+        .filter(F.col("__hits") >= min_overlap)
+        .select(id_col)
+    )
+    return df.join(flagged, id_col, "left_anti")

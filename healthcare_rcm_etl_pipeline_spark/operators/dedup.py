@@ -197,6 +197,27 @@ def ngram_jaccard_pairs(
       fits comfortably in an executor (caps up to ~10^6 × max_df); unsafe
       for adversarial/web corpora where one stop-shingle spans 10^8+ docs.
     """
+    cooc = _posting_cooccurrence(
+        _shingle_posting(df, text_col, id_col, n), max_df, cap_mode
+    )
+    return (
+        cooc.withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _posting_cooccurrence(
+    post: DataFrame, max_df: int | None, cap_mode: str
+) -> DataFrame:
+    """Shared core of the posting-list pair ops: (doc, n_shingles, shingle)
+    postings -> (doc_a, doc_b, n_a, n_b, n_common) co-occurrence counts,
+    with the stop-shingle skew cap applied per ``cap_mode`` (see
+    ngram_jaccard_pairs for the mode trade-offs)."""
     if cap_mode not in ("window", "antijoin", "filter"):
         raise ValueError(
             f"cap_mode must be 'window', 'antijoin' or 'filter', got {cap_mode!r}"
@@ -205,11 +226,7 @@ def ngram_jaccard_pairs(
     # (df cap + pair grouping) move 8-byte longs, never the strings; a
     # cross-shingle collision (~n²/2^64) would merge two posting lists —
     # negligible for any real corpus
-    post = (
-        _shingle_posting(df, text_col, id_col, n)
-        .withColumn("__sh", F.xxhash64("shingle"))
-        .drop("shingle")
-    )
+    post = post.withColumn("__sh", F.xxhash64("shingle")).drop("shingle")
     if max_df is not None and cap_mode == "antijoin":
         post = df_cap_shingles(post, max_df, col="__sh")
     if max_df is not None and cap_mode == "window":
@@ -233,16 +250,55 @@ def ngram_jaccard_pairs(
         F.col("p.a.n_shingles").alias("n_a"),
         F.col("p.b.n_shingles").alias("n_b"),
     )
+    return pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count("*").alias("n_common")
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 20,
+    min_windows: int = 1,
+    max_df: int | None = None,
+    cap_mode: str = "window",
+) -> DataFrame:
+    """Exact-substring duplication detection, the Spark-shaped analog of the
+    suffix-array dedup in Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): two docs are substring-duplicates when
+    they share at least ``min_windows`` DISTINCT exact runs of ``window``
+    consecutive tokens. Any shared run of >= window tokens is caught (a run
+    of length L >= window contributes L - window + 1 shared windows), which
+    is the suffix-array criterion discretized to a slide-by-one window —
+    expressible as the same posting-list equi-join the n-gram ops use, so
+    Catalyst plans it with two shuffles and no self-join.
+
+    Differs from ngram_jaccard_pairs in what it flags: Jaccard needs
+    whole-document similarity; this fires on a single long verbatim span
+    (boilerplate, license blocks, quoted articles) even when the rest of
+    the two docs is unrelated — the duplication class n-gram Jaccard is
+    blind to at realistic thresholds.
+
+    Returns (doc_a, doc_b, n_shared, dup_frac) where n_shared counts the
+    distinct shared windows and dup_frac = n_shared / min(n_a, n_b) — an
+    upper-bound estimate of the smaller doc's duplicated fraction. Skew:
+    same stop-shingle hazard as the n-gram ops (a window shared by d docs
+    emits d(d-1)/2 pairs) — ``max_df``/``cap_mode`` apply unchanged, though
+    at window >= 20 natural stop-windows are rare; caps matter for
+    machine-generated boilerplate corpora."""
+    cooc = _posting_cooccurrence(
+        _shingle_posting(df, text_col, id_col, window), max_df, cap_mode
+    )
     return (
-        pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        cooc.filter(F.col("n_common") >= min_windows)
         .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            "dup_frac",
+            F.col("n_common") / F.least("n_a", "n_b").cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .select(
+            "doc_a", "doc_b", F.col("n_common").alias("n_shared"), "dup_frac"
+        )
     )
 
 
@@ -530,10 +586,12 @@ def embedding_near_dup_pairs(
     id_col: str,
     block_col: str | None = None,
     threshold: float = 0.99,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 12,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = None,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
@@ -545,11 +603,26 @@ def embedding_near_dup_pairs(
       Hamming-1 multiprobe) generates linear candidates; exact cosine is
       computed for candidates only. Recall is tuned by (n_planes,
       n_tables); deterministic hyperplanes keep results reproducible.
+
+    ``n_planes=None`` (default) ADAPTS the bucket count to the corpus via
+    adaptive_n_planes(count, target_bucket_rows): candidate pairs per
+    bucket are quadratic in bucket population, so a FIXED plane count that
+    is fine at 2k vectors (2^4 buckets ≈ 125/bucket) emits ~200M candidate
+    pairs at 20k vectors and OOMs — caught by the sf1 tolerance audit
+    (scripts/audit_tolerance_sf1.py, round 5). Finer buckets trade recall
+    (measured in the audit: borderline-threshold pairs are the ones
+    missed); pass an explicit n_planes for reproducible fixed-bucket runs
+    — the registered oracle queries do, pinning the driver-SF recall-1.0
+    contract. ``max_bucket`` stays the emergency bound for degenerate
+    pile-ups (see lsh_candidate_pairs).
     """
     if block_col is None:
+        if n_planes is None:
+            n_planes = adaptive_n_planes(df.count(), target_bucket_rows)
         cand = lsh_candidate_pairs(
             df, vec_col, id_col,
             n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
+            max_bucket=max_bucket,
         )
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))

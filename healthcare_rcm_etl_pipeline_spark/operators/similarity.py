@@ -370,11 +370,12 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    n_planes: int = 5,
+    n_planes: int | None = 5,
     n_tables: int = 6,
     dim: int = 64,
     seed: int = 42,
     multiprobe: bool = True,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with OR-construction:
     ``n_tables`` independent plane sets, each bucketing into 2^n_planes
@@ -382,7 +383,17 @@ def lsh_bucket_topk(
     ANY table (multiprobe additionally probes all Hamming-1 buckets).
 
     Candidate cost ≈ n_tables × (1 + n_planes) × bucket size — linear in the
-    corpus, tunable recall/cost. Recall vs brute force is asserted in tests."""
+    corpus, tunable recall/cost. Recall vs brute force is asserted in tests.
+
+    ``n_planes=None`` adapts the bucket count to the corpus (bucket
+    population n/2^planes is the per-query probe cost — a fixed plane
+    count degrades to a near-full scan as the corpus grows; the sf1 audit
+    measures the recall trade). Default stays 5: the registered oracle
+    query pins its driver-SF exact-match contract on it."""
+    if n_planes is None:
+        from healthcare_rcm_etl_pipeline_spark.operators.dedup import adaptive_n_planes
+
+        n_planes = adaptive_n_planes(corpus.count(), target_bucket_rows)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")

@@ -969,7 +969,7 @@ def embedding_near_dup_lsh_q(spark, sf_dir):
     sf0.01: labels are a lossy block; LSH is the honest default."""
     e = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(
-        e, "embedding", "vec_id", threshold=0.35, n_tables=16
+        e, "embedding", "vec_id", threshold=0.35, n_planes=4, n_tables=16
     )
 
 
@@ -3968,3 +3968,199 @@ def quality_classifier_q(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference round 5: substring/chunk dedup, domain caps, LM scoring,
+# bloom decontamination
+# ---------------------------------------------------------------------------
+
+_EXACT_SUBSTR_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 18, 1)),
+                                          i -> array_to_string(toks[i:i+19], ' '))) AS windows
+      FROM t
+    ),
+    post AS (SELECT doc_id, len(windows) AS n_w, unnest(windows) AS w FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_w AS n_a, b.n_w AS n_b,
+             COUNT(*) AS n_shared
+      FROM post a JOIN post b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_shared,
+           n_shared / CAST(least(n_a, n_b) AS DOUBLE) AS dup_frac
+    FROM pairs WHERE n_shared >= 1
+"""
+
+
+@query("dedup_exact_substring", _EXACT_SUBSTR_ORACLE)
+def dedup_exact_substring_q(spark, sf_dir):
+    """Exact-substring duplication pairs (Lee et al. 2022 suffix-array
+    criterion, discretized to slide-by-one 20-token windows): docs sharing
+    ANY verbatim >= 20-token run — the boilerplate/license-block/quotation
+    class whole-document Jaccard misses. Same two-shuffle posting-list
+    plan as the n-gram ops; window >= 20 makes natural stop-windows rare,
+    so the df cap stays available but off."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_pairs(
+        d, "text", "doc_id", window=20, min_windows=1
+    )
+
+
+_CHUNK_DEDUP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 THEN
+               list_transform(range(0, CAST(ceil(len(toks) / 15.0) AS BIGINT)),
+                              i -> array_to_string(toks[i*15+1:i*15+15], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS chunks
+      FROM t
+    ),
+    base AS (SELECT doc_id, len(chunks) AS n_chunks FROM ch),
+    post AS (SELECT doc_id, unnest(chunks) AS c FROM ch),
+    hot AS (
+      SELECT c FROM (SELECT DISTINCT doc_id, c FROM post)
+      GROUP BY c HAVING COUNT(*) >= 2
+    ),
+    dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup FROM post
+      WHERE c IN (SELECT c FROM hot) GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(b.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+           COALESCE(d.n_dup, 0) / CAST(nullif(b.n_chunks, 0) AS DOUBLE) AS dup_chunk_frac
+    FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
+
+@query("chunk_dedup_rate", _CHUNK_DEDUP_ORACLE)
+def chunk_dedup_rate_q(spark, sf_dir):
+    """Line-level dedup signal (RefinedWeb/CCNet "duplicated lines",
+    adapted to 15-token chunks): per doc, the fraction of non-overlapping
+    chunks whose exact text occurs in >= 2 distinct docs. Corpus-wide chunk
+    frequency is one map-side-combined groupBy on an 8-byte hash — a
+    boilerplate chunk in 10^8 docs costs one count row, never a pair
+    emission."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.chunk_dedup_stats(d, "text", "doc_id", chunk_tokens=15)
+
+
+_DOMAIN_CAP_ORACLE = """
+    WITH n AS (SELECT source, COUNT(*) AS n_dom FROM documents GROUP BY 1),
+    b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('domcap-v1' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source FROM b JOIN n USING (source)
+    WHERE bucket < least(1000000, CAST(ceil(15 * 1000000.0 / n_dom) AS BIGINT))
+"""
+
+
+@query("per_domain_cap", _DOMAIN_CAP_ORACLE)
+def per_domain_cap_q(spark, sf_dir):
+    """Per-domain cap (corpus balancing): downsample every source to ~15
+    docs via the deterministic md5-bucket fraction min(1, cap/n_domain) —
+    one map-side count per domain broadcast back, then a narrow filter.
+    No per-domain sort/window, so a 10^8-doc hot domain costs the same as
+    a cold one; the same doc survives on every run/engine/partitioning."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.domain_cap_sample(d, "source", "doc_id", cap=15).select(
+        "doc_id", "source"
+    )
+
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+      FROM t
+    ),
+    p2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pos),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c12 FROM p2 GROUP BY 1, 2),
+    cctx AS (SELECT w1, SUM(c12) AS c1 FROM cbg GROUP BY 1),
+    model AS (SELECT w1, w2, ln(c1) - ln(c12) AS nll FROM cbg JOIN cctx USING (w1)),
+    agg AS (
+      SELECT p.doc_id, round(avg(m.nll), 6) AS avg_nll
+      FROM p2 p JOIN model m USING (w1, w2) GROUP BY 1
+    ),
+    base AS (SELECT doc_id, len(toks) AS ntok FROM t)
+    SELECT b.doc_id,
+           CAST(greatest(b.ntok - 1, 0) AS BIGINT) AS n_bigrams,
+           a.avg_nll
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("corpus_bigram_lm", _BIGRAM_LM_ORACLE)
+def corpus_bigram_lm_q(spark, sf_dir):
+    """CCNet-style LM quality scoring with the corpus as its own model:
+    train a max-likelihood bigram LM (two map-side-combinable groupBys on
+    gram hashes), score every doc by average negative log-likelihood of
+    its transitions. High avg_nll = corpus-atypical text — the perplexity
+    tail a quality filter trims."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bigram_lm_scores(d, "text", "doc_id")
+
+
+_BLOOM_DECONTAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                          i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM t
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src19'
+    ),
+    corpus AS (SELECT * FROM sh WHERE source <> 'src19'),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus) c
+      JOIN bench b ON c.shingle = b.shingle
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN corpus c ON d.doc_id = c.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE COALESCE(h.n_hits, 0) < 1
+"""
+
+
+@query("decontaminate_bloom", _BLOOM_DECONTAM_ORACLE)
+def decontaminate_bloom_q(spark, sf_dir):
+    """Bloom-prefiltered decontamination (benchmark = source='src19',
+    min_overlap=1 — stricter than decontaminate_corpus's >= 2): the 32 KB
+    broadcast bloom bitmask screens corpus shingles map-side before the
+    exact broadcast semi-join, so the probe cost scales with bloom
+    survivors, not the corpus. The bloom is one-sided — the oracle is the
+    EXACT decontamination result, which the prefiltered plan must
+    reproduce byte-identically."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = corpus.decontaminate_bloom(
+        d.filter(F.col("source") != "src19"),
+        d.filter(F.col("source") == "src19"),
+        "text",
+        "doc_id",
+        n=3,
+        min_overlap=1,
+    )
+    return survivors.select("doc_id", "source", "n_chars")

@@ -1,0 +1,206 @@
+"""sf1-equivalent audit of the TOLERANCE-based oracle contracts.
+
+Three registered queries assert probabilistic guarantees rather than
+row-exact SQL parity, and those guarantees are scale-sensitive (the r4
+sf0.1 audit caught divergences invisible at the driver's sf0.01):
+
+- ``embedding_near_dup_lsh`` / ``ann_topk_lsh``: 16-table sign-sketch LSH
+  claimed to reach recall 1.0 vs the exact brute-force answer.
+- ``sketch_distinct_tolerance`` / ``sketch_rollup_distinct``: HLL++ /
+  DataSketches-HLL estimates claimed within 5% of the exact distinct.
+
+This script re-verifies all four at the largest corpus the sandbox holds:
+a 10x structurally-isolated replica of sf0.1 (the bench_scale protocol —
+rotation-isolated embeddings, shifted ids) ~= sf1. Ground truth for the
+LSH contracts is computed EXACTLY in numpy on the driver (20k x 64
+vectors; blocked matmul) — exactness of the yardstick is the point, the
+distributed path is what's under audit. Ground truth for the HLL
+contracts is exact COUNT DISTINCT in Spark.
+
+Usage: python scripts/audit_tolerance_sf1.py [replicas]   (default 10)
+Writes nothing outside /tmp; prints one JSON line (plus stderr progress).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from bench_scale import scaled_embeddings  # noqa: E402
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, similarity  # noqa: E402
+from healthcare_rcm_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+THRESHOLD = 0.35
+K = 5
+
+
+def _collect_matrix(df, id_col="vec_id", vec_col="embedding"):
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], X[order]
+
+
+def exact_pairs(ids, X, threshold, block=2048):
+    """All (id_a, id_b) with round(cos, 6) >= threshold, a < b — exact,
+    blocked so the Gram matrix never fully materializes."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(ids)
+    out = {}
+    borderline = 0
+    for s in range(0, n, block):
+        G = Xn[s : s + block] @ Xn.T  # (block, n)
+        for i in range(G.shape[0]):
+            gi = s + i
+            cos = np.round(G[i], 6)
+            js = np.nonzero(cos >= threshold)[0]
+            borderline += int(np.sum(np.abs(G[i] - threshold) < 1e-6))
+            for j in js:
+                if gi < j:
+                    out[(int(ids[gi]), int(ids[j]))] = float(cos[j])
+    return out, borderline
+
+
+def exact_topk(ids, X, query_mask, k):
+    """Exact top-k neighbor ID SETS per query (rank ties at the kth cos
+    resolved by neighbor_id asc, matching both engine and oracle)."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {}
+    qidx = np.nonzero(query_mask)[0]
+    for qi in qidx:
+        cos = np.round(Xn[qi] @ Xn.T, 6)
+        cos[qi] = -np.inf  # exclude self
+        order = np.lexsort((ids, -cos))[:k]
+        truth[int(ids[qi])] = {int(ids[j]) for j in order}
+    return truth
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="hrcm-audit-sf1")
+    report = {"replicas": replicas}
+
+    # ---- scaled corpora --------------------------------------------------
+    emb = scaled_embeddings(spark, replicas).cache()
+    n_emb = emb.count()
+    report["n_embeddings"] = n_emb
+    ids, X = _collect_matrix(emb)
+
+    # ---- 1. embedding_near_dup_lsh: 16-table LSH pair recall -------------
+    print("exact pair ground truth ...", file=sys.stderr)
+    truth_pairs, borderline = exact_pairs(ids, X, THRESHOLD)
+    # n_planes=None -> adaptive bucket sizing, the scale path (the fixed
+    # 4-plane driver-SF config OOMs here — that finding created this knob)
+    report["near_dup_planes"] = dedup.adaptive_n_planes(n_emb, 256)
+    got = dedup.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=THRESHOLD, n_planes=None, n_tables=16
+    ).select("id_a", "id_b").collect()
+    got_pairs = {(min(r[0], r[1]), max(r[0], r[1])) for r in got}
+    missed = set(truth_pairs) - got_pairs
+    false_pos = got_pairs - set(truth_pairs)
+    strong = {p for p, c in truth_pairs.items() if c >= 0.45}
+    report["near_dup_lsh"] = {
+        "true_pairs": len(truth_pairs),
+        "found_pairs": len(got_pairs),
+        "missed": len(missed),
+        "false_positives": len(false_pos),
+        "recall": round(1 - len(missed) / max(1, len(truth_pairs)), 6),
+        "recall_cos_ge_045": round(
+            1 - len(strong - got_pairs) / max(1, len(strong)), 6
+        ),
+        "max_missed_cos": max((truth_pairs[p] for p in missed), default=None),
+        "borderline_within_1e6_of_threshold": borderline,
+        "cross_replica_true_pairs": sum(
+            1 for a, b in truth_pairs if a // 10_000_000 != b // 10_000_000
+        ),
+    }
+    print(f"near_dup_lsh: {report['near_dup_lsh']}", file=sys.stderr)
+
+    # ---- 2. ann_topk_lsh: 16-table top-5 recall --------------------------
+    print("exact topk ground truth ...", file=sys.stderr)
+    truth_topk = exact_topk(ids, X, ids % 40 == 0, K)
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    got_topk = {}
+    for r in similarity.lsh_bucket_topk(
+        emb, q, k=K, dim=64, n_planes=None, n_tables=16
+    ).collect():
+        got_topk.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth_topk[qid] & got_topk.get(qid, set())) for qid in truth_topk)
+    total = sum(len(v) for v in truth_topk.values())
+    exact_q = sum(1 for qid in truth_topk if got_topk.get(qid, set()) == truth_topk[qid])
+    report["ann_topk_lsh"] = {
+        "queries": len(truth_topk),
+        "row_recall": round(hits / total, 6),
+        "queries_exact": exact_q,
+    }
+    print(f"ann_topk_lsh: {report['ann_topk_lsh']}", file=sys.stderr)
+    emb.unpersist()
+
+    # ---- 3. sketch_distinct_tolerance: HLL++ rsd=0.01 vs 5% assert -------
+    cust = spark.read.parquet(f"{SF01}/customer.parquet")
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + r * 10_000_000).alias("c_custkey"), "c_mktsegment"
+        )
+        for r in range(replicas)
+    ]
+    big_cust = parts[0]
+    for p in parts[1:]:
+        big_cust = big_cust.unionByName(p)
+    g = (
+        big_cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_exact"),
+            F.approx_count_distinct("c_custkey", 0.01).alias("apx"),
+        )
+        .collect()
+    )
+    errs = {r["c_mktsegment"]: abs(r["apx"] - r["n_exact"]) / r["n_exact"] for r in g}
+    report["hll_distinct"] = {
+        "cardinality_per_segment": int(np.mean([r["n_exact"] for r in g])),
+        "max_rel_err": round(max(errs.values()), 5),
+        "all_within_5pct": all(e <= 0.05 for e in errs.values()),
+    }
+    print(f"hll_distinct: {report['hll_distinct']}", file=sys.stderr)
+
+    # ---- 4. sketch_rollup_distinct: daily HLL partials -> weekly ---------
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    eparts = [
+        ev.select((F.col("user_id") + r * 10_000_000).alias("user_id"), "ts")
+        for r in range(replicas)
+    ]
+    big_ev = eparts[0]
+    for p in eparts[1:]:
+        big_ev = big_ev.unionByName(p)
+    daily = big_ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    weekly_exact = big_ev.groupBy(
+        F.date_trunc("week", F.date_trunc("day", "ts").cast("date")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    rows = weekly_exact.join(weekly_est, "week").collect()
+    werrs = {str(r["week"]): abs(r["est"] - r["n_exact"]) / r["n_exact"] for r in rows}
+    report["hll_rollup"] = {
+        "weeks": len(rows),
+        "mean_weekly_distinct": int(np.mean([r["n_exact"] for r in rows])),
+        "max_rel_err": round(max(werrs.values()), 5),
+        "all_within_5pct": all(e <= 0.05 for e in werrs.values()),
+    }
+    print(f"hll_rollup: {report['hll_rollup']}", file=sys.stderr)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Round-5 corpus operators: exact-substring pairs, chunk dedup rate,
+per-domain caps, bigram-LM scoring, bloom-prefiltered decontamination."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.operators import corpus, dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = [f"w{i}" for i in range(40)]
+
+
+class TestExactSubstringPairs:
+    def test_shared_20_token_run_detected(self, spark):
+        run = " ".join(WORDS[:20])
+        df = _docs(
+            spark,
+            [
+                (1, "alpha beta " + run + " gamma"),
+                (2, "delta " + run + " epsilon zeta"),
+                (3, "unrelated text entirely " + " ".join(WORDS[20:40])),
+            ],
+        )
+        got = dedup.exact_substring_pairs(df, "text", "doc_id", window=20).collect()
+        assert [(r["doc_a"], r["doc_b"], r["n_shared"]) for r in got] == [(1, 2, 1)]
+
+    def test_run_of_25_tokens_counts_sliding_windows(self, spark):
+        run = " ".join(WORDS[:25])
+        df = _docs(spark, [(1, run + " x1"), (2, "y1 " + run)])
+        got = dedup.exact_substring_pairs(df, "text", "doc_id", window=20).collect()
+        # a shared run of L tokens = L - 20 + 1 shared distinct windows
+        assert got[0]["n_shared"] == 6
+
+    def test_19_token_run_not_flagged(self, spark):
+        run = " ".join(WORDS[:19])
+        df = _docs(spark, [(1, run + " a1"), (2, run + " b1")])
+        assert (
+            dedup.exact_substring_pairs(df, "text", "doc_id", window=20).count() == 0
+        )
+
+    def test_min_windows_filter(self, spark):
+        run = " ".join(WORDS[:21])  # 2 shared windows
+        df = _docs(spark, [(1, run), (2, run + " tail")])
+        assert (
+            dedup.exact_substring_pairs(
+                df, "text", "doc_id", window=20, min_windows=3
+            ).count()
+            == 0
+        )
+        got = dedup.exact_substring_pairs(
+            df, "text", "doc_id", window=20, min_windows=2
+        ).collect()
+        assert got[0]["n_shared"] == 2
+        assert got[0]["dup_frac"] == 1.0  # doc 1 has exactly 2 windows
+
+
+class TestChunkDedupStats:
+    def test_shared_chunk_and_rate(self, spark):
+        chunk = " ".join(WORDS[:15])
+        df = _docs(
+            spark,
+            [
+                (1, chunk + " " + " ".join(WORDS[15:30])),  # 2 chunks, 1 shared
+                (2, chunk),  # 1 chunk, shared
+                (3, " ".join(w + "x" for w in WORDS[:15])),  # unique chunk
+            ],
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_chunk_frac"])
+            for r in corpus.chunk_dedup_stats(df, "text", "doc_id", 15).collect()
+        }
+        assert got[1] == (2, 1, 0.5)
+        assert got[2] == (1, 1, 1.0)
+        assert got[3] == (1, 0, 0.0)
+
+    def test_tail_partial_chunk_counted(self, spark):
+        df = _docs(spark, [(1, " ".join(WORDS[:20]))])  # 15 + 5-token tail
+        got = corpus.chunk_dedup_stats(df, "text", "doc_id", 15).collect()[0]
+        assert got["n_chunks"] == 2
+
+    def test_empty_docs_do_not_form_phantom_dup_group(self, spark):
+        # xxhash64(NULL) returns the seed — two empty docs must NOT count
+        # as sharing a "duplicated chunk" via the explode_outer placeholder
+        df = _docs(spark, [(1, ""), (2, "   "), (3, "lone text here")])
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+            for r in corpus.chunk_dedup_stats(df, "text", "doc_id", 15).collect()
+        }
+        assert got[1] == (0, 0)
+        assert got[2] == (0, 0)
+        assert got[3] == (1, 0)
+
+
+class TestDomainCapSample:
+    @pytest.fixture()
+    def skewed(self, spark):
+        rows = [(i, "hot") for i in range(200)] + [(1000 + i, "cold") for i in range(3)]
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def test_exact_mode_caps_exactly(self, skewed):
+        got = corpus.domain_cap_sample(skewed, "domain", "doc_id", 10, exact=True)
+        counts = {r["domain"]: r["n"] for r in got.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"hot": 10, "cold": 3}
+
+    def test_exact_mode_deterministic(self, skewed):
+        a = sorted(r["doc_id"] for r in corpus.domain_cap_sample(skewed, "domain", "doc_id", 10, exact=True).collect())
+        b = sorted(r["doc_id"] for r in corpus.domain_cap_sample(skewed, "domain", "doc_id", 10, exact=True).collect())
+        assert a == b
+
+    def test_approx_mode_near_cap_and_subset(self, skewed):
+        got = corpus.domain_cap_sample(skewed, "domain", "doc_id", 50)
+        counts = {r["domain"]: r["n"] for r in got.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+        # binomial around 50 of 200 at p=0.25; generous bounds
+        assert 25 <= counts["hot"] <= 75
+        assert counts["cold"] == 3  # under-cap domain kept whole
+        kept = {r["doc_id"] for r in got.collect()}
+        again = {r["doc_id"] for r in corpus.domain_cap_sample(skewed, "domain", "doc_id", 50).collect()}
+        assert kept == again  # deterministic survivors
+
+
+class TestBigramLmScores:
+    def test_hand_computed_mle(self, spark):
+        df = _docs(spark, [(1, "a b a b"), (2, "a c"), (3, "solo")])
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in corpus.bigram_lm_scores(df, "text", "doc_id").collect()
+        }
+        # corpus counts: C(a,b)=2 C(b,a)=1 C(a,c)=1; C(a.)=3 C(b.)=1
+        d1 = (2 * (math.log(3) - math.log(2)) + 0.0) / 3
+        assert got[1] == (3, round(d1, 6))
+        assert got[2] == (1, round(math.log(3), 6))
+        assert got[3] == (0, None)  # <2 tokens: no bigrams, null score
+
+    def test_common_transitions_score_lower(self, spark):
+        # context "x" has two continuations: common "y", rare "z"
+        rows = [(i, "x y x y x y") for i in range(10)] + [(99, "x z x z")]
+        got = {
+            r["doc_id"]: r["avg_nll"]
+            for r in corpus.bigram_lm_scores(_docs(spark, rows), "text", "doc_id").collect()
+        }
+        assert got[0] < got[99]  # corpus-typical transitions = lower NLL
+
+
+class TestDecontaminateBloom:
+    def test_equals_exact_decontaminate(self, spark):
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cor = d.filter(F.col("source") != "src0")
+        bench = d.filter(F.col("source") == "src0")
+        for n, mo in [(3, 2), (2, 1)]:
+            exact = sorted(
+                r["doc_id"]
+                for r in corpus.decontaminate(cor, bench, "text", "doc_id", n=n, min_overlap=mo).collect()
+            )
+            bloom = sorted(
+                r["doc_id"]
+                for r in corpus.decontaminate_bloom(cor, bench, "text", "doc_id", n=n, min_overlap=mo).collect()
+            )
+            assert bloom == exact
+
+    def test_bloom_one_sided_and_prunes(self, spark):
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(1000)], "s string")
+        mask = corpus.bloom_build_mask(keys, "s", 1 << 18, 3)
+        mask_df = spark.createDataFrame([(mask,)], "m array<bigint>")
+        members = keys.join(F.broadcast(mask_df)).filter(
+            corpus.bloom_might_contain(F.col("s"), F.col("m"), 1 << 18, 3)
+        )
+        assert members.count() == 1000  # no false negatives, ever
+        others = spark.createDataFrame([(f"other{i}",) for i in range(2000)], "s string")
+        fp = (
+            others.join(F.broadcast(mask_df))
+            .filter(corpus.bloom_might_contain(F.col("s"), F.col("m"), 1 << 18, 3))
+            .count()
+        )
+        # fp rate ~ (1 - e^{-kn/m})^3 ≈ 1.5e-6 at these sizes
+        assert fp <= 2
