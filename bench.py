@@ -115,6 +115,11 @@ HEADLINE = [
     "ann_topk_ivf",
     "oov_rate",
     "dedup_keep_survivors",
+    # round-5 surface additions
+    "dedup_exact_substring",
+    "chunk_dedup_rate",
+    "corpus_bigram_lm",
+    "decontaminate_bloom",
 ]
 
 

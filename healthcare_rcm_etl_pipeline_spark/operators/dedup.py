@@ -211,6 +211,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def _hashed_window_posting(
+    df: DataFrame, text_col: str, id_col: str, w: int
+) -> DataFrame:
+    """(doc, n_shingles, shingle) postings for w-token windows, built with
+    a per-doc LEAD window instead of array expressions: posexplode the
+    tokens, take w-1 LEADs over (doc, pos), and fingerprint the w columns
+    with one multi-arg xxhash64. Higher-order array functions (zip_with /
+    transform lambdas) are NOT whole-stage-codegen'd — the w-1 interpreted
+    array passes of the ngram_array form cost 4.7s at sf0.1/w=20 where
+    this fully-codegen'd window form costs 1.0s. The per-doc window sorts
+    only within a document (bounded length — never a global sort) and the
+    downstream distinct reuses small (doc, long) rows.
+
+    Output contract matches _shingle_posting (distinct windows per doc)
+    except 'shingle' is a long — _posting_cooccurrence re-hashes it, a
+    cheap long->long step that keeps the two posting sources drop-in
+    compatible. Docs shorter than w tokens emit no postings (same as the
+    string form)."""
+    from pyspark.sql import Window
+
+    from healthcare_rcm_etl_pipeline_spark.functions.text import tokens
+
+    toks = _fan_out(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
+    )
+    pos = toks.select("doc", F.posexplode("__toks").alias("pos", "tok"))
+    wspec = Window.partitionBy("doc").orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(wspec) for i in range(1, w)]
+    # contiguous positions: the last lead is null iff the window runs off
+    # the document end (then every longer lead is null too)
+    hashed = pos.select(
+        "doc", F.when(cols[-1].isNotNull(), F.xxhash64(*cols)).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    dist = hashed.distinct()
+    wcount = Window.partitionBy("doc")
+    return dist.select(
+        "doc",
+        F.count("*").over(wcount).alias("n_shingles"),
+        F.col("__h").alias("shingle"),
+    )
+
+
 def _posting_cooccurrence(
     post: DataFrame, max_df: int | None, cap_mode: str
 ) -> DataFrame:
@@ -288,7 +330,7 @@ def exact_substring_pairs(
     at window >= 20 natural stop-windows are rare; caps matter for
     machine-generated boilerplate corpora."""
     cooc = _posting_cooccurrence(
-        _shingle_posting(df, text_col, id_col, window), max_df, cap_mode
+        _hashed_window_posting(df, text_col, id_col, window), max_df, cap_mode
     )
     return (
         cooc.filter(F.col("n_common") >= min_windows)
@@ -875,3 +917,40 @@ def semantic_dedup(
     return s.join(removed, "__id", "left_anti").select(
         F.col("__id").alias(id_col), F.col("__cell").alias("cell")
     )
+
+
+def best_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: instead of the min-id
+    convention, keep the cluster member that MAXIMIZES ``order_col``
+    (ties -> lower id) — "keep the longest / highest-quality copy", the
+    production policy when near-dup copies differ in completeness.
+
+    pairs -> connected components -> one ``max_by`` per component -> losers
+    anti-joined out of the corpus. The per-cluster argmax is a map-side-
+    combinable aggregate on the component key (never a sort); the loser
+    set is a fraction of the corpus and broadcasts.
+
+    Returns surviving corpus rows (id_col, order_col).
+    """
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import connected_components
+
+    clusters = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    members = clusters.join(
+        docs.select(F.col(id_col).alias("doc"), F.col(order_col)), "doc"
+    )
+    best = members.groupBy("component").agg(
+        # max of (order, -id): highest order_col wins, ties -> LOWER id
+        F.max_by("doc", F.struct(F.col(order_col), (-F.col("doc")).alias("__nid")))
+        .alias("keep_doc")
+    )
+    losers = members.join(
+        best, members["doc"] == best["keep_doc"], "left_anti"
+    ).select(F.col("doc").alias(id_col))
+    return docs.select(id_col, order_col).join(losers, id_col, "left_anti")

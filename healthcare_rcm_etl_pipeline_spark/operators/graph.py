@@ -127,3 +127,70 @@ def _cc_labels(
         f"connected_components did not converge in {max_iters} rounds — "
         "component diameter exceeds 2^max_iters; raise max_iters"
     )
+
+
+def connected_components_incremental(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 20,
+    out_node: str = "doc",
+    out_component: str = "component",
+) -> DataFrame:
+    """Merge a NEW batch of pairs into an existing component labeling
+    without re-running CC over the full graph — the incremental-ingestion
+    companion to minhash_lsh_pairs_incremental: each ingested batch yields
+    cross/new pairs, and the cluster labels must absorb them.
+
+    Correctness rests on star contraction: an old component is fully
+    captured by its (member -> label) edges, so CC over
+    ``star edges of AFFECTED components ∪ new pairs`` equals CC over the
+    whole original edge set restricted to those components. Components
+    untouched by any new pair pass through VERBATIM — no join, no
+    iteration over them — so per-batch cost scales with the new batch and
+    the components it touches, never the accumulated graph:
+
+    1. nodes(new_pairs) -> their old components (one semi-joinable lookup);
+    2. prev_labels splits into affected / unaffected by component;
+    3. CC runs on (affected star edges ∪ new pairs) — old clusters are
+       depth-1 stars, so the iteration count is driven by the NEW merge
+       structure only;
+    4. unaffected labels union back unchanged.
+
+    Equals the full recompute exactly (min-id labels; pinned in tests).
+    Returns (out_node, out_component) for every node in prev_labels or
+    new_pairs.
+    """
+    prev = prev_labels.select(
+        F.col(out_node).alias("node"), F.col(out_component).alias("label")
+    )
+    new_nodes = (
+        new_pairs.select(F.col(src_col).alias("node"))
+        .unionByName(new_pairs.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    touched = (
+        prev.join(new_nodes, "node", "left_semi").select("label").distinct()
+    )
+    affected = prev.join(touched, "label", "left_semi")
+    unaffected = prev.join(touched, "label", "left_anti")
+    star = affected.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(src_col), F.col("label").alias(dst_col)
+    )
+    merged = connected_components(
+        star.unionByName(new_pairs.select(src_col, dst_col)),
+        src_col=src_col,
+        dst_col=dst_col,
+        max_iters=max_iters,
+        out_node=out_node,
+        out_component=out_component,
+    )
+    # an affected single-member component whose node appears in new_pairs
+    # is already in merged (via its new edges); one that does NOT appear in
+    # new_pairs is by definition unaffected. No residue either way.
+    return merged.unionByName(
+        unaffected.select(
+            F.col("node").alias(out_node), F.col("label").alias(out_component)
+        )
+    )

@@ -4164,3 +4164,95 @@ def decontaminate_bloom_q(spark, sf_dir):
         min_overlap=1,
     )
     return survivors.select("doc_id", "source", "n_chars")
+
+
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jp
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM jp
+    ),
+    walk(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT w.s, e.t FROM walk w JOIN e ON w.t = e.s
+    ),
+    comp AS (SELECT s AS doc, LEAST(s, MIN(t)) AS component FROM walk GROUP BY s),
+    members AS (
+      SELECT c.doc, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc
+    ),
+    best AS (
+      SELECT component, doc AS keep_doc FROM (
+        SELECT component, doc,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc) AS rn
+        FROM members
+      ) WHERE rn = 1
+    ),
+    losers AS (SELECT doc FROM members WHERE doc NOT IN (SELECT keep_doc FROM best))
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc FROM losers)
+"""
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best_q(spark, sf_dir):
+    """Quality-aware dedup: pairs -> connected components -> keep the
+    LONGEST member per cluster (n_chars argmax, ties -> lower id) instead
+    of the min-id convention — the production policy when near-dup copies
+    differ in completeness. Per-cluster argmax is one map-side-combinable
+    max_by, never a sort."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+    )
+    return dedup.best_survivors(d, pairs, "doc_id", "n_chars")
+
+
+_EDIT1_ORACLE = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS key_a, b.c_name AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey <= 2000 AND b.c_custkey <= 2000
+      AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query("fuzzy_match_edit1", _EDIT1_ORACLE)
+def fuzzy_match_edit1_q(spark, sf_dir):
+    """Entity-resolution fuzzy join: customer-name pairs within Levenshtein
+    distance 1 via deletion-neighborhood blocking (symmetric-delete /
+    SymSpell as equi-joins — |s|+1 postings per key, complete for distance
+    <= 1 by construction, exact levenshtein verify). The oracle is the
+    brute-force O(n²) scan the engine must reproduce without ever forming
+    the cross join; c_custkey <= 2000 bounds the oracle's quadratic cost
+    at larger SFs."""
+    from healthcare_rcm_etl_pipeline_spark.operators import fuzzy
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    return fuzzy.edit1_pairs(c, "c_name", "c_custkey")
+
+
+@query("dedup_clusters_incremental", _CLUSTERS_ORACLE)
+def dedup_clusters_incremental_q(spark, sf_dir):
+    """Incremental cluster maintenance: docs with doc_id % 4 == 0 arrive as
+    a NEW batch; the base labeling (CC over base-only pairs) absorbs the
+    new/cross pairs via star contraction — untouched components pass
+    through verbatim, CC iterates only over affected stars + new pairs.
+    Oracle = the full recursive closure over ALL pairs: the incremental
+    path must reproduce the from-scratch labeling exactly."""
+    from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+    )
+    is_new_a = F.col("doc_a") % 4 == 0
+    is_new_b = F.col("doc_b") % 4 == 0
+    base_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    new_pairs = pairs.filter(is_new_a | is_new_b)
+    prev = graph.connected_components(base_pairs)
+    return graph.connected_components_incremental(prev, new_pairs)

@@ -170,6 +170,24 @@ def main() -> None:
         lambda: survivors(docs1),
         lambda: survivors(docs10),
     )
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    run(
+        "dedup_exact_substring",
+        lambda: dedup.exact_substring_pairs(docs1, "text", "doc_id", window=20).count(),
+        lambda: dedup.exact_substring_pairs(docs10, "text", "doc_id", window=20).count(),
+    )
+    run(
+        "chunk_dedup_rate",
+        lambda: corpus.chunk_dedup_stats(docs1, "text", "doc_id", 15).count(),
+        lambda: corpus.chunk_dedup_stats(docs10, "text", "doc_id", 15).count(),
+    )
+    run(
+        "corpus_bigram_lm",
+        lambda: corpus.bigram_lm_scores(docs1, "text", "doc_id").count(),
+        lambda: corpus.bigram_lm_scores(docs10, "text", "doc_id").count(),
+    )
+
     # CC round count must be scale-invariant (pointer jumping: O(log
     # diameter), and replica isolation keeps per-replica diameter fixed)
     results["cc_rounds"] = {

@@ -68,3 +68,60 @@ def test_compression_off_needs_diameter_rounds(spark):
     )
     assert cc_rounds(edges, max_iters=40, compress=False) >= 23
     assert cc_rounds(edges, max_iters=40, compress=True) <= 8
+
+
+class TestIncrementalCC:
+    def _cc(self, spark, pairs_rows):
+        from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+        pairs = spark.createDataFrame(pairs_rows, "doc_a long, doc_b long")
+        return graph.connected_components(pairs)
+
+    def test_equals_full_recompute_on_random_merges(self, spark):
+        import random
+
+        from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+        rng = random.Random(7)
+        all_pairs = [
+            (a, b)
+            for a, b in ((rng.randrange(60), rng.randrange(60)) for _ in range(80))
+            if a != b
+        ]
+        all_pairs = [(min(a, b), max(a, b)) for a, b in all_pairs]
+        base = [(a, b) for a, b in all_pairs if a % 3 != 0 and b % 3 != 0]
+        new = [(a, b) for a, b in all_pairs if a % 3 == 0 or b % 3 == 0]
+        prev = self._cc(spark, base)
+        inc = graph.connected_components_incremental(
+            prev, spark.createDataFrame(new, "doc_a long, doc_b long")
+        )
+        full = self._cc(spark, all_pairs)
+        assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+    def test_untouched_components_pass_through(self, spark):
+        from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+        prev = self._cc(spark, [(1, 2), (2, 3), (10, 11)])
+        new = spark.createDataFrame([(10, 20)], "doc_a long, doc_b long")
+        got = {r["doc"]: r["component"] for r in
+               graph.connected_components_incremental(prev, new).collect()}
+        # {1,2,3} untouched; {10,11} absorbs 20
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 10}
+
+    def test_new_min_id_relabels_old_cluster(self, spark):
+        from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+        prev = self._cc(spark, [(5, 6)])
+        new = spark.createDataFrame([(1, 6)], "doc_a long, doc_b long")
+        got = {r["doc"]: r["component"] for r in
+               graph.connected_components_incremental(prev, new).collect()}
+        assert got == {1: 1, 5: 1, 6: 1}
+
+    def test_bridge_merges_two_old_components(self, spark):
+        from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+        prev = self._cc(spark, [(1, 2), (7, 8)])
+        new = spark.createDataFrame([(2, 7)], "doc_a long, doc_b long")
+        got = {r["doc"]: r["component"] for r in
+               graph.connected_components_incremental(prev, new).collect()}
+        assert got == {1: 1, 2: 1, 7: 1, 8: 1}
