@@ -4256,3 +4256,127 @@ def dedup_clusters_incremental_q(spark, sf_dir):
     new_pairs = pairs.filter(is_new_a | is_new_b)
     prev = graph.connected_components(base_pairs)
     return graph.connected_components_incremental(prev, new_pairs)
+
+
+@query(
+    "q35_nation_balance_share",
+    f"""
+    WITH tot AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS t FROM customer)
+    SELECT n.n_name,
+           {_dsum("c.c_acctbal")} AS total_balance,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    HAVING SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) * 25 > (SELECT t FROM tot)
+    """,
+)
+def q35_nation_balance_share_q(spark, sf_dir):
+    """TPC-H Q11 pattern (group HAVING sum > fraction of a GLOBAL scalar):
+    nations holding more than 4% of worldwide customer balance. The global
+    total is a 1-row aggregate broadcast into the HAVING filter — never a
+    correlated re-scan; the share test is decimal-exact (sum*25 > total,
+    no float threshold)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    dec = F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+    grouped = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            dec.alias("__bal_dec"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+    total = c.agg(dec.alias("__t"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("__bal_dec") * 25 > F.col("__t"))
+        .select(
+            "n_name",
+            F.col("__bal_dec").cast("double").alias("total_balance"),
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "q36_part_supplier_diversity",
+    """
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q36_part_supplier_diversity_q(spark, sf_dir):
+    """TPC-H Q16 pattern (NOT IN exclusion subquery + per-group distinct
+    count): distinct suppliers per (brand, size), excluding flagged
+    suppliers (negative balance — the s_comment complaints analog; the
+    testdata supplier table carries no comment column). The exclusion list
+    is tiny -> broadcast LEFT ANTI join before the distinct aggregation;
+    part is a broadcast dim."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    excl = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        l.join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q37_dominant_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+      FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns FROM shipped GROUP BY 1)
+    SELECT sh.l_partkey, s.s_suppkey, s.s_name,
+           CAST(sh.sq AS DOUBLE) AS shipped_qty
+    FROM shipped sh
+    JOIN tot USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.sq * ns * 10 > tot.tq * 13
+    """,
+)
+def q37_dominant_suppliers_q(spark, sf_dir):
+    """TPC-H Q20 pattern (nested aggregates, decorrelated): (part,
+    supplier) pairs where the supplier shipped >= 30% more than that
+    part's AVERAGE per-supplier post-1995 volume. The correlated 'compared
+    to that part's average' subquery becomes two stacked aggregations —
+    (part, supplier) sums, then part totals + supplier counts derived FROM
+    the first (no second lineitem scan) — joined back on l_partkey. The
+    dominance test is decimal/integer-exact (sq*ns*10 > tq*13 — no float
+    threshold); supplier dim broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        l.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count("*").alias("ns")
+    )
+    return (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("sq") * F.col("ns") * 10 > F.col("tq") * 13)
+        .join(F.broadcast(s), shipped["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("sq").cast("double").alias("shipped_qty"),
+        )
+    )

@@ -114,3 +114,62 @@ def _ntile_arith(n_rows: int, k: int) -> list[int]:
 @given(n_rows=st.integers(min_value=0, max_value=5000), k=st.integers(min_value=1, max_value=20))
 def test_q21_arithmetic_ntile_equals_reference(n_rows, k):
     assert _ntile_arith(n_rows, k) == _ntile_ref(n_rows, k)
+
+
+# ---------------------------------------------------------------------------
+# round 5: exact-substring windows and edit-1 fuzzy join
+# ---------------------------------------------------------------------------
+
+SMALL = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SMALL
+@given(
+    run_len=st.integers(min_value=20, max_value=30),
+    pad_a=st.integers(min_value=0, max_value=8),
+    pad_b=st.integers(min_value=0, max_value=8),
+)
+def test_planted_run_yields_exact_window_count(spark, run_len, pad_a, pad_b):
+    """A shared verbatim run of L >= W tokens (disjoint vocab guarantees no
+    accidental matches) produces exactly L - W + 1 shared windows."""
+    from healthcare_rcm_etl_pipeline_spark.operators import dedup
+
+    run = [f"s{i}" for i in range(run_len)]
+    doc_a = [f"a{i}" for i in range(pad_a)] + run
+    doc_b = run + [f"b{i}" for i in range(pad_b)]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], "doc_id long, text string"
+    )
+    got = dedup.exact_substring_pairs(df, "text", "doc_id", window=20).collect()
+    assert len(got) == 1
+    assert got[0]["n_shared"] == run_len - 20 + 1
+
+
+_key = st.text(alphabet="abcdef", min_size=2, max_size=8)
+
+
+@SMALL
+@given(s=_key, data=st.data())
+def test_edit1_always_finds_a_single_edit(spark, s, data):
+    """Recall is 1.0 by construction for distance <= 1: any single
+    substitution/insertion/deletion of a key is always paired with it."""
+    import random
+
+    from healthcare_rcm_etl_pipeline_spark.operators import fuzzy
+
+    rng = random.Random(data.draw(st.integers(0, 10**6)))
+    kind = rng.choice(["sub", "ins", "del"])
+    i = rng.randrange(len(s))
+    if kind == "sub":
+        t = s[:i] + rng.choice("xyz") + s[i + 1 :]
+    elif kind == "ins":
+        t = s[:i] + rng.choice("xyz") + s[i:]
+    else:
+        t = s[:i] + s[i + 1 :] if len(s) > 2 else s + "x"
+    df = spark.createDataFrame([(1, s), (2, t)], "id long, key string")
+    got = fuzzy.edit1_pairs(df, "key", "id").collect()
+    assert len(got) == 1 and got[0]["lev"] <= 1
