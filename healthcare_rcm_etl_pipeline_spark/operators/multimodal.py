@@ -71,17 +71,23 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Pure-numpy image decode -> array of shape (h, w, channels).
 
     Supports binary netpbm (P6 RGB, P5 gray, maxval<=255), uncompressed
-    24-bit BI_RGB BMP (bottom-up or top-down), and baseline-sequential
+    24-bit BI_RGB BMP (bottom-up or top-down), baseline-sequential
     JFIF/JPEG (full entropy + IDCT pipeline in operators/jpeg.py — SOF0,
-    4:4:4/4:2:2/4:2:0, restart markers). Raises ValueError for anything
-    else (progressive JPEG, PNG, containers), which routes the payload to
-    the flagged ``decode_stub`` fallback.
+    4:4:4/4:2:2/4:2:0, restart markers), and non-interlaced 8-bit PNG
+    (gray/RGB/palette/alpha, all five scanline filters — operators/png.py,
+    zlib from the stdlib). Raises ValueError for anything else
+    (progressive JPEG, Adam7/16-bit PNG, containers), which routes the
+    payload to the flagged ``decode_stub`` fallback.
     """
     magic = payload[:2]
     if magic == b"\xff\xd8":
         from healthcare_rcm_etl_pipeline_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from healthcare_rcm_etl_pipeline_spark.operators.png import decode_png
+
+        return decode_png(payload)
     if magic in (b"P6", b"P5"):
         (w, h, maxval), off = _pnm_tokens(payload, 3)
         if maxval > 255:
@@ -139,6 +145,42 @@ def synthesize_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 payloads.append(
                     encode_jpeg(img, quality=93 + i % 8, subsample=(i % 2 == 0))
                 )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_name].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, JPEG_SYNTH_SCHEMA)
+
+
+def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG payload per row (mapInPandas): a solid-color
+    image whose dimensions, channel count (gray / RGB / palette), and
+    scanline filter are pure functions of the id. PNG is LOSSLESS, so the
+    decoded mean_luma equals the color exactly for ANY filter choice — the
+    oracle pins dims/channels/mean with zero tolerance while the row-
+    cycling filters exercise every unfilter path in production plumbing."""
+    id_name = id_col
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from healthcare_rcm_etl_pipeline_spark.operators.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for raw in pdf[id_name]:
+                i = int(raw)
+                w, h, v = 5 + i % 13, 4 + i % 9, i % 256
+                kind = i % 3
+                if kind == 0:  # grayscale
+                    img = np.full((h, w, 1), v, dtype=np.uint8)
+                    payloads.append(encode_png(img))
+                elif kind == 1:  # RGB
+                    img = np.full((h, w, 3), v, dtype=np.uint8)
+                    payloads.append(encode_png(img))
+                else:  # palette: index 1 -> solid color v
+                    pal = np.zeros((2, 3), dtype=np.uint8)
+                    pal[1] = v
+                    idx = np.ones((h, w, 1), dtype=np.uint8)
+                    payloads.append(encode_png(idx, palette=pal))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_name].astype("int64"), "payload": payloads}
             )

@@ -4380,3 +4380,34 @@ def q37_dominant_suppliers_q(spark, sf_dir):
             F.col("sq").cast("double").alias("shipped_qty"),
         )
     )
+
+
+@query(
+    "multimodal_png_features",
+    """
+    SELECT doc_id,
+           CAST(5 + doc_id % 13 AS INTEGER) AS width,
+           CAST(4 + doc_id % 9 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_luma,
+           TRUE AS decoded
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def multimodal_png_q(spark, sf_dir):
+    """REAL PNG decode end-to-end in Spark: per-row payloads synthesized
+    with the numpy+zlib encoder (operators/png.py — gray / RGB / palette,
+    row-cycling scanline filters), decoded back through the Arrow-batched
+    mapInPandas feature extractor. PNG is lossless, so dims/channels/
+    mean_luma are pure functions of doc_id the DuckDB oracle pins with
+    zero tolerance — retires the 'PNG is a flagged stub' class next to
+    the JPEG query."""
+    from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthesize_png_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return extract_features(synthesize_png_payloads(d)).select(
+        "doc_id", "width", "height", "channels", "mean_luma", "decoded"
+    )

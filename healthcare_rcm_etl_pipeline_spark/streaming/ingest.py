@@ -125,6 +125,25 @@ def read_band_index(
     return _read_epoched(spark, f"{base}/bands", max_epoch)
 
 
+def _resolve_epoch(
+    spark: SparkSession, base: str, epoch_id: int, run_token: str | None
+) -> tuple[str, int, int, int] | None:
+    """Map a stream epoch_id to this base's physical epoch, handling replay
+    skip and new-checkpoint rebind (see module docstring). Returns
+    (bound_token, offset, physical_epoch, last_committed) or None when the
+    epoch is a replay that was already fully applied."""
+    token, offset, last = _read_marker(spark, base)
+    if run_token is None or run_token == token:
+        physical = offset + epoch_id
+        if physical <= last:
+            return None  # replayed epoch: already fully applied
+        return (token if run_token is None else run_token), offset, physical, last
+    # new checkpoint instance against an existing base: rebind this
+    # stream's epoch numbering to continue after the last commit.
+    physical = last + 1
+    return run_token, physical - epoch_id, physical, last
+
+
 def make_dedup_ingest_batch_fn(
     base: str,
     text_col: str = "text",
@@ -144,18 +163,10 @@ def make_dedup_ingest_batch_fn(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        token, offset, last = _read_marker(spark, base)
-        if run_token is None or run_token == token:
-            physical = offset + epoch_id
-            if physical <= last:
-                return  # replayed epoch: already fully applied
-            bound = token if run_token is None else run_token
-        else:
-            # new checkpoint instance against an existing base: rebind this
-            # stream's epoch numbering to continue after the last commit.
-            physical = last + 1
-            offset = physical - epoch_id
-            bound = run_token
+        resolved = _resolve_epoch(spark, base, epoch_id, run_token)
+        if resolved is None:
+            return
+        bound, offset, physical, last = resolved
 
         # 1. within-batch: exact, then near-dup clusters -> min-id survivor
         keep = dedup.exact_dedup(batch_df, text_col, id_col).select(
@@ -229,3 +240,173 @@ def dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_vectors(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """All ingested (id, cell, vector) rows across committed epochs."""
+    return _read_epoched(spark, f"{base}/vectors", max_epoch)
+
+
+def make_semantic_ingest_batch_fn(
+    base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    run_token: str | None = None,
+):
+    """foreachBatch body for EMBEDDING streams: semantic-dedup-gated
+    ingestion against a persisted sign-sketch CELL index — the vector twin
+    of ``make_dedup_ingest_batch_fn``.
+
+    Per micro-batch:
+
+    1. WITHIN-batch: ``semantic_dedup`` (deterministic sign-sketch cells,
+       within-cell pair scan, min-id survivor).
+    2. CROSS-corpus: base vectors are read ONLY for the batch's cell set —
+       the persisted index stores (cell, id, vector), so the probe filters
+       on a ~|batch| cell list (parquet row-group stats prune the scan;
+       never a full-corpus read) and verifies exact cosine within equal
+       cells. Batch vectors with a base cell-mate at/above threshold drop.
+    3. APPEND survivors as ``vectors/epoch=N`` rows; ``_EPOCH`` marker
+       advances. Same run-token/rebind/per-epoch-overwrite exactly-once
+       recipe as the text path (shared ``_resolve_epoch``).
+
+    ``n_planes`` is FIXED (not adaptive): the cell assignment IS the
+    persisted index layout, so every epoch must bucket identically — size
+    it for the target corpus (adaptive_n_planes(expected_rows)) and
+    re-index to change it. Cross-cell near-dups are missed by design,
+    exactly as in batch semantic_dedup (SemDeDup semantics).
+    """
+    from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine, norm
+    from healthcare_rcm_etl_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        sign_sketch,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        resolved = _resolve_epoch(spark, base, epoch_id, run_token)
+        if resolved is None:
+            return
+        bound, offset, physical, last = resolved
+
+        # 1. within-batch semantic dedup (fixed planes; returns (id, cell))
+        surv = dedup.semantic_dedup(
+            batch_df, vec_col, id_col,
+            threshold=threshold, n_planes=n_planes, dim=dim, seed=seed,
+            max_cell=None,
+        )
+        batch = (
+            batch_df.join(surv.select(id_col, "cell"), id_col)
+        )
+
+        # 2. cross-corpus: probe ONLY the batch's cells in the persisted
+        # index (max_epoch=last hides this epoch's own ghost files on
+        # replay, same rationale as the text path)
+        index = read_vectors(spark, base, max_epoch=last)
+        if index is not None:
+            cells = batch.select("cell").distinct()
+            cand = index.join(F.broadcast(cells), "cell").select(
+                "cell", F.col(vec_col).alias("__base_vec")
+            )
+            hit = (
+                batch.join(cand, "cell")
+                .filter(F.round(cosine(vec_col, "__base_vec"), 6) >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+            batch = batch.join(hit, id_col, "left_anti")
+
+        batch.select(id_col, "cell", vec_col).write.mode("overwrite").parquet(
+            f"{base}/vectors/epoch={physical}"
+        )
+        _write_marker(spark, base, bound, offset, physical)
+
+    return apply_batch
+
+
+def semantic_ingest_stream(
+    stream_df: DataFrame,
+    base: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **kwargs,
+):
+    """Drive an embedding stream through semantic-dedup-gated ingestion."""
+    token = checkpoint_run_token(stream_df.sparkSession, checkpoint)
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_semantic_ingest_batch_fn(
+                base, vec_col, id_col, run_token=token, **kwargs
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def purge_ids(
+    spark: SparkSession,
+    base: str,
+    ids: DataFrame | list,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> dict[str, int]:
+    """Tombstone deletion ("right to be forgotten") propagated through the
+    ingest base AND its derived indexes: the given ids are removed from
+    ``docs/``, their band rows from ``bands/``, and (for vector bases)
+    their rows from ``vectors/``.
+
+    Cost scales with the AFFECTED epoch partitions, not the corpus: one
+    pass finds which ``epoch=N`` directories contain a tombstoned id
+    (epoch count is bounded — it is the ingestion cadence), and only those
+    partitions are rewritten. Each rewrite goes through a ``.tmp``
+    directory + Hadoop FS rename, so a crash mid-purge leaves the old
+    partition intact (the purge is re-runnable; rename is the commit
+    point per partition).
+
+    Returns {dataset: rewritten_epoch_count}. The _EPOCH marker is
+    untouched — purging removes rows, it does not rewind ingestion.
+    """
+    if isinstance(ids, list):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"__pid long")
+        ids = ids.select(F.col("__pid"))
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("__pid"))
+
+    fs, _ = sinks._fs_path(spark, base)
+    rewritten: dict[str, int] = {}
+    for sub, col in (("docs", id_col), ("bands", "doc"), ("vectors", vec_id_col)):
+        root = f"{base}/{sub}"
+        if not sinks.path_exists(spark, root):
+            continue
+        full = spark.read.parquet(root)
+        affected = sorted(
+            r["epoch"]
+            for r in full.join(
+                F.broadcast(ids), full[col] == F.col("__pid"), "left_semi"
+            )
+            .select("epoch")
+            .distinct()
+            .collect()
+        )
+        for ep in affected:
+            part = f"{root}/epoch={ep}"
+            tmp = f"{root}/.epoch={ep}.purge_tmp"
+            kept = spark.read.parquet(part).join(
+                F.broadcast(ids), F.col(col) == F.col("__pid"), "left_anti"
+            )
+            kept.write.mode("overwrite").parquet(tmp)
+            p_old = spark._jvm.org.apache.hadoop.fs.Path(part)
+            p_tmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+            fs.delete(p_old, True)
+            fs.rename(p_tmp, p_old)
+        rewritten[sub] = len(affected)
+    return rewritten

@@ -196,3 +196,78 @@ def test_split_pnm_stream_16bit_later_frame_keeps_prior_frames():
     assert split_pnm_stream(f0 + deep) == [f0]
     with pytest.raises(ValueError):
         split_pnm_stream(deep)
+
+
+class TestPngCodec:
+    def test_roundtrip_all_channel_counts_and_filters(self):
+        import numpy as np
+
+        from healthcare_rcm_etl_pipeline_spark.operators.png import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(0)
+        for ch in (1, 2, 3, 4):
+            for ft in (None, 0, 1, 2, 3, 4):
+                img = rng.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+                back = decode_png(encode_png(img, filter_type=ft))
+                assert back.shape == img.shape and (back == img).all(), (ch, ft)
+
+    def test_palette_expands_to_rgb(self):
+        import numpy as np
+
+        from healthcare_rcm_etl_pipeline_spark.operators.png import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(1)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(9, 13, 1), dtype=np.uint8)
+        back = decode_png(encode_png(idx, palette=pal))
+        assert back.shape == (9, 13, 3)
+        assert (back == pal[idx[:, :, 0]]).all()
+
+    def test_rejections_stay_flagged(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+            decode_features,
+        )
+        from healthcare_rcm_etl_pipeline_spark.operators.png import (
+            _SIG,
+            _chunk,
+            encode_png,
+        )
+
+        # Adam7-interlaced IHDR -> ValueError -> flagged fallback
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+        raw = zlib.compress(bytes(4 * (1 + 12)))
+        interlaced = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
+        feats = decode_features(interlaced)
+        assert feats[4] is False  # decoded flag
+
+        # 16-bit depth likewise
+        ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        deep = _SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
+        assert decode_features(deep)[4] is False
+
+        # real payload decodes for contrast
+        ok = encode_png(np.full((4, 4, 3), 77, dtype=np.uint8))
+        w, h, ch, luma, decoded = decode_features(ok)
+        assert (w, h, ch, luma, decoded) == (4, 4, 3, 77.0, True)
+
+    def test_decode_image_dispatches_png(self):
+        import numpy as np
+
+        from healthcare_rcm_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+        from healthcare_rcm_etl_pipeline_spark.operators.png import encode_png
+
+        img = np.full((6, 5, 3), 123, dtype=np.uint8)
+        assert (decode_image(encode_png(img)) == img).all()

@@ -129,3 +129,42 @@ def test_fresh_checkpoint_rebinds_instead_of_dropping(spark, tmp_path):
     fn = ingest.make_dedup_ingest_batch_fn(base, run_token=tok)
     fn(spark.createDataFrame([Row(doc_id=99, text=LONG_C + " zz")]), 0)
     assert _corpus_ids(spark, base) == [1, 2, 10]
+
+
+def test_purge_ids_removes_docs_and_band_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, [(1, LONG_A), (4, LONG_B)])
+    _run_once(spark, src, base, ckpt)
+    _write_docs(spark, src, [(11, LONG_C)])
+    _run_once(spark, src, base, ckpt)
+    assert _corpus_ids(spark, base) == [1, 4, 11]
+
+    got = ingest.purge_ids(spark, base, [4, 999])
+    # doc 4 lives in epoch 0 only; epoch 1 untouched; 999 unknown -> no-op
+    assert got == {"docs": 1, "bands": 1}
+    assert _corpus_ids(spark, base) == [1, 11]
+    idx = ingest.read_band_index(spark, base)
+    assert {r.doc for r in idx.select("doc").distinct().collect()} == {1, 11}
+
+    # purge is re-runnable (idempotent) and ingestion continues after it
+    assert ingest.purge_ids(spark, base, [4]) == {"docs": 0, "bands": 0}
+    _write_docs(spark, src, [(20, LONG_B + " tail tail")])
+    _run_once(spark, src, base, ckpt)
+    assert _corpus_ids(spark, base) == [1, 11, 20]
+
+
+def test_purged_doc_can_be_reingested(spark, tmp_path):
+    # after a purge the corpus must treat the content as new again —
+    # the index rows are gone, so nothing blocks re-ingestion
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, [(1, LONG_A)])
+    _run_once(spark, src, base, ckpt)
+    ingest.purge_ids(spark, base, [1])
+    assert ingest.read_corpus(spark, base).count() == 0
+    _write_docs(spark, src, [(2, LONG_A)])
+    _run_once(spark, src, base, ckpt)
+    assert _corpus_ids(spark, base) == [2]
