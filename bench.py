@@ -168,6 +168,47 @@ def _bench_streaming_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Per-batch latency of the SEMANTIC-gated embedding ingestion path
+    (streaming/ingest.py:make_semantic_ingest_batch_fn): the embeddings
+    table in n_batches micro-batches, the persisted (cell, id, vector)
+    index growing across batches. Same flatness contract as the text
+    path: the probe reads only the batch's cells, so per-batch cost must
+    not grow with the accumulated corpus."""
+    import shutil
+    import tempfile
+
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+    from healthcare_rcm_etl_pipeline_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+    )
+
+    base = tempfile.mkdtemp(prefix="hrcm_bench_semingest_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n_vecs = emb.count()
+        fn = make_semantic_ingest_batch_fn(base, threshold=0.9)
+        per_batch: list[float] = []
+        for b in range(n_batches):
+            batch = emb.filter((emb.vec_id % n_batches) == b)
+            t0 = time.perf_counter()
+            fn(batch, b)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        total = round(sum(per_batch), 3)
+        return {
+            "batches": n_batches,
+            "vectors": n_vecs,
+            "per_batch_sec": per_batch,
+            "total_sec": total,
+            "vecs_per_sec": round(n_vecs / total, 1) if total else None,
+            "steady_trend": round(per_batch[-1] / per_batch[1], 2)
+            if len(per_batch) > 1 and per_batch[1]
+            else None,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _sentinel_sec(spark, iters: int = 5) -> float:
     """Min wall-clock of a fixed-cost JVM-side job: 50M-row range sum over
     32 partitions. No IO, no engine code — its only variable is machine
@@ -235,6 +276,16 @@ def main() -> None:
         max(ingest_stats["per_batch_sec"]),
     ]
     print(f"  streaming_ingest: {ingest_stats}", file=sys.stderr)
+    sem_stats = _bench_semantic_ingest(spark, sf_dir)
+    timings["semantic_ingest_batch"] = round(
+        statistics.median(sem_stats["per_batch_sec"]), 3
+    )
+    spread["semantic_ingest_batch"] = [
+        min(sem_stats["per_batch_sec"]),
+        timings["semantic_ingest_batch"],
+        max(sem_stats["per_batch_sec"]),
+    ]
+    print(f"  semantic_ingest: {sem_stats}", file=sys.stderr)
     sentinel_after = _sentinel_sec(spark)
 
     drift = round(sentinel_after / sentinel_before, 2) if sentinel_before > 0 else 1.0
@@ -265,6 +316,7 @@ def main() -> None:
     detail = {
         "spread": spread,  # per-query [min, median, max] over timed iters
         "streaming_ingest": ingest_stats,  # per-batch trend must stay flat
+        "semantic_ingest": sem_stats,  # same flatness contract, vector path
         "sentinel": sentinel,
         "queries": timings,
         "sf": out["sf"],

@@ -4411,3 +4411,102 @@ def multimodal_png_q(spark, sf_dir):
     return extract_features(synthesize_png_payloads(d)).select(
         "doc_id", "width", "height", "channels", "mean_luma", "decoded"
     )
+
+
+@query(
+    "q38_login_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             (d - DATE '1970-01-01')
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+      FROM days
+    ),
+    streaks AS (SELECT user_id, anchor, COUNT(*) AS len FROM g GROUP BY 1, 2)
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q38_login_streaks_q(spark, sf_dir):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+    The classic islands trick — day_number minus per-user row_number is
+    constant within a consecutive run — turns streak detection into two
+    keyed aggregations; the window is partitioned by user_id (bounded
+    per-user day counts, never a global sort)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn(
+        "anchor",
+        F.datediff("d", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = g.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
+
+
+@query(
+    "q39_price_outliers",
+    """
+    WITH j AS (
+      SELECT p.p_type, l.l_extendedprice AS price
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    med AS (SELECT p_type, quantile_cont(price, 0.5) AS med FROM j GROUP BY 1),
+    dev AS (
+      SELECT j.p_type, j.price, m.med, abs(j.price - m.med) AS adev
+      FROM j JOIN med m USING (p_type)
+    ),
+    mad AS (SELECT p_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.p_type, any_value(d.med) AS med, any_value(a.mad) AS mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs(d.price - d.med) > 3 * 1.4826 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (p_type)
+    GROUP BY d.p_type
+    """,
+)
+def q39_price_outliers_q(spark, sf_dir):
+    """Robust outlier detection per part type: median + MAD (median
+    absolute deviation), outlier = |price - med| > 3 * 1.4826 * MAD — the
+    resistant alternative to mean/stddev z-scores. Two exact-percentile
+    aggregations (Spark percentile ≡ DuckDB quantile_cont bitwise, the
+    q15 precedent) re-joined per group; at 100 TB the documented swap is
+    percentile_approx with the same shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "p_type", F.col("l_extendedprice").alias("price")
+    )
+    med = j.groupBy("p_type").agg(F.percentile("price", F.lit(0.5)).alias("med"))
+    dev = j.join(med, "p_type").withColumn("adev", F.abs(F.col("price") - F.col("med")))
+    mad = dev.groupBy("p_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    out = dev.join(mad, "p_type")
+    return out.groupBy("p_type").agg(
+        F.any_value("med").alias("med"),
+        F.any_value("mad").alias("mad"),
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("price") - F.col("med")) > 3 * 1.4826 * F.col("mad"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

@@ -98,7 +98,32 @@ def main() -> None:
     print("exact pair ground truth ...", file=sys.stderr)
     truth_pairs, borderline = exact_pairs(ids, X, THRESHOLD)
     # n_planes=None -> adaptive bucket sizing, the scale path (the fixed
-    # 4-plane driver-SF config OOMs here — that finding created this knob)
+    # 4-plane driver-SF config OOMs here — that finding created this knob).
+    # "sweep" as argv[2] additionally measures the recall/cost curve across
+    # bucket targets — the knob's measured trade, one ground truth reused.
+    if len(sys.argv) > 2 and sys.argv[2] == "sweep":
+        import time
+
+        curve = {}
+        for target in (512, 256, 128):
+            planes = dedup.adaptive_n_planes(n_emb, target)
+            t0 = time.perf_counter()
+            found = {
+                (min(r[0], r[1]), max(r[0], r[1]))
+                for r in dedup.embedding_near_dup_pairs(
+                    emb, "embedding", "vec_id",
+                    threshold=THRESHOLD, n_planes=planes, n_tables=16,
+                ).select("id_a", "id_b").collect()
+            }
+            curve[f"target_{target}"] = {
+                "n_planes": planes,
+                "recall": round(
+                    len(found & set(truth_pairs)) / max(1, len(truth_pairs)), 6
+                ),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+            print(f"  sweep target={target}: {curve[f'target_{target}']}", file=sys.stderr)
+        report["near_dup_plane_sweep"] = curve
     report["near_dup_planes"] = dedup.adaptive_n_planes(n_emb, 256)
     got = dedup.embedding_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=THRESHOLD, n_planes=None, n_tables=16
