@@ -410,3 +410,48 @@ def purge_ids(
             fs.rename(p_tmp, p_old)
         rewritten[sub] = len(affected)
     return rewritten
+
+
+def compact_epochs(spark: SparkSession, base: str) -> dict[str, int]:
+    """Small-files management for a long-running ingest base: every epoch
+    appends its own ``epoch=N`` directory, so after thousands of batches
+    the docs/bands/vectors datasets are thousands of tiny partitions —
+    death by file listing at 100 TB. Compaction folds all COMMITTED epochs
+    into a single ``epoch=last`` partition per dataset (written through a
+    ``.tmp`` directory; the swap deletes the old directories only after
+    the rewrite landed, and a crash mid-swap re-runs safely because the
+    tmp rewrite is regenerated from whatever directories remain).
+
+    The _EPOCH marker is untouched: the compacted partition carries the
+    last committed epoch number, so replay gating, ``max_epoch`` reads,
+    and subsequent ingestion behave exactly as before (pinned in tests).
+    Returns {dataset: folded_directory_count}.
+    """
+    fs, _ = sinks._fs_path(spark, base)
+    last = _read_epoch(spark, base)
+    folded: dict[str, int] = {}
+    for sub in ("docs", "bands", "vectors"):
+        root = f"{base}/{sub}"
+        if not sinks.path_exists(spark, root):
+            continue
+        listing = fs.listStatus(spark._jvm.org.apache.hadoop.fs.Path(root))
+        epoch_dirs = [
+            st.getPath().getName()
+            for st in listing
+            if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+        ]
+        committed = [d for d in epoch_dirs if int(d.split("=")[1]) <= last]
+        if len(committed) <= 1:
+            folded[sub] = 0
+            continue
+        tmp = f"{root}/.compact_tmp"
+        df = spark.read.parquet(root).filter(F.col("epoch") <= last).drop("epoch")
+        df.write.mode("overwrite").parquet(tmp)
+        for d in committed:
+            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{d}"), True)
+        fs.rename(
+            spark._jvm.org.apache.hadoop.fs.Path(tmp),
+            spark._jvm.org.apache.hadoop.fs.Path(f"{root}/epoch={last}"),
+        )
+        folded[sub] = len(committed)
+    return folded

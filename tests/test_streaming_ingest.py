@@ -168,3 +168,34 @@ def test_purged_doc_can_be_reingested(spark, tmp_path):
     _write_docs(spark, src, [(2, LONG_A)])
     _run_once(spark, src, base, ckpt)
     assert _corpus_ids(spark, base) == [2]
+
+
+def test_compact_epochs_folds_committed_partitions(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, [(1, LONG_A)])
+    _run_once(spark, src, base, ckpt)
+    _write_docs(spark, src, [(11, LONG_B)])
+    _run_once(spark, src, base, ckpt)
+    _write_docs(spark, src, [(21, LONG_C)])
+    _run_once(spark, src, base, ckpt)
+    assert _corpus_ids(spark, base) == [1, 11, 21]
+    assert len(os.listdir(f"{base}/docs")) >= 3
+
+    got = ingest.compact_epochs(spark, base)
+    assert got == {"docs": 3, "bands": 3}
+    # one partition left, content identical, marker untouched
+    assert [d for d in os.listdir(f"{base}/docs") if d.startswith("epoch=")] == ["epoch=2"]
+    assert _corpus_ids(spark, base) == [1, 11, 21]
+    assert ingest._read_epoch(spark, base) == 2
+
+    # re-run is a no-op; ingestion (incl. cross-corpus dedup) continues
+    assert ingest.compact_epochs(spark, base) == {"docs": 0, "bands": 0}
+    fresh = " ".join(f"z{i}" for i in range(26))
+    _write_docs(spark, src, [(30, LONG_A), (31, fresh)])
+    _run_once(spark, src, base, ckpt)
+    # 30 near-dups compacted corpus doc 1 (dropped); 31 is genuinely new
+    assert _corpus_ids(spark, base) == [1, 11, 21, 31]
