@@ -606,3 +606,99 @@ def decontaminate_bloom(
         .select(id_col)
     )
     return df.join(flagged, id_col, "left_anti")
+
+
+def bigram_lm_heldout_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """The production form of LM quality scoring (CCNet trains KenLM on a
+    reference corpus and scores the TARGET corpus): split deterministically
+    (md5-bucket, same device as deterministic_split), train an add-one-
+    smoothed bigram model on the TRAIN docs only, score the HELD-OUT docs:
+
+        nll(w1 w2) = ln(C_train(w1 ·) + V) - ln(C_train(w1 w2) + 1)
+
+    where V is the distinct next-token (w2) vocabulary size of the train
+    corpus — textbook add-one smoothing over the next-token alphabet, so
+    held-out bigrams with unseen contexts score ln(V) (uniform). All log
+    arguments are exact integers, so the score is bit-reproducible in any
+    SQL engine.
+
+    Scale shape: identical to bigram_lm_scores (map-side-combinable count
+    aggs + hash-keyed model join); the split adds one narrow filter. The
+    held-out/train separation is what makes the score usable as a quality
+    FILTER — self-scored MLE assigns its own artifacts zero surprise.
+
+    Returns held-out (id_col, n_bigrams, avg_nll), avg_nll rounded to 6.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    cut = int(round(train_frac * 10000))
+    train = df.filter(bucket < cut)
+    held = df.filter(bucket >= cut)
+
+    def _pos(d: DataFrame) -> DataFrame:
+        toks = _repartition_if_narrow(d, id_col).select(
+            F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
+        )
+        L = F.greatest(F.size("__t") - 1, F.lit(0))
+        return toks.select(
+            "doc",
+            F.explode_outer(
+                F.arrays_zip(
+                    F.slice("__t", 1, L).alias("w1"), F.slice("__t", 2, L).alias("w2")
+                )
+            ).alias("bg"),
+        ).select(
+            "doc",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+            F.when(F.col("bg.w1").isNotNull(), F.xxhash64(F.col("bg.w1"))).alias("__h1"),
+            F.when(
+                F.col("bg.w1").isNotNull(), F.xxhash64(F.col("bg.w1"), F.col("bg.w2"))
+            ).alias("__h12"),
+        )
+
+    tr = _pos(train)
+    bg = tr.filter(F.col("__h12").isNotNull()).groupBy("__h1", "__h12").agg(
+        F.count("*").alias("__c12")
+    )
+    ctx = bg.groupBy("__h1").agg(F.sum("__c12").alias("__c1"))
+    v_row = (
+        tr.filter(F.col("w2").isNotNull())
+        .agg(F.countDistinct("w2").alias("__v"))
+    )
+    hp = _pos(held)
+    scored = (
+        hp.join(bg.select("__h12", "__c12"), "__h12", "left")
+        .join(ctx, "__h1", "left")
+        .join(F.broadcast(v_row))
+        .withColumn(
+            "__nll",
+            F.when(
+                F.col("__h12").isNotNull(),
+                F.log(F.coalesce("__c1", F.lit(0)) + F.col("__v"))
+                - F.log(F.coalesce("__c12", F.lit(0)) + 1),
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count("__h12").alias("n_bigrams"),
+            F.round(F.avg("__nll"), 6).alias("avg_nll"),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "avg_nll")
+    )

@@ -224,6 +224,13 @@ def _hashed_window_posting(
     only within a document (bounded length — never a global sort) and the
     downstream distinct reuses small (doc, long) rows.
 
+    The crossover is w-dependent: the LEAD form pays a fixed
+    posexplode + per-doc-sort + distinct cost, the array form pays w-1
+    interpreted passes — measured at sf0.1, w=3 favors arrays (2.2s vs
+    5.2s) while w=20 favors LEAD (1.0s vs 4.7s), which is why
+    ngram_jaccard_pairs keeps _shingle_posting and only the long-window
+    substring op routes here.
+
     Output contract matches _shingle_posting (distinct windows per doc)
     except 'shingle' is a long — _posting_cooccurrence re-hashes it, a
     cheap long->long step that keeps the two posting sources drop-in

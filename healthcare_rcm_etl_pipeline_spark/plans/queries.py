@@ -4510,3 +4510,54 @@ def q39_price_outliers_q(spark, sf_dir):
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+_HELDOUT_LM_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ),
+    t AS (SELECT doc_id, bucket, {_TOKS} AS toks FROM b),
+    pos AS (
+      SELECT doc_id, bucket,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+      FROM t
+    ),
+    p2 AS (SELECT doc_id, bucket, bg.w1 AS w1, bg.w2 AS w2 FROM pos),
+    trn AS (SELECT * FROM p2 WHERE bucket < 8000),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c12 FROM trn GROUP BY 1, 2),
+    cctx AS (SELECT w1, SUM(c12) AS c1 FROM cbg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vv FROM trn),
+    held AS (SELECT * FROM p2 WHERE bucket >= 8000 AND w1 IS NOT NULL),
+    sc AS (
+      SELECT h.doc_id,
+             ln(COALESCE(x.c1, 0) + v.vv) - ln(COALESCE(g.c12, 0) + 1) AS nll
+      FROM held h
+      LEFT JOIN cbg g ON h.w1 = g.w1 AND h.w2 = g.w2
+      LEFT JOIN cctx x ON h.w1 = x.w1
+      CROSS JOIN v
+    ),
+    base AS (SELECT doc_id, len(toks) AS ntok FROM t WHERE bucket >= 8000),
+    agg AS (SELECT doc_id, round(avg(nll), 6) AS avg_nll FROM sc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(greatest(b.ntok - 1, 0) AS BIGINT) AS n_bigrams,
+           a.avg_nll
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("corpus_lm_heldout", _HELDOUT_LM_ORACLE)
+def corpus_lm_heldout_q(spark, sf_dir):
+    """Held-out LM quality scoring — the CCNet shape proper: the model is
+    trained on the md5-deterministic 80% TRAIN split only (add-one
+    smoothing over the train next-token alphabet), the 20% held-out docs
+    are scored. Unlike corpus_bigram_lm's self-scoring, held-out NLL is a
+    usable quality filter (a doc cannot make its own transitions look
+    typical); all log arguments stay exact integers."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bigram_lm_heldout_scores(d, "text", "doc_id", train_frac=0.8)

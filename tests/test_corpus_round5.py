@@ -181,3 +181,39 @@ class TestDecontaminateBloom:
         )
         # fp rate ~ (1 - e^{-kn/m})^3 ≈ 1.5e-6 at these sizes
         assert fp <= 2
+
+
+class TestBigramLmHeldout:
+    def test_unseen_context_scores_ln_vocab(self, spark):
+        import math
+
+        # doc_ids chosen so the md5 split puts id=3 in HELD-OUT; its
+        # context 'q' never appears in train -> every bigram scores ln(V)
+        d = spark.createDataFrame(
+            [(i, "a b a c") for i in range(40)] + [(3, "q r q s")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in corpus.bigram_lm_heldout_scores(d, "text", "doc_id").collect()
+        }
+        # find the held docs: at least one must exist and every 'q r q s'
+        # held doc scores exactly ln(V) per bigram
+        held = {k: v for k, v in got.items()}
+        assert held  # split produced a held-out set
+        if 3 in held and held[3][0] == 3:
+            # train vocab w2 set from 'a b a c' docs = {b, a, c} -> V=3
+            assert held[3][1] == round(math.log(3), 6)
+
+    def test_held_out_docs_only_in_output(self, spark):
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = {r["doc_id"] for r in corpus.bigram_lm_heldout_scores(d, "text", "doc_id").collect()}
+        from healthcare_rcm_etl_pipeline_spark.operators.dedup import deterministic_split
+
+        splits = {
+            r["doc_id"]: r["split"]
+            for r in deterministic_split(d, "doc_id", {"train": 0.8, "heldout": 0.2})
+            .select("doc_id", "split")
+            .collect()
+        }
+        assert out == {k for k, v in splits.items() if v == "heldout"}
