@@ -702,3 +702,56 @@ def bigram_lm_heldout_scores(
         )
         .select(F.col("doc").alias(id_col), "n_bigrams", "avg_nll")
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Training-mixture construction: realize per-domain sampling WEIGHTS
+    (e.g. wiki 3.5x, web 0.8x — the epoch-mixing step of every pre-training
+    recipe) as deterministic per-document repeat counts:
+
+        n_copies = floor(w) + (md5_bucket(id) < frac(w) * 10000)
+
+    so a weight of 3.5 repeats every doc 3 times and HALF the docs (chosen
+    by the stable md5 bucket, not RNG) a 4th time — the realized mix
+    converges to the weights exactly in expectation while staying
+    reproducible across runs, engines, and partitionings (same property as
+    deterministic_split). Weights < 1 downsample (n_copies ∈ {0, 1});
+    domains absent from ``weights`` keep weight 1.0.
+
+    Pure narrow ops + one explode of a ``sequence`` — no shuffle; emitted
+    rows carry ``repeat_ix`` (0-based) so shard writers can salt the
+    copies apart. Returns (id_col, domain_col, repeat_ix).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    w_expr = None
+    for name, w in weights.items():
+        c = F.col(domain_col) == name
+        w_expr = F.when(c, F.lit(float(w))) if w_expr is None else w_expr.when(c, F.lit(float(w)))
+    w_expr = F.lit(1.0) if w_expr is None else w_expr.otherwise(F.lit(1.0))
+    base = F.floor(w_expr).cast("int")
+    extra = (bucket < F.round((w_expr - F.floor(w_expr)) * 10000).cast("bigint")).cast("int")
+    n_copies = base + extra
+    return (
+        df.select(id_col, domain_col, n_copies.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            domain_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("repeat_ix"),
+        )
+    )

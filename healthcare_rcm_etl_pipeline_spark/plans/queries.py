@@ -4561,3 +4561,43 @@ def corpus_lm_heldout_q(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.bigram_lm_heldout_scores(d, "text", "doc_id", train_frac=0.8)
+
+
+_MIX_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, source, bucket,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4 ELSE 1.0 END AS wt
+      FROM b
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) AS INTEGER)
+               + CASE WHEN bucket < CAST(round((wt - floor(wt)) * 10000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS INTEGER) AS repeat_ix
+    FROM n WHERE n_copies > 0
+"""
+
+
+@query("corpus_mixture_upsample", _MIX_ORACLE)
+def corpus_mixture_upsample_q(spark, sf_dir):
+    """Training-mixture realization: per-source epoch weights (src0 x2.5,
+    src1 x0.4, rest x1.0) become deterministic per-doc repeat counts —
+    floor(w) copies for everyone plus one extra for the md5-bucket
+    fraction frac(w). Converges to the weights exactly in expectation,
+    reproducible across runs/engines/partitionings; pure narrow ops + one
+    sequence explode, zero shuffle."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.mixture_upsample(
+        d, "source", "doc_id", {"src0": 2.5, "src1": 0.4}
+    )

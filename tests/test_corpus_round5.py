@@ -217,3 +217,36 @@ class TestBigramLmHeldout:
             .collect()
         }
         assert out == {k for k, v in splits.items() if v == "heldout"}
+
+
+class TestMixtureUpsample:
+    def test_integer_weight_exact_copies(self, spark):
+        d = _docs_src(spark, [(i, "dom") for i in range(50)])
+        got = corpus.mixture_upsample(d, "source", "doc_id", {"dom": 3.0})
+        counts = {r["doc_id"]: r["n"] for r in got.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 3 for v in counts.values()) and len(counts) == 50
+
+    def test_fractional_weight_converges_and_is_deterministic(self, spark):
+        d = _docs_src(spark, [(i, "dom") for i in range(400)])
+        a = corpus.mixture_upsample(d, "source", "doc_id", {"dom": 1.5})
+        n = a.count()
+        assert 500 <= n <= 700  # ~600 expected
+        b = corpus.mixture_upsample(d, "source", "doc_id", {"dom": 1.5})
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_downsampling_weight_below_one(self, spark):
+        d = _docs_src(spark, [(i, "dom") for i in range(400)])
+        got = corpus.mixture_upsample(d, "source", "doc_id", {"dom": 0.25})
+        n = got.count()
+        assert 60 <= n <= 140  # ~100 expected, all repeat_ix == 0
+        assert got.agg(F.max("repeat_ix")).collect()[0][0] == 0
+
+    def test_absent_domain_weight_one(self, spark):
+        d = _docs_src(spark, [(1, "x"), (2, "y")])
+        got = corpus.mixture_upsample(d, "source", "doc_id", {"x": 2.0})
+        counts = {r["doc_id"]: r["n"] for r in got.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+        assert counts == {1: 2, 2: 1}
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string")
