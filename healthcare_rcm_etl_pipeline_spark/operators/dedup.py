@@ -961,3 +961,105 @@ def best_survivors(
         best, members["doc"] == best["keep_doc"], "left_anti"
     ).select(F.col("doc").alias(id_col))
     return docs.select(id_col, order_col).join(losers, id_col, "left_anti")
+
+
+def group_minhash_similarity(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 256,
+    n: int = 3,
+    tolerance: float = 0.15,
+) -> DataFrame:
+    """CORPUS-level similarity: pairwise shingle-set Jaccard between GROUPS
+    of documents (sources/domains/snapshots) — the planning signal for
+    cross-corpus dedup ("how much of source B is already in source A?").
+
+    Two independent measurements per group pair, compared in-engine:
+
+    - EXACT: distinct (group, shingle-hash) postings self-joined at the
+      group level — with G groups this is at most G(G-1)/2 count rows, so
+      the posting join is cheap no matter the corpus size.
+    - MinHash ESTIMATE: the k-minhash signature of each group's shingle
+      SET. min is a commutative aggregate, so the signature is one
+      map-side-combinable groupBy(group) over k long-hashes — at 100 TB
+      THIS is the measurement you can afford (the exact path's distinct
+      still shuffles every unique shingle once; signatures summarize each
+      group into k longs that then merge across any partitioning). Matches
+      per component / k estimates Jaccard with std sqrt(J(1-J)/k).
+
+    ``est_within_tol`` asserts |estimate - exact| <= tolerance in-engine
+    (deterministic: hashes, not RNG — same convention as the sketch
+    queries; tolerance 0.15 is ~5 sigma at k=256). Returns
+    (src_a, src_b, n_a, n_b, n_common, jaccard, est_within_tol).
+    """
+    post = (
+        _shingle_posting(df, text_col, id_col, n)
+        .withColumn("__sh", F.xxhash64("shingle"))
+        .select(F.col("doc").alias("__doc"), "__sh")
+        .join(
+            df.select(F.col(id_col).alias("__doc"), F.col(group_col).alias("__g")),
+            "__doc",
+        )
+        .select("__g", "__sh")
+        .distinct()
+    )
+    sizes = post.groupBy("__g").agg(F.count("*").alias("n_sh"))
+    inter = (
+        post.alias("a")
+        .join(post.alias("b"), "__sh")
+        .filter(F.col("a.__g") < F.col("b.__g"))
+        .groupBy(F.col("a.__g").alias("src_a"), F.col("b.__g").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh{i}") for i in range(k)
+    ]
+    sigs = post.groupBy("__g").agg(*mins)
+    sig_arr = sigs.select(
+        "__g", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("__sig")
+    )
+    # G signatures of k longs each — tens of KB for any real group count;
+    # broadcast + inequality condition => BroadcastNestedLoopJoin, never a
+    # CartesianProduct (the plan sweep bans the latter engine-wide)
+    est = (
+        sig_arr.alias("a")
+        .join(F.broadcast(sig_arr.alias("b")), F.col("a.__g") < F.col("b.__g"))
+        .select(
+            F.col("a.__g").alias("src_a"),
+            F.col("b.__g").alias("src_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y
+                        ),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(k))
+            ).alias("__est"),
+        )
+    )
+    a_sz = sizes.select(F.col("__g").alias("src_a"), F.col("n_sh").alias("n_a"))
+    b_sz = sizes.select(F.col("__g").alias("src_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(a_sz, "src_a")
+        .join(b_sz, "src_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .join(est, ["src_a", "src_b"])
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        "jaccard",
+        (F.abs(F.col("__est") - F.col("jaccard")) <= tolerance).alias("est_within_tol"),
+    )

@@ -44,6 +44,7 @@ def edit1_pairs(
     key_col: str,
     id_col: str,
     max_bucket: int | None = None,
+    max_key_len: int = 128,
 ) -> DataFrame:
     """All (id_a < id_b) row pairs whose ``key_col`` strings are within
     Levenshtein distance 1 (0 = exact duplicates included — callers filter
@@ -55,11 +56,18 @@ def edit1_pairs(
     same cap as the shingle posting lists; real duplicate pile-ups on one
     key are better handled by exact dedup first).
 
+    ``max_key_len`` bounds the deletion neighborhood: a key of length L
+    posts L+1 variants of ~L bytes each — O(L²) bytes per key, which is
+    fine for identifiers and catastrophic for document-length strings.
+    Keys longer than the cap are EXCLUDED (they are not identifiers; use
+    the shingle/minhash ops for text) — raising instead would let one bad
+    row kill a 100 TB job.
+
     Returns (id_a, id_b, key_a, key_b, lev).
     """
     base = df.select(
         F.col(id_col).alias("__id"), F.col(key_col).cast("string").alias("__key")
-    )
+    ).filter(F.length("__key") <= max_key_len)
     post = base.select(
         "__id",
         "__key",

@@ -4601,3 +4601,40 @@ def corpus_mixture_upsample_q(spark, sf_dir):
     return corpus.mixture_upsample(
         d, "source", "doc_id", {"src0": 2.5, "src1": 0.4}
     )
+
+
+_SRC_SIM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    post AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                                 i -> array_to_string(toks[i:i+2], ' ')))) AS s
+      FROM t
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM post GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, i.n_common,
+           i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) AS jaccard,
+           TRUE AS est_within_tol
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@query("corpus_source_similarity", _SRC_SIM_ORACLE)
+def corpus_source_similarity_q(spark, sf_dir):
+    """Corpus-level pairwise similarity between sources: exact shingle-set
+    Jaccard (group-level posting join — at most G(G-1)/2 count rows) AND
+    the k=256 group-minhash estimate, compared in-engine
+    (est_within_tol, deterministic — hashes, not RNG). At 100 TB the
+    signature path is the affordable measurement: each group collapses to
+    256 longs under a map-side-combinable min."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.group_minhash_similarity(
+        d, "text", "doc_id", "source", k=256, n=3
+    )
