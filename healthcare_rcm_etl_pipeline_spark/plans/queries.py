@@ -4638,3 +4638,67 @@ def corpus_source_similarity_q(spark, sf_dir):
     return dedup.group_minhash_similarity(
         d, "text", "doc_id", "source", k=256, n=3
     )
+
+
+@query(
+    "q40_trimmed_mean_price",
+    """
+    WITH j AS (
+      SELECT p.p_type, l.l_extendedprice AS price
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cuts AS (
+      SELECT p_type,
+             quantile_cont(price, 0.05) AS lo,
+             quantile_cont(price, 0.95) AS hi
+      FROM j GROUP BY 1
+    )
+    SELECT j.p_type,
+           COUNT(*) AS n,
+           round(avg(CASE WHEN j.price BETWEEN c.lo AND c.hi THEN j.price END), 6)
+             AS trimmed_mean,
+           round(avg(CASE WHEN j.price < c.lo THEN c.lo
+                          WHEN j.price > c.hi THEN c.hi
+                          ELSE j.price END), 6) AS winsorized_mean
+    FROM j JOIN cuts c USING (p_type)
+    GROUP BY j.p_type
+    """,
+)
+def q40_trimmed_mean_q(spark, sf_dir):
+    """Robust aggregation pair per part type: the 5-95 TRIMMED mean
+    (outliers excluded) and the WINSORIZED mean (outliers clamped to the
+    cut points) — the standard noise-resistant alternatives to raw avg for
+    metric reporting. One exact-percentile aggregation re-joined per group
+    (quantile_cont bitwise parity, the q15 precedent), then a single
+    conditional-avg pass; percentile_approx is the documented 100 TB
+    swap."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "p_type", F.col("l_extendedprice").alias("price")
+    )
+    cuts = j.groupBy("p_type").agg(
+        F.percentile("price", F.lit(0.05)).alias("lo"),
+        F.percentile("price", F.lit(0.95)).alias("hi"),
+    )
+    out = j.join(cuts, "p_type")
+    return out.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("price") >= F.col("lo")) & (F.col("price") <= F.col("hi")),
+                    F.col("price"),
+                )
+            ),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.avg(
+                F.when(F.col("price") < F.col("lo"), F.col("lo"))
+                .when(F.col("price") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("price"))
+            ),
+            6,
+        ).alias("winsorized_mean"),
+    )
