@@ -4702,3 +4702,43 @@ def q40_trimmed_mean_q(spark, sf_dir):
             6,
         ).alias("winsorized_mean"),
     )
+
+
+@query(
+    "events_ttl_dedup",
+    """
+    WITH b AS (
+      SELECT event_id, ts, user_id, event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS bucket
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type, bucket
+                                   ORDER BY ts, event_id) AS rn
+      FROM b
+    )
+    SELECT event_id, ts, user_id, event_type FROM r WHERE rn = 1
+    """,
+)
+def events_ttl_dedup_q(spark, sf_dir):
+    """TTL-bucketed signal dedup: keep the FIRST event per (user, type,
+    day) — the log-dedup policy where a repeated signal is noise within
+    its TTL window but meaningful after it (alert dedup, retry collapse,
+    sessionless tracking). One keyed window partitioned by
+    (user, type, bucket) — bounded population per partition; the
+    streaming twin is dropDuplicatesWithinWatermark with a composite key,
+    whose state bound IS the same TTL."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("bucket"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
