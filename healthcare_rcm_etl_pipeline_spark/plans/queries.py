@@ -4742,3 +4742,40 @@ def events_ttl_dedup_q(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "ts", "user_id", "event_type")
     )
+
+
+@query(
+    "q41_order_share_of_customer",
+    """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS price,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+               OVER (PARTITION BY o_custkey) AS cust_total
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(price AS DOUBLE) AS order_price,
+           round(CAST(price AS DOUBLE) / CAST(cust_total AS DOUBLE), 9) AS share
+    FROM t
+    """,
+)
+def q41_order_share_q(spark, sf_dir):
+    """RATIO_TO_REPORT pattern: each order's share of its customer's total
+    spend via an unordered partitioned window sum (no sort — frame is the
+    whole partition, population bounded per customer). The decimal window
+    sum keeps the denominator exact and order-insensitive, so the rounded
+    ratio is bit-stable across partitionings and engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dec.cast("double").alias("order_price"),
+        F.round(
+            dec.cast("double") / F.sum(dec).over(w).cast("double"), 9
+        ).alias("share"),
+    )
