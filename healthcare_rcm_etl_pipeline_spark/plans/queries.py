@@ -4779,3 +4779,49 @@ def q41_order_share_q(spark, sf_dir):
             dec.cast("double") / F.sum(dec).over(w).cast("double"), 9
         ).alias("share"),
     )
+
+
+@query(
+    "q42_revenue_mom_growth",
+    f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             {_dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT c.month, c.revenue,
+           p.revenue AS prev_revenue,
+           round(c.revenue / p.revenue - 1, 9) AS mom_growth
+    FROM m c LEFT JOIN m p ON p.month = c.month - INTERVAL 1 MONTH
+    """,
+)
+def q42_revenue_mom_growth_q(spark, sf_dir):
+    """Month-over-month growth WITHOUT a lag window: the monthly series
+    self-joins on month arithmetic (prev.month = month - 1 month). A lag
+    window over the whole series would be a single-partition sort — the
+    exact anti-pattern the plan sweep bans; the equi-join form keeps the
+    tiny aggregated series broadcastable and the plan partition-safe at
+    any series length."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    prev = m.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        m.join(F.broadcast(prev), "month", "left")
+        .select(
+            "month",
+            "revenue",
+            "prev_revenue",
+            F.round(F.col("revenue") / F.col("prev_revenue") - 1, 9).alias(
+                "mom_growth"
+            ),
+        )
+    )
