@@ -4825,3 +4825,39 @@ def q42_revenue_mom_growth_q(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q43_all_priority_customers",
+    """
+    SELECT o.o_custkey, c.c_name, COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT o.o_orderpriority) = (
+      SELECT COUNT(DISTINCT o_orderpriority) FROM orders
+    )
+    """,
+)
+def q43_all_priority_customers_q(spark, sf_dir):
+    """Relational DIVISION (the 'suppliers who supply ALL parts' classic):
+    customers who have placed orders in EVERY priority class that exists.
+    The universal quantifier decorrelates to countDistinct-per-group
+    compared against the global distinct count — a 1-row broadcast, never
+    a per-group re-scan; the customer dim broadcasts into the fact
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    total = o.agg(F.countDistinct("o_orderpriority").alias("__np"))
+    g = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("__cp"),
+        )
+    )
+    return (
+        g.join(F.broadcast(total))
+        .filter(F.col("__cp") == F.col("__np"))
+        .select("o_custkey", "c_name", "n_orders")
+    )
