@@ -4861,3 +4861,62 @@ def q43_all_priority_customers_q(spark, sf_dir):
         .filter(F.col("__cp") == F.col("__np"))
         .select("o_custkey", "c_name", "n_orders")
     )
+
+
+@query(
+    "q44_top_parts_listagg",
+    """
+    WITH r AS (
+      SELECT l.l_suppkey, p.p_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT l_suppkey, p_name,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY rev DESC, p_name) AS rn
+      FROM r
+    )
+    SELECT l_suppkey, string_agg(p_name, ',' ORDER BY rn) AS top_parts
+    FROM t WHERE rn <= 3 GROUP BY 1
+    """,
+)
+def q44_top_parts_listagg_q(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / STRING_AGG with ORDER BY):
+    each supplier's top-3 parts by revenue, comma-joined in rank order.
+    collect_list has no deterministic order in a distributed engine — the
+    portable form is sort_array over (negated-decimal revenue, name)
+    structs, sliced and joined per group; ties break on name so the
+    string is bit-identical across partitionings. The per-supplier array
+    is bounded (top-3), never a whole-group buffer in the output."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    r = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "p_name")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    return (
+        r.groupBy("l_suppkey")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("rev")).alias("nrev"),
+                                    F.col("p_name").alias("name"),
+                                )
+                            )
+                        ),
+                        lambda s: s["name"],
+                    ),
+                    1,
+                    3,
+                ),
+                ",",
+            ).alias("top_parts")
+        )
+    )
