@@ -4920,3 +4920,68 @@ def q44_top_parts_listagg_q(spark, sf_dir):
             ).alias("top_parts")
         )
     )
+
+
+@query(
+    "q45_monthly_spine_densify",
+    f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             {_dsum("o_totalprice")} AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM bounds
+    )
+    SELECT s.month,
+           COALESCE(m.revenue, 0.0) AS revenue,
+           CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+           m.month IS NULL AS filled
+    FROM spine s LEFT JOIN m USING (month)
+    """,
+)
+def q45_monthly_spine_densify_q(spark, sf_dir):
+    """Date-spine densification: a complete month spine (generated from
+    the GLOBAL min/max — one broadcast 1-row aggregate + sequence/explode,
+    never a driver-side date loop) left-joins the sparse per-month
+    aggregate so missing months surface as explicit zero rows with a
+    ``filled`` flag — what every downstream time series consumer needs and
+    GROUP BY alone cannot produce."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    spine = (
+        o.agg(
+            F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+            F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 month"))
+            ).alias("month")
+        )
+    )
+    return (
+        spine.join(F.broadcast(m), "month", "left")
+        .select(
+            "month",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.col("revenue").isNull().alias("filled"),
+        )
+    )
