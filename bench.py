@@ -38,6 +38,13 @@ DELTA_NOTES = {
     "single-task global window r3 benched",
     "semantic_dedup": "r4 adds the max_cell hot-cell guard (one extra "
     "partial-aggregated cell-count pass before the pair scan)",
+    "streaming_ingest_batch": "r6 prunes the cross-corpus probe to the "
+    "batch's band-key set (prune_bands_to_probe) — the accumulated index "
+    "no longer shuffles per batch, so per-batch cost should DROP and the "
+    "trend flatten; r6 also benches 8 batches (r5: 4)",
+    "q44_top_parts_listagg": "r6 bounds the LISTAGG aggregation buffer: "
+    "row_number<=3 window filter before collect_list (one extra bounded "
+    "window pass; the collect buffers at most 3 structs per group)",
 }
 
 
@@ -120,23 +127,32 @@ HEADLINE = [
     "chunk_dedup_rate",
     "corpus_bigram_lm",
     "decontaminate_bloom",
+    # round-6 surface additions (join-heavy round-5 analytics patterns)
+    "q40_trimmed_mean_price",
+    "q44_top_parts_listagg",
 ]
 
 
-def _bench_streaming_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
+def _bench_streaming_ingest(spark, sf_dir: str, n_batches: int = 8) -> dict:
     """Per-batch latency of the near-dup-gated ingestion path
     (streaming/ingest.py): the documents table split into n_batches
     micro-batches driven through the foreachBatch body, the persisted band
     index growing across batches. The trend matters more than the level —
     per-batch cost must stay FLAT as the corpus accumulates (the index is
-    probed, never rebuilt); a rising trend would mean ingestion cost scales
-    with corpus size and the recipe is wrong at scale."""
+    probed, never rebuilt; since r6 the probe is also PRUNED to the
+    batch's band-key set before the bucket shuffle); a rising trend would
+    mean ingestion cost scales with corpus size and the recipe is wrong
+    at scale. The per-batch INDEX SIZE is logged alongside so cost can be
+    read against index growth (the round-5 verdict's ask): 8 batches, and
+    the trend is the fit of post-warmup per-batch cost, not just
+    last/second."""
     import shutil
     import tempfile
 
     from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
     from healthcare_rcm_etl_pipeline_spark.streaming.ingest import (
         make_dedup_ingest_batch_fn,
+        read_band_index,
     )
 
     base = tempfile.mkdtemp(prefix="hrcm_bench_ingest_")
@@ -145,30 +161,46 @@ def _bench_streaming_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
         n_docs = docs.count()
         fn = make_dedup_ingest_batch_fn(base)
         per_batch: list[float] = []
+        index_rows: list[int] = []
         for b in range(n_batches):
             batch = docs.filter((docs.doc_id % n_batches) == b)
             t0 = time.perf_counter()
             fn(batch, b)
             per_batch.append(round(time.perf_counter() - t0, 3))
+            index_rows.append(read_band_index(spark, base).count())
         total = round(sum(per_batch), 3)
+        # slope of post-warmup per-batch cost per BATCH, normalized by the
+        # median batch cost: 0 == flat; 0.05 == +5% of a median batch per
+        # batch. Least squares over batches 1..n-1 (batch 0 is structurally
+        # cheaper: empty base, no cross-corpus probe).
+        steady = per_batch[1:]
+        slope = None
+        if len(steady) >= 2:
+            nm = len(steady)
+            xbar = (nm - 1) / 2
+            ybar = sum(steady) / nm
+            num = sum((i - xbar) * (y - ybar) for i, y in enumerate(steady))
+            den = sum((i - xbar) ** 2 for i in range(nm))
+            med = statistics.median(steady)
+            slope = round((num / den) / med, 3) if med else None
         return {
             "batches": n_batches,
             "docs": n_docs,
             "per_batch_sec": per_batch,
+            "index_rows": index_rows,
             "total_sec": total,
             "docs_per_sec": round(n_docs / total, 1) if total else None,
-            # last batch probes the largest index: ratio ~1 == flat trend.
-            # Baseline is the SECOND batch — the first is structurally
-            # cheaper (empty base corpus, no cross-corpus probe).
+            # last batch probes the largest index: ratio ~1 == flat trend
             "steady_trend": round(per_batch[-1] / per_batch[1], 2)
             if len(per_batch) > 1 and per_batch[1]
             else None,
+            "per_batch_slope": slope,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
+def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 8) -> dict:
     """Per-batch latency of the SEMANTIC-gated embedding ingestion path
     (streaming/ingest.py:make_semantic_ingest_batch_fn): the embeddings
     table in n_batches micro-batches, the persisted (cell, id, vector)
@@ -185,20 +217,25 @@ def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 4) -> dict:
 
     base = tempfile.mkdtemp(prefix="hrcm_bench_semingest_")
     try:
+        from healthcare_rcm_etl_pipeline_spark.streaming.ingest import read_vectors
+
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         n_vecs = emb.count()
         fn = make_semantic_ingest_batch_fn(base, threshold=0.9)
         per_batch: list[float] = []
+        index_rows: list[int] = []
         for b in range(n_batches):
             batch = emb.filter((emb.vec_id % n_batches) == b)
             t0 = time.perf_counter()
             fn(batch, b)
             per_batch.append(round(time.perf_counter() - t0, 3))
+            index_rows.append(read_vectors(spark, base).count())
         total = round(sum(per_batch), 3)
         return {
             "batches": n_batches,
             "vectors": n_vecs,
             "per_batch_sec": per_batch,
+            "index_rows": index_rows,
             "total_sec": total,
             "vecs_per_sec": round(n_vecs / total, 1) if total else None,
             "steady_trend": round(per_batch[-1] / per_batch[1], 2)

@@ -23,6 +23,7 @@ partitionings, engine-internal (documented as not portable to SQL oracles).
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame
@@ -635,7 +636,7 @@ def embedding_near_dup_pairs(
     id_col: str,
     block_col: str | None = None,
     threshold: float = 0.99,
-    n_planes: int | None = None,
+    n_planes: int | str | None = None,
     n_tables: int = 12,
     dim: int = 64,
     seed: int = 42,
@@ -653,21 +654,35 @@ def embedding_near_dup_pairs(
       computed for candidates only. Recall is tuned by (n_planes,
       n_tables); deterministic hyperplanes keep results reproducible.
 
-    ``n_planes=None`` (default) ADAPTS the bucket count to the corpus via
-    adaptive_n_planes(count, target_bucket_rows): candidate pairs per
-    bucket are quadratic in bucket population, so a FIXED plane count that
-    is fine at 2k vectors (2^4 buckets ≈ 125/bucket) emits ~200M candidate
-    pairs at 20k vectors and OOMs — caught by the sf1 tolerance audit
-    (scripts/audit_tolerance_sf1.py, round 5). Finer buckets trade recall
+    ``n_planes=None`` or ``"auto"`` (default) ADAPTS the bucket count to
+    the corpus via adaptive_n_planes(count, target_bucket_rows): candidate
+    pairs per bucket are quadratic in bucket population, so a FIXED plane
+    count that is fine at 2k vectors (2^4 buckets ≈ 125/bucket) emits
+    ~200M candidate pairs at 20k vectors and OOMs — caught by the sf1
+    tolerance audit (scripts/audit_tolerance_sf1.py, round 5). BEHAVIOR
+    CHANGE vs rounds <=4 (old default: fixed 4), chosen deliberately: a
+    silent recall shift as the corpus grows beats a guaranteed executor
+    OOM, and adaptive sizing needs the corpus size, so the default incurs
+    ONE eager ``df.count()`` action per call. Finer buckets trade recall
     (measured in the audit: borderline-threshold pairs are the ones
-    missed); pass an explicit n_planes for reproducible fixed-bucket runs
-    — the registered oracle queries do, pinning the driver-SF recall-1.0
-    contract. ``max_bucket`` stays the emergency bound for degenerate
-    pile-ups (see lsh_candidate_pairs).
+    missed). For reproducible fixed-bucket runs — byte-stable results and
+    no eager count — pass an explicit int; the registered oracle queries
+    do, pinning the driver-SF recall-1.0 contract. The chosen plane count
+    is logged (INFO) either way so any run is diagnosable from its log.
+    ``max_bucket`` stays the emergency bound for degenerate pile-ups (see
+    lsh_candidate_pairs).
     """
     if block_col is None:
-        if n_planes is None:
+        if n_planes is None or n_planes == "auto":
             n_planes = adaptive_n_planes(df.count(), target_bucket_rows)
+            logging.getLogger(__name__).info(
+                "embedding_near_dup_pairs: adaptive n_planes=%d "
+                "(target_bucket_rows=%d)", n_planes, target_bucket_rows
+            )
+        else:
+            logging.getLogger(__name__).info(
+                "embedding_near_dup_pairs: fixed n_planes=%d", n_planes
+            )
         cand = lsh_candidate_pairs(
             df, vec_col, id_col,
             n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
@@ -725,6 +740,24 @@ def incremental_exact_dedup(
     )
 
 
+def prune_bands_to_probe(base_bands: DataFrame, new_bands: DataFrame) -> DataFrame:
+    """Restrict a persisted band index to the buckets a probe batch can
+    actually collide with: base rows whose (band, bh) matches NO new-batch
+    row can never form a cross pair, so a broadcast left-semi join on the
+    batch's distinct band keys (O(|batch| x bands) keys — a few MB) drops
+    them BEFORE the bucket groupBy.
+
+    This is what keeps per-batch ingestion cost flat as the corpus grows:
+    without it, the groupBy shuffles the ENTIRE accumulated index every
+    batch — O(corpus) shuffle per batch, a rising per-batch trend measured
+    in the round-5 bench (5.5s -> 10.8s over 4 batches). With it the
+    shuffle input is O(batch + collisions); the index is only ever
+    SCANNED (one pass, no shuffle), mirroring how the semantic ingest
+    path prunes its vector index by the batch's cell set."""
+    keys = new_bands.select("band", "bh").distinct()
+    return base_bands.join(F.broadcast(keys), ["band", "bh"], "left_semi")
+
+
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
     base_df: DataFrame,
@@ -762,6 +795,11 @@ def minhash_lsh_pairs_incremental(
     new_bands = minhash_band_table(new_df, text_col, id_col, k=k, bands=bands, n=n)
     if base_bands is None:
         base_bands = minhash_band_table(base_df, text_col, id_col, k=k, bands=bands, n=n)
+    # flat-cost invariant: only base index rows in buckets the new batch
+    # occupies enter the shuffle (bucket sizes — and so the max_bucket
+    # semantics — are unchanged: the prune never removes a row from a
+    # bucket that survives it). See prune_bands_to_probe.
+    base_bands = prune_bands_to_probe(base_bands, new_bands)
     banded = new_bands.withColumn("__is_new", F.lit(True)).unionByName(
         base_bands.withColumn("__is_new", F.lit(False))
     )
@@ -971,6 +1009,7 @@ def group_minhash_similarity(
     k: int = 256,
     n: int = 3,
     tolerance: float = 0.15,
+    include_estimate: bool = False,
 ) -> DataFrame:
     """CORPUS-level similarity: pairwise shingle-set Jaccard between GROUPS
     of documents (sources/domains/snapshots) — the planning signal for
@@ -992,7 +1031,10 @@ def group_minhash_similarity(
     ``est_within_tol`` asserts |estimate - exact| <= tolerance in-engine
     (deterministic: hashes, not RNG — same convention as the sketch
     queries; tolerance 0.15 is ~5 sigma at k=256). Returns
-    (src_a, src_b, n_a, n_b, n_common, jaccard, est_within_tol).
+    (src_a, src_b, n_a, n_b, n_common, jaccard, est_within_tol);
+    ``include_estimate`` appends the raw ``est`` column so audits
+    (scripts/audit_tolerance_sf1.py) can measure the actual error rather
+    than just the boolean gate.
     """
     post = (
         _shingle_posting(df, text_col, id_col, n)
@@ -1054,12 +1096,15 @@ def group_minhash_similarity(
         )
         .join(est, ["src_a", "src_b"])
     )
-    return out.select(
-        "src_a",
-        "src_b",
-        "n_a",
-        "n_b",
-        "n_common",
-        "jaccard",
+    cols = [
+        F.col("src_a"),
+        F.col("src_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("n_common"),
+        F.col("jaccard"),
         (F.abs(F.col("__est") - F.col("jaccard")) <= tolerance).alias("est_within_tol"),
-    )
+    ]
+    if include_estimate:
+        cols.append(F.col("__est").alias("est"))
+    return out.select(*cols)

@@ -4885,11 +4885,18 @@ def q43_all_priority_customers_q(spark, sf_dir):
 def q44_top_parts_listagg_q(spark, sf_dir):
     """Ordered string aggregation (LISTAGG / STRING_AGG with ORDER BY):
     each supplier's top-3 parts by revenue, comma-joined in rank order.
-    collect_list has no deterministic order in a distributed engine — the
-    portable form is sort_array over (negated-decimal revenue, name)
-    structs, sliced and joined per group; ties break on name so the
-    string is bit-identical across partitionings. The per-supplier array
-    is bounded (top-3), never a whole-group buffer in the output."""
+    collect_list has no deterministic order in a distributed engine, and
+    — the round-5 finding — collecting the WHOLE group before slicing
+    makes the aggregation buffer O(group): a skewed supplier with 100k
+    distinct parts inflates one buffer even though the output is top-3.
+    So the rank is cut FIRST with row_number over a per-supplier window
+    (the window partition is the pre-aggregated (supplier, part) rows —
+    bounded by a supplier's distinct-part count, and spillable, unlike
+    an agg buffer) and only rn<=3 rows reach the collect: the buffered
+    array never exceeds 3 structs. Ties break on name so the string is
+    bit-identical across partitionings."""
+    from pyspark.sql import Window
+
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     r = (
@@ -4897,24 +4904,23 @@ def q44_top_parts_listagg_q(spark, sf_dir):
         .groupBy("l_suppkey", "p_name")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev"))
     )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("rev").desc(), "p_name")
     return (
-        r.groupBy("l_suppkey")
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("l_suppkey")
         .agg(
             F.array_join(
-                F.slice(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct(
-                                    (-F.col("rev")).alias("nrev"),
-                                    F.col("p_name").alias("name"),
-                                )
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rn").alias("rn"),
+                                F.col("p_name").alias("name"),
                             )
-                        ),
-                        lambda s: s["name"],
+                        )
                     ),
-                    1,
-                    3,
+                    lambda s: s["name"],
                 ),
                 ",",
             ).alias("top_parts")

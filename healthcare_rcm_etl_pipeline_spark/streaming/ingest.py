@@ -352,6 +352,101 @@ def semantic_ingest_stream(
     )
 
 
+_DATASETS = ("docs", "bands", "vectors")
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
+    """Detect and resolve interrupted maintenance swaps (purge_ids /
+    compact_epochs) so a crash at ANY point is recoverable without data
+    loss. Both maintenance ops rename live directories ASIDE (to a
+    ``.purge_trash`` / ``.compact_trash`` sibling) before renaming the
+    rewritten copy into place and only then deleting the trash — so at
+    every instant a full copy of every row exists under exactly one of
+    {live dir, trash, tmp}, and the leftovers identify the crash point:
+
+    - purge: ``.epoch=N.purge_trash`` present
+        * live ``epoch=N`` present  -> swap committed, crash before
+          cleanup: delete the trash.
+        * live absent, ``.epoch=N.purge_tmp`` present -> crash between
+          the two renames; the tmp was fully written before any rename,
+          so COMPLETE the swap (rename tmp into place, drop trash).
+        * live and tmp both absent (defensive; unreachable through the
+          documented protocol) -> ROLL BACK (rename trash into place).
+    - purge: ``.epoch=N.purge_tmp`` with no trash -> crash before the
+      live dir was touched: the tmp is stale, delete it (a re-run
+      regenerates it from the intact live dir).
+    - compact: ``.compact_trash`` AND ``.compact_tmp`` present -> crash
+      mid-move (or after the moves, before the commit rename): ROLL BACK
+      every dir still in the trash, then drop trash and tmp — the base
+      is back to its pre-compaction state and a re-run starts fresh.
+    - compact: ``.compact_trash`` alone -> the tmp-to-``epoch=last``
+      rename committed (the tmp only disappears via that rename): delete
+      the trash; if the committed target somehow vanished too, roll the
+      trash contents back instead.
+    - compact: ``.compact_tmp`` alone -> crash before any move: stale
+      rewrite, delete it.
+
+    Called on entry by both maintenance ops (idempotent, one directory
+    listing per dataset). Returns {dataset: resolved_leftover_count}.
+    """
+    fs, _ = sinks._fs_path(spark, base)
+    _, _, last = _read_marker(spark, base)
+    recovered: dict[str, int] = {}
+    for sub in _DATASETS:
+        root = f"{base}/{sub}"
+        if not sinks.path_exists(spark, root):
+            continue
+        n = 0
+        names = {
+            st.getPath().getName() for st in fs.listStatus(_jpath(spark, root))
+        }
+        for name in sorted(names):
+            if name.startswith(".epoch=") and name.endswith(".purge_trash"):
+                live = name[1 : -len(".purge_trash")]  # "epoch=N"
+                tmp = f".{live}.purge_tmp"
+                if live in names:
+                    fs.delete(_jpath(spark, f"{root}/{name}"), True)
+                elif tmp in names:
+                    fs.rename(
+                        _jpath(spark, f"{root}/{tmp}"), _jpath(spark, f"{root}/{live}")
+                    )
+                    fs.delete(_jpath(spark, f"{root}/{name}"), True)
+                else:
+                    fs.rename(
+                        _jpath(spark, f"{root}/{name}"), _jpath(spark, f"{root}/{live}")
+                    )
+                n += 1
+            elif name.startswith(".epoch=") and name.endswith(".purge_tmp"):
+                trash = name[: -len(".purge_tmp")] + ".purge_trash"
+                if trash not in names:  # else: handled with its trash above
+                    fs.delete(_jpath(spark, f"{root}/{name}"), True)
+                    n += 1
+        has_trash = ".compact_trash" in names
+        has_tmp = ".compact_tmp" in names
+        target = f"{root}/epoch={last}"
+        if has_trash and (has_tmp or not sinks.path_exists(spark, target)):
+            for st in fs.listStatus(_jpath(spark, f"{root}/.compact_trash")):
+                nm = st.getPath().getName()
+                if not sinks.path_exists(spark, f"{root}/{nm}"):
+                    fs.rename(st.getPath(), _jpath(spark, f"{root}/{nm}"))
+            fs.delete(_jpath(spark, f"{root}/.compact_trash"), True)
+            if has_tmp:
+                fs.delete(_jpath(spark, f"{root}/.compact_tmp"), True)
+            n += 1
+        elif has_trash:
+            fs.delete(_jpath(spark, f"{root}/.compact_trash"), True)
+            n += 1
+        elif has_tmp:
+            fs.delete(_jpath(spark, f"{root}/.compact_tmp"), True)
+            n += 1
+        recovered[sub] = n
+    return recovered
+
+
 def purge_ids(
     spark: SparkSession,
     base: str,
@@ -367,20 +462,27 @@ def purge_ids(
     Cost scales with the AFFECTED epoch partitions, not the corpus: one
     pass finds which ``epoch=N`` directories contain a tombstoned id
     (epoch count is bounded — it is the ingestion cadence), and only those
-    partitions are rewritten. Each rewrite goes through a ``.tmp``
-    directory + Hadoop FS rename, so a crash mid-purge leaves the old
-    partition intact (the purge is re-runnable; rename is the commit
-    point per partition).
+    partitions are rewritten. Each rewrite is a four-step swap whose
+    commit point is a rename, with a FULL copy of the partition alive at
+    every instant: (1) write the kept rows to ``.epoch=N.purge_tmp``,
+    (2) rename the live partition aside to ``.epoch=N.purge_trash``,
+    (3) rename the tmp into place — the commit, (4) delete the trash.
+    A crash at any step is resolved by ``recover_base`` (run on entry
+    here, so a re-run self-heals): steps 1-2 roll back from the intact
+    live dir / trash, step 3-4 leftovers complete forward from the
+    fully-written tmp. The old delete-then-rename order lost the
+    partition's KEPT rows on a crash between delete and rename.
 
     Returns {dataset: rewritten_epoch_count}. The _EPOCH marker is
     untouched — purging removes rows, it does not rewind ingestion.
     """
     if isinstance(ids, list):
-        ids = spark.createDataFrame([(int(i),) for i in ids], f"__pid long")
+        ids = spark.createDataFrame([(int(i),) for i in ids], "__pid long")
         ids = ids.select(F.col("__pid"))
     else:
         ids = ids.select(F.col(ids.columns[0]).alias("__pid"))
 
+    recover_base(spark, base)
     fs, _ = sinks._fs_path(spark, base)
     rewritten: dict[str, int] = {}
     for sub, col in (("docs", id_col), ("bands", "doc"), ("vectors", vec_id_col)):
@@ -400,14 +502,14 @@ def purge_ids(
         for ep in affected:
             part = f"{root}/epoch={ep}"
             tmp = f"{root}/.epoch={ep}.purge_tmp"
+            trash = f"{root}/.epoch={ep}.purge_trash"
             kept = spark.read.parquet(part).join(
                 F.broadcast(ids), F.col(col) == F.col("__pid"), "left_anti"
             )
             kept.write.mode("overwrite").parquet(tmp)
-            p_old = spark._jvm.org.apache.hadoop.fs.Path(part)
-            p_tmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-            fs.delete(p_old, True)
-            fs.rename(p_tmp, p_old)
+            fs.rename(_jpath(spark, part), _jpath(spark, trash))
+            fs.rename(_jpath(spark, tmp), _jpath(spark, part))
+            fs.delete(_jpath(spark, trash), True)
         rewritten[sub] = len(affected)
     return rewritten
 
@@ -417,24 +519,32 @@ def compact_epochs(spark: SparkSession, base: str) -> dict[str, int]:
     appends its own ``epoch=N`` directory, so after thousands of batches
     the docs/bands/vectors datasets are thousands of tiny partitions —
     death by file listing at 100 TB. Compaction folds all COMMITTED epochs
-    into a single ``epoch=last`` partition per dataset (written through a
-    ``.tmp`` directory; the swap deletes the old directories only after
-    the rewrite landed, and a crash mid-swap re-runs safely because the
-    tmp rewrite is regenerated from whatever directories remain).
+    into a single ``epoch=last`` partition per dataset via a swap whose
+    commit point is a rename, never a delete: (1) the folded rewrite
+    lands in ``.compact_tmp``, (2) every committed epoch dir is renamed
+    (atomic per dir) into ``.compact_trash/``, (3) the tmp is renamed to
+    ``epoch=last`` — the commit, (4) the trash is deleted. A crash at any
+    step leaves a full copy of every row under live dirs, trash, or tmp;
+    ``recover_base`` (run on entry, so a re-run self-heals) rolls steps
+    1-2 back to the pre-compaction state and resolves step 3-4 leftovers
+    by dropping the now-redundant trash. The old delete-then-rename order
+    destroyed the deleted epochs' rows if the crash hit between the first
+    delete and the rename.
 
     The _EPOCH marker is untouched: the compacted partition carries the
     last committed epoch number, so replay gating, ``max_epoch`` reads,
     and subsequent ingestion behave exactly as before (pinned in tests).
     Returns {dataset: folded_directory_count}.
     """
+    recover_base(spark, base)
     fs, _ = sinks._fs_path(spark, base)
     last = _read_epoch(spark, base)
     folded: dict[str, int] = {}
-    for sub in ("docs", "bands", "vectors"):
+    for sub in _DATASETS:
         root = f"{base}/{sub}"
         if not sinks.path_exists(spark, root):
             continue
-        listing = fs.listStatus(spark._jvm.org.apache.hadoop.fs.Path(root))
+        listing = fs.listStatus(_jpath(spark, root))
         epoch_dirs = [
             st.getPath().getName()
             for st in listing
@@ -445,13 +555,13 @@ def compact_epochs(spark: SparkSession, base: str) -> dict[str, int]:
             folded[sub] = 0
             continue
         tmp = f"{root}/.compact_tmp"
+        trash = f"{root}/.compact_trash"
         df = spark.read.parquet(root).filter(F.col("epoch") <= last).drop("epoch")
         df.write.mode("overwrite").parquet(tmp)
+        fs.mkdirs(_jpath(spark, trash))
         for d in committed:
-            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{d}"), True)
-        fs.rename(
-            spark._jvm.org.apache.hadoop.fs.Path(tmp),
-            spark._jvm.org.apache.hadoop.fs.Path(f"{root}/epoch={last}"),
-        )
+            fs.rename(_jpath(spark, f"{root}/{d}"), _jpath(spark, f"{trash}/{d}"))
+        fs.rename(_jpath(spark, tmp), _jpath(spark, f"{root}/epoch={last}"))
+        fs.delete(_jpath(spark, trash), True)
         folded[sub] = len(committed)
     return folded

@@ -24,6 +24,7 @@ Writes nothing outside /tmp; prints one JSON line (plus stderr progress).
 from __future__ import annotations
 
 import json
+import math
 import sys
 
 import numpy as np
@@ -32,8 +33,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
-from bench_scale import scaled_embeddings  # noqa: E402
-from healthcare_rcm_etl_pipeline_spark.operators import dedup, similarity  # noqa: E402
+from bench_scale import scaled_documents, scaled_embeddings  # noqa: E402
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, fuzzy, similarity  # noqa: E402
 from healthcare_rcm_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
@@ -223,6 +224,117 @@ def main() -> None:
         "all_within_5pct": all(e <= 0.05 for e in werrs.values()),
     }
     print(f"hll_rollup: {report['hll_rollup']}", file=sys.stderr)
+
+    # ---- 5. fuzzy edit1: max_bucket / max_key_len recall at 10x ----------
+    # Typo-heavy 10x key corpus: customer names x replicas with a
+    # replica-digit suffix (so cross-replica twins sit at lev 1 — the
+    # densest realistic regime: TPC-H names already differ by one digit
+    # from their numeric neighbors) plus a planted deterministic
+    # single-edit twin for every 20th key. Ground truth is the UNCAPPED
+    # engine run: deletion-neighborhood blocking is COMPLETE for lev <= 1
+    # by construction (property-tested over random edits, both
+    # directions), so the caps are the only recall knobs — exactly what
+    # this audit prices.
+    print("fuzzy edit1 ground truth (uncapped) ...", file=sys.stderr)
+    cust = spark.read.parquet(f"{SF01}/customer.parquet")
+    keyed = [
+        cust.select(
+            (F.col("c_custkey") + r * 1_000_000).alias("id"),
+            F.concat("c_name", F.lit(f"-{r}")).alias("key"),
+        )
+        for r in range(replicas)
+    ]
+    keys = keyed[0]
+    for p in keyed[1:]:
+        keys = keys.unionByName(p)
+    planted_src = keys.filter(F.col("id") % 20 == 0)
+    pos = (F.pmod(F.xxhash64("id"), F.length("key") - 1) + 1).cast("int")
+    kind = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(3))
+    typo = (
+        F.when(kind == 0, F.concat(  # substitute with '~' (never in names)
+            F.substring("key", F.lit(1), pos - 1), F.lit("~"),
+            F.substring(F.col("key"), pos + 1, F.length("key")),
+        ))
+        .when(kind == 1, F.concat(  # insert '~'
+            F.substring("key", F.lit(1), pos), F.lit("~"),
+            F.substring(F.col("key"), pos + 1, F.length("key")),
+        ))
+        .otherwise(F.concat(  # delete one char
+            F.substring("key", F.lit(1), pos - 1),
+            F.substring(F.col("key"), pos + 1, F.length("key")),
+        ))
+    )
+    planted = planted_src.select((F.col("id") + 50_000_000).alias("id"), typo.alias("key"))
+    corpus = keys.unionByName(planted).cache()
+    n_keys = corpus.count()
+    truth = fuzzy.edit1_pairs(corpus, "key", "id", max_bucket=None).cache()
+    n_truth = truth.count()
+    planted_pairs = planted_src.select(
+        F.col("id").alias("id_a"), (F.col("id") + 50_000_000).alias("id_b")
+    ).cache()
+    n_planted = planted_pairs.count()
+    fz = {"keys": n_keys, "true_pairs": n_truth, "planted_pairs": n_planted}
+    for cap in (64, 16):
+        got = fuzzy.edit1_pairs(corpus, "key", "id", max_bucket=cap).cache()
+        n_got = got.count()
+        missed = truth.select("id_a", "id_b").join(
+            got.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        ).count()
+        pl_hit = planted_pairs.join(
+            got.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        ).count()
+        fz[f"max_bucket_{cap}"] = {
+            "found": n_got,
+            "recall": round(1 - missed / max(1, n_truth), 6),
+            "planted_recall": round(pl_hit / max(1, n_planted), 6),
+        }
+        got.unpersist()
+    # max_key_len: base keys are 20 chars (18-char TPC-H name + "-r");
+    # insert-typo twins are 21 — cap 20 excludes exactly those, pricing
+    # the documented exclude-don't-fail semantics
+    got = fuzzy.edit1_pairs(corpus, "key", "id", max_bucket=None, max_key_len=20)
+    got = got.select("id_a", "id_b").cache()
+    missed = truth.select("id_a", "id_b").join(got, ["id_a", "id_b"], "left_anti").count()
+    excluded = corpus.filter(F.length("key") > 20).count()
+    fz["max_key_len_20"] = {
+        "keys_excluded": excluded,
+        "recall": round(1 - missed / max(1, n_truth), 6),
+        "planted_recall": round(
+            planted_pairs.join(got, ["id_a", "id_b"], "left_semi").count()
+            / max(1, n_planted),
+            6,
+        ),
+    }
+    got.unpersist()
+    truth.unpersist()
+    corpus.unpersist()
+    planted_pairs.unpersist()
+    report["fuzzy_edit1"] = fz
+    print(f"fuzzy_edit1: {fz}", file=sys.stderr)
+
+    # ---- 6. group-minhash k=256 estimate error at 10x --------------------
+    # scaled_documents token-prefixes every replica, so each source's
+    # shingle SET genuinely grows ~10x while G stays fixed — the estimate
+    # must hold its sqrt(J(1-J)/k) error as groups scale.
+    docs10 = scaled_documents(spark, replicas)
+    sim = dedup.group_minhash_similarity(
+        docs10, "text", "doc_id", "source", k=256, n=3, include_estimate=True
+    ).collect()
+    errs = [abs(r["est"] - r["jaccard"]) for r in sim]
+    sigma = [
+        math.sqrt(max(r["jaccard"] * (1 - r["jaccard"]), 1e-12) / 256) for r in sim
+    ]
+    report["group_minhash"] = {
+        "group_pairs": len(sim),
+        "mean_group_shingles": int(np.mean([r["n_a"] for r in sim])),
+        "max_abs_err": round(max(errs), 6),
+        "mean_abs_err": round(float(np.mean(errs)), 6),
+        "max_err_in_sigmas": round(
+            max(e / s for e, s in zip(errs, sigma)), 2
+        ),
+        "all_within_tol_015": all(r["est_within_tol"] for r in sim),
+    }
+    print(f"group_minhash: {report['group_minhash']}", file=sys.stderr)
 
     print(json.dumps(report))
 

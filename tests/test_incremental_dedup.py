@@ -145,3 +145,48 @@ class TestPersistedBandIndex:
         assert (1, 10) in {(r.doc_base, r.doc_new) for r in out}
         assert 3 not in shingled_ids  # non-candidate base doc never shingled
         assert 1 in shingled_ids      # candidate base doc was verified
+
+    def test_probe_input_pruned_to_batch_band_keys(self, spark):
+        """Flat-cost regression pin: of the persisted index, only rows in
+        buckets the probe batch occupies may enter the bucket groupBy —
+        the exact row count is asserted, so an accidental full-index
+        shuffle (the round-5 rising-trend bug) fails loudly."""
+        new_bands = spark.createDataFrame(
+            [(10, 0, 111), (10, 1, 222), (11, 0, 333)],
+            "doc long, band int, bh long",
+        )
+        base_bands = spark.createDataFrame(
+            [
+                (1, 0, 111),   # collides with doc 10 band 0
+                (2, 1, 222),   # collides with doc 10 band 1
+                (3, 0, 999),   # same band, different bucket -> pruned
+                (4, 2, 111),   # same bh, different band -> pruned
+                (5, 1, 555),   # no collision -> pruned
+            ],
+            "doc long, band int, bh long",
+        )
+        pruned = dedup.prune_bands_to_probe(base_bands, new_bands)
+        assert pruned.count() == 2
+        assert {r.doc for r in pruned.collect()} == {1, 2}
+
+    def test_prune_preserves_incremental_pairs_and_bucket_caps(self, spark):
+        """Padding the index with non-colliding junk rows must change
+        neither the result nor the max_bucket behavior of a bucket the
+        batch does occupy (the prune never shrinks a surviving bucket)."""
+        long_a = " ".join(f"w{i}" for i in range(30))
+        base = _docs(spark, [(1, long_a), (2, "tiny unrelated doc")])
+        new = _docs(spark, [(10, long_a)])
+        idx = dedup.minhash_band_table(base, "text", "doc_id")
+        junk = spark.createDataFrame(
+            [(100 + i, 99, -(i + 1)) for i in range(50)],
+            "doc long, band int, bh long",
+        )
+        clean = dedup.minhash_lsh_pairs_incremental(
+            new, base, "text", "doc_id", base_bands=idx
+        ).collect()
+        padded = dedup.minhash_lsh_pairs_incremental(
+            new, base, "text", "doc_id", base_bands=idx.unionByName(junk)
+        ).collect()
+        key = lambda r: (r.doc_base, r.doc_new, r.n_common, r.jaccard)
+        assert sorted(map(key, clean)) == sorted(map(key, padded))
+        assert (1, 10) in {(r.doc_base, r.doc_new) for r in clean}

@@ -1,0 +1,227 @@
+"""Crash-safety of the ingest-base maintenance ops (streaming/ingest.py
+purge_ids / compact_epochs): both swap rewritten directories into place via
+rename-aside (trash) + rename-commit, so a crash at ANY step leaves a full
+copy of every row recoverable. Each test manually reproduces one crash
+state on disk, then asserts recover_base (run on entry by both ops)
+restores a consistent base with zero data loss.
+
+Round-5 ADVICE regression: the old order was delete-live-then-rename-tmp,
+so a crash between the delete and the rename permanently destroyed the
+partition's kept rows (purge) or the folded epochs' rows (compact)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.streaming import ingest
+
+LONG_A = " ".join(f"w{i}" for i in range(30))
+LONG_B = " ".join(f"x{i}" for i in range(25))
+LONG_C = " ".join(f"y{i}" for i in range(28))
+LONG_D = " ".join(f"v{i}" for i in range(27))
+
+
+def _build_base(spark, base, epochs):
+    fn = ingest.make_dedup_ingest_batch_fn(base)
+    for e, rows in enumerate(epochs):
+        fn(spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows]), e)
+
+
+def _ids(spark, base):
+    return sorted(
+        r.doc_id for r in ingest.read_corpus(spark, base).select("doc_id").collect()
+    )
+
+
+def _band_docs(spark, base):
+    return sorted(
+        r.doc
+        for r in ingest.read_band_index(spark, base).select("doc").distinct().collect()
+    )
+
+
+def _no_hidden_dirs(base):
+    for sub in ("docs", "bands"):
+        root = f"{base}/{sub}"
+        if os.path.isdir(root):
+            assert not [d for d in os.listdir(root) if d.startswith(".")], (
+                f"leftover maintenance dirs under {root}"
+            )
+
+
+def _write_purge_tmp(spark, base, epoch, drop_ids):
+    """The kept-rows rewrite purge_ids stages before any rename."""
+    part = f"{base}/docs/epoch={epoch}"
+    tmp = f"{base}/docs/.epoch={epoch}.purge_tmp"
+    spark.read.parquet(part).filter(~F.col("doc_id").isin(drop_ids)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    return part, tmp
+
+
+def test_purge_crash_after_tmp_write_rolls_back(spark, tmp_path):
+    """Crash after step 1 (tmp written, live untouched): the stale tmp is
+    dropped and the re-run purges from the intact live partition."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)], [(11, LONG_C)]])
+    _write_purge_tmp(spark, base, 0, [1])
+
+    got = ingest.recover_base(spark, base)
+    assert got["docs"] == 1  # the stale tmp
+    assert _ids(spark, base) == [1, 2, 11]  # nothing lost, nothing purged
+    _no_hidden_dirs(base)
+
+    assert ingest.purge_ids(spark, base, [1]) == {"docs": 1, "bands": 1}
+    assert _ids(spark, base) == [2, 11]
+    assert _band_docs(spark, base) == [2, 11]
+    _no_hidden_dirs(base)
+
+
+def test_purge_crash_between_renames_completes_forward(spark, tmp_path):
+    """Crash between step 2 (live renamed aside) and step 3 (tmp renamed
+    in): the live dir is GONE — the old delete-then-rename order lost the
+    kept rows here. Recovery completes the swap from the fully-written
+    tmp; the re-run then finishes the bands purge."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)], [(11, LONG_C)]])
+    part, tmp = _write_purge_tmp(spark, base, 0, [1])
+    os.rename(part, f"{base}/docs/.epoch=0.purge_trash")
+    assert not os.path.exists(part)
+
+    assert ingest.purge_ids(spark, base, [1]) == {"docs": 0, "bands": 1}
+    assert _ids(spark, base) == [2, 11]  # kept row 2 survived the crash
+    assert _band_docs(spark, base) == [2, 11]
+    _no_hidden_dirs(base)
+
+
+def test_purge_crash_before_trash_delete_drops_trash(spark, tmp_path):
+    """Crash between step 3 (commit rename) and step 4 (trash delete):
+    the swap is committed; recovery just removes the redundant trash."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    part, tmp = _write_purge_tmp(spark, base, 0, [1])
+    os.rename(part, f"{base}/docs/.epoch=0.purge_trash")
+    os.rename(tmp, part)
+
+    got = ingest.recover_base(spark, base)
+    assert got["docs"] == 1
+    assert _ids(spark, base) == [2]
+    _no_hidden_dirs(base)
+    # re-run completes the untouched datasets (bands) idempotently
+    ingest.purge_ids(spark, base, [1])
+    assert _band_docs(spark, base) == [2]
+
+
+def test_purge_trash_without_tmp_restores_live(spark, tmp_path):
+    """Defensive path: only the trash exists (tmp vanished out-of-band).
+    The trash IS the partition — roll it back verbatim."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    part = f"{base}/docs/epoch=0"
+    os.rename(part, f"{base}/docs/.epoch=0.purge_trash")
+
+    assert ingest.recover_base(spark, base)["docs"] == 1
+    assert _ids(spark, base) == [1, 2]
+    _no_hidden_dirs(base)
+
+
+def _stage_compact(spark, base, sub="docs"):
+    """Stage compaction up to (but not including) the dir moves: the folded
+    rewrite lands in .compact_tmp, exactly as compact_epochs does."""
+    root = f"{base}/{sub}"
+    last = ingest._read_epoch(spark, base)
+    spark.read.parquet(root).filter(F.col("epoch") <= last).drop(
+        "epoch"
+    ).write.mode("overwrite").parquet(f"{root}/.compact_tmp")
+    return root, last
+
+
+def test_compact_crash_mid_move_rolls_back_and_reruns(spark, tmp_path):
+    """Crash after SOME committed dirs moved to the trash: the old code's
+    delete loop made this state unrecoverable (the re-run folded only the
+    surviving dirs). Recovery restores the moved dirs and the re-run
+    compacts the complete base."""
+    base = str(tmp_path / "corpus")
+    _build_base(
+        spark, base, [[(1, LONG_A)], [(11, LONG_B)], [(21, LONG_C)]]
+    )
+    root, last = _stage_compact(spark, base)
+    os.makedirs(f"{root}/.compact_trash")
+    os.rename(f"{root}/epoch=0", f"{root}/.compact_trash/epoch=0")
+    os.rename(f"{root}/epoch=1", f"{root}/.compact_trash/epoch=1")
+    assert not os.path.exists(f"{root}/epoch=0")
+
+    got = ingest.compact_epochs(spark, base)
+    assert got == {"docs": 3, "bands": 3}
+    assert _ids(spark, base) == [1, 11, 21]  # epochs 0,1 recovered, folded
+    assert [d for d in os.listdir(root) if d.startswith("epoch=")] == [
+        f"epoch={last}"
+    ]
+    _no_hidden_dirs(base)
+
+
+def test_compact_crash_after_commit_drops_trash(spark, tmp_path):
+    """Crash after the tmp->epoch=last commit rename but before the trash
+    delete: recovery must NOT roll back (the commit already happened);
+    it just drops the redundant trash."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A)], [(11, LONG_B)], [(21, LONG_C)]])
+    root, last = _stage_compact(spark, base)
+    os.makedirs(f"{root}/.compact_trash")
+    for d in [d for d in os.listdir(root) if d.startswith("epoch=")]:
+        os.rename(f"{root}/{d}", f"{root}/.compact_trash/{d}")
+    os.rename(f"{root}/.compact_tmp", f"{root}/epoch={last}")
+
+    assert ingest.recover_base(spark, base)["docs"] == 1
+    assert _ids(spark, base) == [1, 11, 21]
+    assert [d for d in os.listdir(root) if d.startswith("epoch=")] == [
+        f"epoch={last}"
+    ]
+    _no_hidden_dirs(base)
+    # the other dataset (bands) still compacts normally afterwards
+    got = ingest.compact_epochs(spark, base)
+    assert got["bands"] == 3 and got["docs"] == 0
+    assert _band_docs(spark, base) == [1, 11, 21]
+
+
+def test_compact_stale_tmp_alone_is_dropped(spark, tmp_path):
+    """Crash before any move: only .compact_tmp exists; it is stale (the
+    live dirs are intact) and is simply regenerated by the re-run."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A)], [(11, LONG_B)]])
+    root, last = _stage_compact(spark, base)
+    assert os.path.isdir(f"{root}/.compact_tmp")
+
+    got = ingest.compact_epochs(spark, base)
+    assert got == {"docs": 2, "bands": 2}
+    assert _ids(spark, base) == [1, 11]
+    _no_hidden_dirs(base)
+
+
+def test_ingestion_continues_after_each_recovery(spark, tmp_path):
+    """End-to-end: crash -> recover -> the base keeps ingesting with
+    cross-corpus dedup intact (the index reflects the recovered state)."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    part, tmp = _write_purge_tmp(spark, base, 0, [2])
+    os.rename(part, f"{base}/docs/.epoch=0.purge_trash")
+
+    ingest.purge_ids(spark, base, [2])  # recovers + finishes the purge
+    fn = ingest.make_dedup_ingest_batch_fn(base)
+    # 30 is a near-dup of surviving doc 1 -> dropped; 31 ~ purged doc 2 ->
+    # must be re-ingestable (its index rows are gone); 32 genuinely new
+    fn(
+        spark.createDataFrame(
+            [
+                Row(doc_id=30, text=LONG_A + " tail"),
+                Row(doc_id=31, text=LONG_B),
+                Row(doc_id=32, text=LONG_D),
+            ]
+        ),
+        1,
+    )
+    assert _ids(spark, base) == [1, 31, 32]

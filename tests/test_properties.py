@@ -173,3 +173,73 @@ def test_edit1_always_finds_a_single_edit(spark, s, data):
     df = spark.createDataFrame([(1, s), (2, t)], "id long, key string")
     got = fuzzy.edit1_pairs(df, "key", "id").collect()
     assert len(got) == 1 and got[0]["lev"] <= 1
+
+
+# ---------------------------------------------------------------------------
+# round 6: edit-1 join — batched positive AND negative property
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _one_edit(rng, s: str) -> str:
+    kind = rng.choice(["sub", "ins", "del"] if len(s) > 2 else ["sub", "ins"])
+    i = rng.randrange(len(s))
+    if kind == "sub":
+        return s[:i] + rng.choice("xyz") + s[i + 1 :]
+    if kind == "ins":
+        return s[:i] + rng.choice("xyz") + s[i:]
+    return s[:i] + s[i + 1 :]
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10**9))
+def test_edit1_pairs_exact_over_random_edit_batches(spark, seed):
+    """Soundness AND completeness of the symmetric-delete join, 40 random
+    cases per example x 30 examples = 1200 cases: every random single-edit
+    pair MUST appear (blocking is complete for lev <= 1 by construction);
+    every random double-edit pair at true distance 2 MUST NOT (the exact
+    levenshtein verify rejects colliding candidates). Pairs share one
+    DataFrame — one Spark job per example — isolated by double-letter
+    prefixes so every cross-pair distance is >= 2; the result is asserted
+    EQUAL to the expected id-pair set, so a stray cross-pair (soundness
+    breach) fails as loudly as a missed edit (completeness breach)."""
+    import random
+
+    from healthcare_rcm_etl_pipeline_spark.operators import fuzzy
+
+    rng = random.Random(seed)
+    rows, expected = [], set()
+    for p in range(40):
+        # doubled two-letter tag from g..p — an alphabet DISJOINT from the
+        # key chars (a..f) and the edit chars (x,y,z), so fixing a tag
+        # mismatch can never borrow characters from the suffix: any two
+        # distinct tags differ in a doubled letter and every cross-pair
+        # is provably at distance >= 2
+        tag = chr(ord("g") + p // 10) * 2 + chr(ord("g") + p % 10) * 2
+        s = "".join(rng.choice("abcdef") for _ in range(rng.randint(3, 8)))
+        t = _one_edit(rng, s)
+        if p % 2 == 1:  # half the cases: a second independent edit
+            t = _one_edit(rng, t)
+        a, b = tag + s, tag + t
+        rows += [(2 * p, a), (2 * p + 1, b)]
+        if _lev(a, b) <= 1:  # two edits may cancel; trust the true metric
+            expected.add((2 * p, 2 * p + 1))
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy.edit1_pairs(df, "key", "id").collect()
+    }
+    assert got == expected

@@ -152,3 +152,48 @@ def test_max_cell_excludes_hot_cell_dedupes_small_cells(spark):
     assert 200 in ids and {201, 202} & ids == set()
     # singletons untouched
     assert {300 + i for i in range(5)} <= ids
+
+
+# ---------------------------------------------------------------------------
+# q44 LISTAGG: bounded aggregation buffer under a skewed group
+# ---------------------------------------------------------------------------
+
+
+def test_q44_listagg_buffer_bounded_under_skewed_supplier(spark, tmp_path):
+    """Round-5 finding: collect_list over the whole group made the agg
+    buffer O(group) even though the output is top-3. The fixed plan ranks
+    with row_number FIRST and collects only rn<=3 rows. Pinned two ways on
+    a one-supplier x 10k-parts fixture: (a) the optimized plan puts the
+    rn<=3 Filter BELOW the collect_list Aggregate, so by construction at
+    most 3 structs are ever buffered per group; (b) the skewed supplier's
+    answer is exactly its true top-3, deterministically tie-broken."""
+    from healthcare_rcm_etl_pipeline_spark.plans.queries import QUERIES
+
+    n_parts = 10_000
+    parts = [Row(p_partkey=i, p_name=f"part{i:05d}") for i in range(n_parts)]
+    # supplier 1: one lineitem per part, revenue grows with part id ->
+    # top-3 = parts 9999, 9998, 9997; supplier 2: a normal 2-part group
+    items = [
+        Row(l_suppkey=1, l_partkey=i, l_extendedprice=float(i + 1))
+        for i in range(n_parts)
+    ]
+    items += [
+        Row(l_suppkey=2, l_partkey=0, l_extendedprice=5.0),
+        Row(l_suppkey=2, l_partkey=1, l_extendedprice=7.0),
+    ]
+    sf = str(tmp_path / "sf_skew")
+    spark.createDataFrame(parts).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(items).write.parquet(f"{sf}/lineitem.parquet")
+
+    df = QUERIES["q44_top_parts_listagg"](spark, sf)
+    got = {r.l_suppkey: r.top_parts for r in df.collect()}
+    assert got[1] == "part09999,part09998,part09997"
+    assert got[2] == "part00001,part00000"
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("collect_list")
+    filter_at = plan.find("rn")  # the rn<=3 Filter/Window block
+    assert agg_at != -1 and filter_at != -1
+    # optimizedPlan prints top-down: the Aggregate must appear BEFORE
+    # (above) the rn Filter+Window — i.e. the filter feeds the collect
+    assert agg_at < plan.find("Filter (rn")
