@@ -45,6 +45,10 @@ DELTA_NOTES = {
     "q44_top_parts_listagg": "r6 bounds the LISTAGG aggregation buffer: "
     "row_number<=3 window filter before collect_list (one extra bounded "
     "window pass; the collect buffers at most 3 structs per group)",
+    "dedup_minhash_lsh": "r6 moves the max_bucket cap BEFORE the bucket "
+    "collect (bounded_bucket_collect window count) so a degenerate bucket "
+    "never materializes in an agg buffer — one extra within-partition "
+    "sort on the same exchange, identical output",
 }
 
 

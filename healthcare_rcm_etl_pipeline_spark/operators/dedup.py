@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from healthcare_rcm_etl_pipeline_spark.functions.text import fingerprint_md5
 from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine, dot, norm
+from healthcare_rcm_etl_pipeline_spark.operators.buckets import bounded_bucket_collect
 from healthcare_rcm_etl_pipeline_spark.operators.similarity import (
     hyperplanes,
     lsh_candidate_pairs,
@@ -465,20 +466,17 @@ def minhash_lsh_pairs(
     Candidates come from ONE groupBy on (band, band-hash) with in-array pair
     emission — not a banded self-join, which recomputes the whole
     signature pipeline per join side (measured 2x end-to-end).
-    ``max_bucket`` drops buckets with more than that many docs before pair
-    emission: a bucket of d docs emits d(d-1)/2 candidates, and at web scale
-    a degenerate band value (e.g. empty/boilerplate docs) otherwise turns
-    the linear LSH pass quadratic. Near-dup clusters are tiny relative to
-    1024; set None to disable.
+    ``max_bucket`` drops buckets with more than that many docs BEFORE the
+    bucket is ever aggregated (bounded_bucket_collect: a spillable window
+    count, not a post-collect size filter — so a degenerate bucket never
+    materializes its member array in an agg buffer either): a bucket of d
+    docs emits d(d-1)/2 candidates, and at web scale a degenerate band
+    value (e.g. empty/boilerplate docs) otherwise turns the linear LSH
+    pass quadratic. Near-dup clusters are tiny relative to 1024; set None
+    to disable.
     """
     banded = minhash_band_table(df, text_col, id_col, k=k, bands=bands, n=n)
-    grouped = (
-        banded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ds") <= max_bucket)
+    grouped = bounded_bucket_collect(banded, ["band", "bh"], F.col("doc"), max_bucket)
     cand = (
         grouped.select(F.explode(_pairs_in_array(F.col("ds"))).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
@@ -607,13 +605,9 @@ def simhash_pairs(
     exploded = sim.select(
         "doc", "simhash", F.explode(F.array(*seg_structs)).alias("bs")
     ).select("doc", "simhash", F.col("bs.blk").alias("blk"), F.col("bs.seg").alias("seg"))
-    grouped = (
-        exploded.groupBy("blk", "seg")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "simhash"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+    grouped = bounded_bucket_collect(
+        exploded, ["blk", "seg"], F.struct("doc", "simhash"), max_bucket
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ds") <= max_bucket)
     out = (
         grouped.select(F.explode(_pairs_in_array(F.col("ds"))).alias("p"))
         .select(
@@ -806,17 +800,9 @@ def minhash_lsh_pairs_incremental(
     tagged = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
         base_df.select(F.col(id_col), F.col(text_col))
     )
-    grouped = (
-        banded.groupBy("band", "bh")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc", "__is_new"))
-            ).alias("ds")
-        )
-        .filter(F.size("ds") > 1)
+    grouped = bounded_bucket_collect(
+        banded, ["band", "bh"], F.struct("doc", "__is_new"), max_bucket
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ds") <= max_bucket)
     cand = (
         grouped.select(F.explode(_pairs_in_array(F.col("ds"))).alias("p"))
         .filter(F.col("p.a.__is_new") != F.col("p.b.__is_new"))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from healthcare_rcm_etl_pipeline_spark.operators.buckets import bounded_bucket_collect
+
 
 def deletion_variants(col: F.Column) -> F.Column:
     """array<string>: the string plus every delete-one-char variant,
@@ -73,13 +75,9 @@ def edit1_pairs(
         "__key",
         F.explode(deletion_variants(F.col("__key"))).alias("__var"),
     ).withColumn("__vh", F.xxhash64("__var")).drop("__var")
-    grouped = (
-        post.groupBy("__vh")
-        .agg(F.sort_array(F.collect_list(F.struct("__id", "__key"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+    grouped = bounded_bucket_collect(
+        post, ["__vh"], F.struct("__id", "__key"), max_bucket
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ds") <= max_bucket)
     pairs = grouped.select(
         F.explode(
             F.flatten(

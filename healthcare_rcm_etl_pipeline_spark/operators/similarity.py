@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from healthcare_rcm_etl_pipeline_spark.functions.vector import as_double_vec, cosine, dot
+from healthcare_rcm_etl_pipeline_spark.operators.buckets import bounded_bucket_collect
 
 
 def _splitmix(x: int) -> int:
@@ -124,13 +125,9 @@ def lsh_candidate_pairs(
         F.col("tb.bkt").alias("bkt"),
         F.col("tb.is_base").alias("is_base"),
     )
-    grouped = (
-        entries.groupBy("tbl", "bkt")
-        .agg(F.sort_array(F.collect_list(F.struct("__id", "is_base"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+    grouped = bounded_bucket_collect(
+        entries, ["tbl", "bkt"], F.struct("__id", "is_base"), max_bucket
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ds") <= max_bucket)
     # i<j pairs within each bucket where at least one side is a base entry
     pairs = grouped.select(
         F.explode(

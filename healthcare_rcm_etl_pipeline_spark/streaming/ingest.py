@@ -167,6 +167,11 @@ def make_dedup_ingest_batch_fn(
         if resolved is None:
             return
         bound, offset, physical, last = resolved
+        # a maintenance op (purge/compact) that crashed mid-swap leaves a
+        # trash/tmp leftover; resolve it BEFORE reading the corpus/index,
+        # or this batch would dedup against a half-swapped view (one
+        # directory listing per dataset — negligible next to the batch)
+        recover_base(spark, base)
 
         # 1. within-batch: exact, then near-dup clusters -> min-id survivor
         keep = dedup.exact_dedup(batch_df, text_col, id_col).select(
@@ -294,6 +299,7 @@ def make_semantic_ingest_batch_fn(
         if resolved is None:
             return
         bound, offset, physical, last = resolved
+        recover_base(spark, base)  # same pre-read healing as the text path
 
         # 1. within-batch semantic dedup (fixed planes; returns (id, cell))
         surv = dedup.semantic_dedup(

@@ -1,0 +1,53 @@
+"""Regenerate registry-derived counts in the repo docs so a growing query
+registry can never leave a stale literal behind (round-5 nit: COVERAGE.md
+said 111 while the registry held 142).
+
+Rewrites, idempotently:
+- COVERAGE.md  "Full oracle surface: N registered queries"
+- README.md    "N registered queries" occurrences (if present)
+
+Usage: python scripts/update_counts.py   (from the repo root)
+Prints each file's old -> new count; exits 1 if a pattern is missing so CI
+or a round-close checklist notices the doc drifted structurally.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from healthcare_rcm_etl_pipeline_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
+
+
+def main() -> int:
+    n, n_oracle = len(QUERIES), len(ORACLES)
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    print(f"registry: {n} queries, {n_oracle} oracles, rows-only: {rows_only or 'none'}")
+    pats = [
+        (re.compile(r"\d+ registered queries"), f"{n} registered queries"),
+        (re.compile(r"query surface is \d+ queries"), f"query surface is {n} queries"),
+    ]
+    status = 0
+    for path in ("COVERAGE.md", "README.md"):
+        try:
+            text = open(path).read()
+        except FileNotFoundError:
+            continue
+        hits = [m for pat, _ in pats for m in pat.findall(text)]
+        if not hits:
+            print(f"{path}: no query-count phrase found — check the doc")
+            status = 1
+            continue
+        new = text
+        for pat, repl in pats:
+            new = pat.sub(repl, new)
+        if new != text:
+            open(path, "w").write(new)
+        print(f"{path}: {sorted(set(hits))} -> {n}")
+    return status
+
+
+if __name__ == "__main__":
+    sys.exit(main())

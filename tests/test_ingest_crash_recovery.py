@@ -225,3 +225,26 @@ def test_ingestion_continues_after_each_recovery(spark, tmp_path):
         1,
     )
     assert _ids(spark, base) == [1, 31, 32]
+
+
+def test_ingest_batch_self_heals_before_reading(spark, tmp_path):
+    """A crashed purge followed directly by an INGEST batch (no
+    maintenance re-run in between): the batch fn must recover the
+    half-swapped partition before probing the corpus, or it would dedup
+    against a view missing the kept rows."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    # crash between the purge renames: live epoch dir gone, trash + tmp left
+    part, tmp = _write_purge_tmp(spark, base, 0, [1])
+    os.rename(part, f"{base}/docs/.epoch=0.purge_trash")
+
+    fn = ingest.make_dedup_ingest_batch_fn(base)
+    # 30 near-dups the KEPT doc 2 — only a recovered view can drop it
+    fn(
+        spark.createDataFrame(
+            [Row(doc_id=30, text=LONG_B + " tail"), Row(doc_id=31, text=LONG_D)]
+        ),
+        1,
+    )
+    assert _ids(spark, base) == [2, 31]
+    _no_hidden_dirs(base)
