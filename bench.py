@@ -39,9 +39,14 @@ DELTA_NOTES = {
     "semantic_dedup": "r4 adds the max_cell hot-cell guard (one extra "
     "partial-aggregated cell-count pass before the pair scan)",
     "streaming_ingest_batch": "r6 prunes the cross-corpus probe to the "
-    "batch's band-key set (prune_bands_to_probe) — the accumulated index "
-    "no longer shuffles per batch, so per-batch cost should DROP and the "
-    "trend flatten; r6 also benches 8 batches (r5: 4)",
+    "batch's band-key set (prune_bands_to_probe): the accumulated index "
+    "no longer shuffles per batch. Measured trade at sf0.1: the prune's "
+    "distinct+broadcast adds a CONSTANT ~1.5s/batch while the shuffle it "
+    "saves is still small (index <=76k rows), so the per-batch LEVEL is "
+    "~16% higher this round — but the per-batch SLOPE is now ~0.02/batch "
+    "(flat; r5 rose 5.5->10.8s over 4 batches). The constant loses at toy "
+    "index sizes and wins as soon as index >> batch; r6 also benches 8 "
+    "batches (r5: 4)",
     "q44_top_parts_listagg": "r6 bounds the LISTAGG aggregation buffer: "
     "row_number<=3 window filter before collect_list (one extra bounded "
     "window pass; the collect buffers at most 3 structs per group)",

@@ -389,10 +389,11 @@ def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
       mid-move (or after the moves, before the commit rename): ROLL BACK
       every dir still in the trash, then drop trash and tmp — the base
       is back to its pre-compaction state and a re-run starts fresh.
-    - compact: ``.compact_trash`` alone -> the tmp-to-``epoch=last``
-      rename committed (the tmp only disappears via that rename): delete
-      the trash; if the committed target somehow vanished too, roll the
-      trash contents back instead.
+    - compact: ``.compact_trash`` alone -> the commit rename happened
+      (the trash is only created after the tmp is fully written, and the
+      tmp only disappears via the commit rename, so trash-without-tmp is
+      unambiguously post-commit regardless of which epoch the fold
+      targeted): delete the trash.
     - compact: ``.compact_tmp`` alone -> crash before any move: stale
       rewrite, delete it.
 
@@ -400,7 +401,6 @@ def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
     listing per dataset). Returns {dataset: resolved_leftover_count}.
     """
     fs, _ = sinks._fs_path(spark, base)
-    _, _, last = _read_marker(spark, base)
     recovered: dict[str, int] = {}
     for sub in _DATASETS:
         root = f"{base}/{sub}"
@@ -433,15 +433,13 @@ def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
                     n += 1
         has_trash = ".compact_trash" in names
         has_tmp = ".compact_tmp" in names
-        target = f"{root}/epoch={last}"
-        if has_trash and (has_tmp or not sinks.path_exists(spark, target)):
+        if has_trash and has_tmp:
             for st in fs.listStatus(_jpath(spark, f"{root}/.compact_trash")):
                 nm = st.getPath().getName()
                 if not sinks.path_exists(spark, f"{root}/{nm}"):
                     fs.rename(st.getPath(), _jpath(spark, f"{root}/{nm}"))
             fs.delete(_jpath(spark, f"{root}/.compact_trash"), True)
-            if has_tmp:
-                fs.delete(_jpath(spark, f"{root}/.compact_tmp"), True)
+            fs.delete(_jpath(spark, f"{root}/.compact_tmp"), True)
             n += 1
         elif has_trash:
             fs.delete(_jpath(spark, f"{root}/.compact_trash"), True)
@@ -520,27 +518,43 @@ def purge_ids(
     return rewritten
 
 
-def compact_epochs(spark: SparkSession, base: str) -> dict[str, int]:
+def compact_epochs(
+    spark: SparkSession, base: str, small_bytes: int | None = None
+) -> dict[str, int]:
     """Small-files management for a long-running ingest base: every epoch
     appends its own ``epoch=N`` directory, so after thousands of batches
     the docs/bands/vectors datasets are thousands of tiny partitions —
-    death by file listing at 100 TB. Compaction folds all COMMITTED epochs
-    into a single ``epoch=last`` partition per dataset via a swap whose
-    commit point is a rename, never a delete: (1) the folded rewrite
-    lands in ``.compact_tmp``, (2) every committed epoch dir is renamed
-    (atomic per dir) into ``.compact_trash/``, (3) the tmp is renamed to
-    ``epoch=last`` — the commit, (4) the trash is deleted. A crash at any
-    step leaves a full copy of every row under live dirs, trash, or tmp;
-    ``recover_base`` (run on entry, so a re-run self-heals) rolls steps
-    1-2 back to the pre-compaction state and resolves step 3-4 leftovers
-    by dropping the now-redundant trash. The old delete-then-rename order
-    destroyed the deleted epochs' rows if the crash hit between the first
-    delete and the rename.
+    death by file listing at 100 TB.
 
-    The _EPOCH marker is untouched: the compacted partition carries the
-    last committed epoch number, so replay gating, ``max_epoch`` reads,
-    and subsequent ingestion behave exactly as before (pinned in tests).
-    Returns {dataset: folded_directory_count}.
+    ``small_bytes=None`` (full compaction) folds all COMMITTED epochs into
+    a single ``epoch=last`` partition — an O(corpus) rewrite, right for
+    small bases or rare maintenance windows. ``small_bytes=N`` is the
+    production shape (size-tiered, the Iceberg/Delta OPTIMIZE idea):
+    only committed epoch dirs whose on-disk size is <= N bytes are folded,
+    into ``epoch=<max folded epoch>``, so each run's write cost is bounded
+    by the small-dir total — repeated runs geometrically merge fresh tiny
+    epochs into a growing compacted partition that, once past the
+    threshold, is never rewritten again. Epoch monotonicity is preserved
+    (rows only ever move to a HIGHER committed epoch), so replay gating
+    and ``max_epoch=marker`` reads are unaffected; what coarsens is
+    point-in-time history — a ``read_corpus(max_epoch=e)`` for e below a
+    fold target no longer sees the folded rows (same property the full
+    fold always had; the engine itself only reads at the marker).
+
+    The swap's commit point is a rename, never a delete: (1) the folded
+    rewrite lands in ``.compact_tmp`` (reading ONLY the candidate dirs —
+    epoch is a partition column, so the isin filter prunes at planning),
+    (2) every candidate dir is renamed (atomic per dir) into
+    ``.compact_trash/``, (3) the tmp is renamed to the target epoch dir —
+    the commit, (4) the trash is deleted. A crash at any step leaves a
+    full copy of every row under live dirs, trash, or tmp; ``recover_base``
+    (run on entry, so a re-run self-heals) rolls steps 1-2 back to the
+    pre-compaction state and resolves step 3-4 leftovers by dropping the
+    now-redundant trash. The old delete-then-rename order destroyed the
+    deleted epochs' rows if the crash hit between the first delete and
+    the rename.
+
+    The _EPOCH marker is untouched. Returns {dataset: folded_dir_count}.
     """
     recover_base(spark, base)
     fs, _ = sinks._fs_path(spark, base)
@@ -557,17 +571,30 @@ def compact_epochs(spark: SparkSession, base: str) -> dict[str, int]:
             if st.isDirectory() and st.getPath().getName().startswith("epoch=")
         ]
         committed = [d for d in epoch_dirs if int(d.split("=")[1]) <= last]
+        if small_bytes is not None:
+            committed = [
+                d
+                for d in committed
+                if fs.getContentSummary(_jpath(spark, f"{root}/{d}")).getLength()
+                <= small_bytes
+            ]
         if len(committed) <= 1:
             folded[sub] = 0
             continue
+        epochs = sorted(int(d.split("=")[1]) for d in committed)
+        target = epochs[-1]
         tmp = f"{root}/.compact_tmp"
         trash = f"{root}/.compact_trash"
-        df = spark.read.parquet(root).filter(F.col("epoch") <= last).drop("epoch")
+        df = (
+            spark.read.parquet(root)
+            .filter(F.col("epoch").isin(epochs))
+            .drop("epoch")
+        )
         df.write.mode("overwrite").parquet(tmp)
         fs.mkdirs(_jpath(spark, trash))
         for d in committed:
             fs.rename(_jpath(spark, f"{root}/{d}"), _jpath(spark, f"{trash}/{d}"))
-        fs.rename(_jpath(spark, tmp), _jpath(spark, f"{root}/epoch={last}"))
+        fs.rename(_jpath(spark, tmp), _jpath(spark, f"{root}/epoch={target}"))
         fs.delete(_jpath(spark, trash), True)
         folded[sub] = len(committed)
     return folded

@@ -199,3 +199,60 @@ def test_compact_epochs_folds_committed_partitions(spark, tmp_path):
     _run_once(spark, src, base, ckpt)
     # 30 near-dups compacted corpus doc 1 (dropped); 31 is genuinely new
     assert _corpus_ids(spark, base) == [1, 11, 21, 31]
+
+
+def test_tiered_compaction_folds_only_small_epochs(spark, tmp_path):
+    """Size-tiered compaction (small_bytes=N): only epoch dirs at or below
+    the threshold fold — into the highest folded epoch — while a large
+    compacted partition is never rewritten again. This bounds each
+    maintenance run's write cost by the small-dir total instead of the
+    corpus (the full fold is O(corpus) per run)."""
+    import os
+
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_dedup_ingest_batch_fn(base)
+    fn(spark.createDataFrame([Row(doc_id=1, text=LONG_A)]), 0)  # tiny epoch 0
+    big = [
+        Row(doc_id=1000 + i, text=" ".join(f"u{i}t{j}" for j in range(25)))
+        for i in range(3000)
+    ]
+    fn(spark.createDataFrame(big), 1)  # large epoch 1
+    fn(spark.createDataFrame([Row(doc_id=5000, text=LONG_B)]), 2)  # tiny epoch 2
+    n_before = ingest.read_corpus(spark, base).count()
+    assert n_before == 3002
+
+    got = ingest.compact_epochs(spark, base, small_bytes=20_000)
+    # the two tiny dirs folded into epoch=2; the big epoch 1 untouched
+    assert got["docs"] == 2
+    assert sorted(
+        d for d in os.listdir(f"{base}/docs") if d.startswith("epoch=")
+    ) == ["epoch=1", "epoch=2"]
+    assert ingest.read_corpus(spark, base).count() == n_before
+    assert sorted(
+        r.doc_id
+        for r in ingest.read_corpus(spark, base)
+        .filter("doc_id in (1, 5000)")
+        .collect()
+    ) == [1, 5000]
+    assert ingest._read_epoch(spark, base) == 2  # marker untouched
+
+    # re-run: the folded tiny pair is now ONE small dir -> nothing to fold
+    assert ingest.compact_epochs(spark, base, small_bytes=20_000) == {
+        "docs": 0,
+        "bands": 0,
+    }
+
+    # ingestion (incl. cross-corpus dedup against folded rows) continues
+    fn(
+        spark.createDataFrame(
+            [Row(doc_id=9000, text=LONG_A), Row(doc_id=9001, text=LONG_C)]
+        ),
+        3,
+    )
+    ids = {
+        r.doc_id
+        for r in ingest.read_corpus(spark, base)
+        .filter("doc_id >= 9000")
+        .collect()
+    }
+    assert ids == {9001}  # 9000 near-dups folded doc 1 -> dropped
