@@ -439,3 +439,260 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN path
+# ---------------------------------------------------------------------------
+#
+# IVF and LSH cut the CANDIDATE count per query; PQ cuts the BYTES per
+# candidate. The vector is split into ``m`` contiguous subvectors, each
+# quantized to its nearest centroid in a per-subspace codebook of ``k_cb``
+# entries (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", IEEE TPAMI 2011 — the FAISS IVF-PQ recipe). A 64-d float32
+# vector (256 B) becomes m=8 codes (8 B logical): a 100 TB embedding store
+# scans as ~3 TB of codes, and distance against a candidate is m table
+# lookups instead of a dim-length dot product. Asymmetric distance
+# computation (ADC): each QUERY precomputes its m×k_cb lookup table of
+# exact subspace distances once (broadcast side — queries are few), so
+# corpus-side cost per candidate is m array gets, pure codegen'd
+# expressions, no UDF. Optional exact re-rank fetches original vectors for
+# only the top-``rerank`` ADC candidates (two-stage retrieval).
+#
+# Everything is deterministic: codebook seeding reuses the xxhash64
+# smallest-hash sample (no RNG state), Lloyd refinement is the same
+# bounded-collect per-cell mean as ``ivf_fit``, ties break to the lowest
+# code / neighbor id.
+#
+# Measured recall@10 vs exact cosine on the sf0.001 embeddings (500
+# near-uniform unit 64-d vectors — PQ's worst case: isotropic cells, tiny
+# rank-10 margins; real embedding corpora cluster and fare better):
+#
+#   m=8  k_cb=16  (32-bit codes):  ADC 0.21
+#   m=8  k_cb=64  (48-bit):        ADC 0.41   rerank 0.81
+#   m=16 k_cb=16  (64-bit):        ADC 0.41   rerank 0.85
+#   m=16 k_cb=32  (80-bit):        ADC 0.49   rerank 0.91
+#   m=8  k_cb=128 (56-bit):        ADC 0.47   rerank 0.91
+#   m=32 k_cb=16  (128-bit, 16x):  ADC 0.56   rerank 0.96   <- pinned in tests
+#
+# Rule of thumb from the sweep: budget ~1-2 code bits per input dimension
+# and spend them on MORE SUBSPACES before bigger codebooks; recover the
+# tail with an exact rerank of a short ADC list (the standard two-stage).
+
+
+def _sq_dist_lit(sub: F.Column, centroid: list[float]) -> F.Column:
+    """Squared L2 distance between a subvector column and a literal centroid."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(sub, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _argmin_code(sub: F.Column, codebook: list[list[float]]) -> F.Column:
+    """Index of the nearest codebook centroid (ties -> lowest code).
+    array_max over (negated-distance, negated-code) structs compares
+    field-wise, so the max struct is the min distance, then the min code —
+    the same device as ``_cell_scores``."""
+    scored = [
+        F.struct(
+            F.round(-_sq_dist_lit(sub, c), 9).alias("negd"),
+            F.lit(-ci).alias("negc"),
+        )
+        for ci, c in enumerate(codebook)
+    ]
+    return (-F.array_max(F.array(*scored))["negc"]).cast("int")
+
+
+def pq_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k_cb: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook fit: ``m`` independent k-means-lite runs,
+    one per subspace, batched into 1 + ``iters`` Spark jobs TOTAL via a
+    subspace explode (not m × iters jobs).
+
+    Seeding mirrors ``ivf_fit``: per subspace j, the ``k_cb`` subvectors
+    with the smallest ``xxhash64(id, seed + 31 j)`` — a deterministic
+    uniform sample on the data manifold, ranked by a bounded per-subspace
+    window (m × k_cb rows survive). Each Lloyd step assigns every exploded
+    (j, subvector) row to its nearest centroid (a CASE over the m per-
+    subspace argmin expressions) and recomputes per-(j, cell) means with
+    one partial-aggregated groupBy; only the m × k_cb × (dim/m) centroid
+    floats ever reach the driver. Means are rounded to 9 dp so avg()'s
+    summation order cannot leak downstream.
+
+    Returns ``codebooks[j][c] = centroid`` (length dim/m each).
+    """
+    v = as_double_vec(vec_col)
+    first = corpus.select(F.col(vec_col)).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    exploded = corpus.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(v, j * sub_dim + 1, sub_dim).alias("s"),
+                        F.xxhash64(
+                            F.col(id_col).cast("string"), F.lit(seed + 31 * j)
+                        ).alias("h"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    w = Window.partitionBy("j").orderBy("h")
+    seeds = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_cb)
+        .select("j", "rn", "s")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(seeds, key=lambda r: (r["j"], r["rn"])):
+        books[r["j"]].append([float(x) for x in r["s"]])
+    for j, b in enumerate(books):
+        if len(b) < k_cb:  # corpus smaller than k_cb: pad by repeating
+            books[j] = (b * k_cb)[:k_cb]
+    for _ in range(iters):
+        code = F.lit(None).cast("int")
+        for j in range(m):
+            code = F.when(F.col("j") == j, _argmin_code(F.col("s"), books[j])).otherwise(
+                code
+            )
+        rows = (
+            exploded.select("j", "s", code.alias("c"))
+            .groupBy("j", "c")
+            .agg(
+                *[
+                    F.avg(F.element_at("s", i + 1)).alias(f"c{i}")
+                    for i in range(sub_dim)
+                ]
+            )
+            .collect()
+        )
+        for r in rows:  # cells that attracted no vectors keep their seed
+            books[r["j"]][r["c"]] = [
+                round(float(r[f"c{i}"]), 9) for i in range(sub_dim)
+            ]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "codes",
+) -> DataFrame:
+    """The PQ index RELATION: (id, codes) with ``codes[j]`` = nearest
+    centroid of subspace j. Per-row pure expressions — encoding is
+    shuffle-free (pinned in tests) and streams at scan speed; persist the
+    result next to the corpus and the ADC probe never touches the original
+    vectors. ``array<int>`` is the relational form; at rest the m codes
+    are a byte each (k_cb <= 256), so a parquet/dictionary page stores
+    them at ~m bytes/vector — the 100 TB story is the probe SCANS this
+    relation instead of the float vectors."""
+    v = as_double_vec(vec_col)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _argmin_code(F.slice(v, j * sub_dim + 1, sub_dim), codebooks[j])
+            for j in range(m)
+        ]
+    )
+    return corpus.select(F.col(id_col), codes.alias(code_col))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    code_col: str = "codes",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance over a PQ code relation.
+
+    Each query row precomputes its m lookup-table arrays (exact squared-L2
+    from the query subvector to every centroid — m × k_cb doubles, built
+    once on the broadcast side); a candidate's ADC distance is then
+    ``sum_j lut_j[codes_j]`` — m array gets per candidate, no dot product,
+    no UDF. Ranking is the family's per-query window top-k (ascending
+    distance; for unit-norm vectors squared-L2 order == cosine order).
+
+    ``rerank=r`` adds the standard second stage: the top-r ADC candidates
+    (r >= k) re-join the ORIGINAL vectors (``corpus`` required) and are
+    re-ranked by exact cosine — output schema then matches the other topk
+    ops (query_id, neighbor_id, rank, cos); without rerank the score
+    column is ``adc``. The join fetches r × |queries| vectors, not the
+    corpus."""
+    m = len(codebooks)
+    par = codes.sparkSession.sparkContext.defaultParallelism
+    qv = as_double_vec(vec_col)
+    sub_dim = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    _sq_dist_lit(F.slice(qv, j * sub_dim + 1, sub_dim), c)
+                    for c in codebooks[j]
+                ]
+            ).alias(f"__lut{j}")
+            for j in range(m)
+        ],
+    )
+    c = codes.repartition(par, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__codes")
+    )
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.get(F.col(f"__lut{j}"), F.element_at("__codes", j + 1))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", F.round(adc, 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank or k))
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+    if rerank is None:
+        return ranked
+    if corpus is None:
+        raise ValueError("rerank requires the original-vector corpus")
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} < k={k}")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    qq = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    exact = (
+        ranked.select("query_id", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qq), "query_id")
+        .withColumn("cos", F.round(cosine("__qvec", "__cvec"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
