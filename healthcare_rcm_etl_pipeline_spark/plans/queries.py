@@ -4991,3 +4991,146 @@ def q45_monthly_spine_densify_q(spark, sf_dir):
             F.col("revenue").isNull().alias("filled"),
         )
     )
+
+
+@query(
+    "q46_bitmap_distinct",
+    """
+    WITH words AS (
+        SELECT o_orderpriority,
+               o_custkey // 63 AS word,
+               bit_or(1::BIGINT << CAST(o_custkey % 63 AS INT)) AS mask
+        FROM orders
+        GROUP BY o_orderpriority, o_custkey // 63
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(bit_count(mask)) AS BIGINT) AS distinct_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM words GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q46_bitmap_distinct_q(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via word-packed bitmaps: each customer key
+    maps to (word = key div 63, bit = key mod 63), per-(group, word) masks
+    are OR-folded, and the distinct count is the popcount sum.
+
+    Why this beats COUNT(DISTINCT) at 100 TB: bit_or is a MONOID, so the
+    aggregate partials combine map-side and the shuffle carries at most
+    keyspace/63 mask rows per group — COUNT(DISTINCT) instead expands to a
+    two-phase aggregate whose first shuffle carries every (group, key)
+    pair. The masks are also MERGEABLE state: persist the per-word masks
+    per day-partition and any date-range distinct count is a bit_or +
+    popcount rollup, where stored COUNT(DISTINCT) results cannot be
+    combined at all (HLL trades exactness for smaller state —
+    ``sketch_rollup_distinct``; this is its EXACT sibling for bounded key
+    domains). 63 bits per word keeps the sign bit clear so the engine- and
+    oracle-side shifts agree (DuckDB raises on 1<<63 signed overflow).
+
+    The oracle intentionally runs the SAME bitmap plan in DuckDB; its
+    exactness vs a plain COUNT(DISTINCT) is pinned by a pytest that
+    compares the two in-engine.
+    """
+    o = _t(spark, sf_dir, "orders")
+    words = (
+        o.select(
+            "o_orderpriority",
+            (F.col("o_custkey") / 63).cast("bigint").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 63 AS INT))"
+            ).alias("bitval"),
+        )
+        .groupBy("o_orderpriority", "word")
+        .agg(F.bit_or("bitval").alias("mask"))
+    )
+    return (
+        words.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.bit_count("mask")).cast("bigint").alias("distinct_customers"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q47_ewma_revenue",
+    """
+    WITH RECURSIVE monthly AS (
+        SELECT n_name,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, date_trunc('month', o_orderdate)
+    ), base AS (
+        SELECT n_name, month, rev,
+               row_number() OVER (PARTITION BY n_name ORDER BY month) AS t
+        FROM monthly
+    ), ew AS (
+        SELECT n_name, month, rev, t, rev AS s FROM base WHERE t = 1
+        UNION ALL
+        SELECT b.n_name, b.month, b.rev, b.t, 0.3 * b.rev + 0.7 * e.s
+        FROM base b JOIN ew e ON b.n_name = e.n_name AND b.t = e.t + 1
+    )
+    SELECT n_name, month, rev AS revenue, ROUND(s, 6) AS ewma
+    FROM ew ORDER BY n_name, month
+    """,
+)
+def q47_ewma_revenue_q(spark, sf_dir):
+    """Exponentially-weighted moving average of monthly revenue per nation
+    (alpha = 0.3): s_1 = x_1, s_t = 0.3 x_t + 0.7 s_{t-1} — the classic
+    smoother for trend dashboards and anomaly baselines.
+
+    The recurrence is inherently SEQUENTIAL per group, so it is computed
+    as a per-group ordered fold: collect the (month, rev) series (bounded —
+    a monthly series is ~100 rows per nation even over decades; the buffer
+    is months-per-group, never orders), array_sort, then one
+    ``F.aggregate`` pass that appends each smoothed value to an array
+    accumulator, posexploded back to rows. No window tricks with
+    (1-a)^(-t) terms — those overflow for long series; the fold is
+    numerically exact and, because monthly revenue is summed through
+    DECIMAL first (money_sum), the Spark and DuckDB recurrences run on
+    bit-identical doubles in the identical order, so the smoothed outputs
+    match to the last bit (the oracle's recursive CTE is the same fold).
+
+    At 100 TB the heavy lifting is the UPSTREAM monthly aggregate (fully
+    parallel, partial-aggregated); the fold touches only the tiny
+    per-group series — the right split for any recursive time-series op.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(money_sum("o_totalprice").alias("rev"))
+    )
+    series = monthly.groupBy("n_name").agg(
+        F.array_sort(F.collect_list(F.struct("month", "rev"))).alias("xs")
+    )
+    folded = series.select(
+        "n_name",
+        "xs",
+        F.aggregate(
+            F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.array(F.element_at("xs", 1)["rev"]),
+            lambda acc, x: F.concat(
+                acc, F.array(F.lit(0.3) * x["rev"] + F.lit(0.7) * F.element_at(acc, -1))
+            ),
+        ).alias("ss"),
+    )
+    return (
+        folded.select("n_name", F.posexplode(F.arrays_zip("xs", "ss")))
+        .select(
+            "n_name",
+            F.col("col.xs.month").alias("month"),
+            F.col("col.xs.rev").alias("revenue"),
+            F.round(F.col("col.ss"), 6).alias("ewma"),
+        )
+        .orderBy("n_name", "month")
+    )
