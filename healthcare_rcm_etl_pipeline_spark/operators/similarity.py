@@ -9,6 +9,10 @@
   multi-probe neighbors at Hamming distance 1). Linear scan per bucket, the
   100 TB scale path. Recall < 1 by construction; verified against the brute
   force in tests.
+- ivf_fit / ivf_index / ivf_topk*: coarse-quantizer cells cut the
+  CANDIDATES per query; pq_fit / pq_encode / pq_topk (product
+  quantization) cut the BYTES per candidate; ivf_pq_topk composes both —
+  see the PQ section below for the measured recall/compression trades.
 
 Hyperplanes are generated deterministically from a seed via a splitmix-style
 integer mix — no RNG state, reproducible across runs and engines.
@@ -20,6 +24,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from healthcare_rcm_etl_pipeline_spark.functions.vector import as_double_vec, cosine, dot
 from healthcare_rcm_etl_pipeline_spark.operators.buckets import bounded_bucket_collect
@@ -480,26 +485,80 @@ def lsh_bucket_topk(
 # tail with an exact rerank of a short ADC list (the standard two-stage).
 
 
-def _sq_dist_lit(sub: F.Column, centroid: list[float]) -> F.Column:
-    """Squared L2 distance between a subvector column and a literal centroid."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(sub, c, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+# max total multiply-add terms (m x k_cb x sub_dim) to UNROLL into plain
+# codegen'd arithmetic: the recommended code budgets (~1-2 bits/dim, e.g.
+# 32x16x2 or 16x16x4 = 1024 terms) compile fast and run ~20x quicker than
+# the interpreted lambda form, but a degenerate codebook (k_cb ~ corpus
+# size) unrolls to tens of thousands of terms and Janino OOMs the driver
+# compiling the projection — those fall back to the compact
+# zip_with/aggregate form (interpreted per evaluation, but correctness
+# configs like that only appear in tests/audits).
+_UNROLL_MAX_TERMS = 2048
 
 
-def _argmin_code(sub: F.Column, codebook: list[list[float]]) -> F.Column:
-    """Index of the nearest codebook centroid (ties -> lowest code).
-    array_max over (negated-distance, negated-code) structs compares
-    field-wise, so the max struct is the min distance, then the min code —
-    the same device as ``_cell_scores``."""
-    scored = [
-        F.struct(
-            F.round(-_sq_dist_lit(sub, c), 9).alias("negd"),
-            F.lit(-ci).alias("negc"),
+def _dlit(x: float) -> str:
+    # exact double literal for SQL text: repr round-trips, the string cast
+    # parses it back to the identical double in Spark and DuckDB alike
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sq_dist_sql(
+    col: str, centroid: list[float], offset: int = 0, unroll: bool = True
+) -> str:
+    """SQL text for the squared L2 distance between
+    col[offset : offset+len(centroid)] and a literal centroid.
+
+    SQL TEXT, not Column objects, on purpose: a PQ plan holds m × k_cb of
+    these (hundreds), and building them as Column expressions costs one
+    py4j round-trip per operator node — measured 7.6 s of pure
+    driver-side plan construction for a 16×16×4 lookup-table projection
+    (the data itself was 20 rows). One ``F.expr`` per projection column
+    parses JVM-side in milliseconds and yields the identical tree.
+
+    ``unroll=True``: plain multiply-adds over element_at — whole-stage
+    codegen'd. ``unroll=False``: the compact zip_with/aggregate lambda
+    form (interpreted per evaluation, but its generated code is tiny) for
+    oversized codebooks — Janino OOMs compiling tens of thousands of
+    unrolled terms (see _UNROLL_MAX_TERMS). Both forms fold terms
+    left-to-right and cast elements individually, so they produce
+    bit-identical doubles. ``col`` must name a materialized array column
+    (raw float vector is fine)."""
+    if not unroll:
+        lits = ", ".join(_dlit(x) for x in centroid)
+        sub = f"slice(`{col}`, {offset + 1}, {len(centroid)})"
+        return (
+            f"aggregate(zip_with({sub}, array({lits}), "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
+    terms = " + ".join(
+        f"(CAST(element_at(`{col}`, {offset + i + 1}) AS DOUBLE) - {_dlit(x)}) * "
+        f"(CAST(element_at(`{col}`, {offset + i + 1}) AS DOUBLE) - {_dlit(x)})"
+        for i, x in enumerate(centroid)
+    )
+    return f"({terms})"
+
+
+def _argmin_sql(
+    col: str, codebook: list[list[float]], offset: int = 0, unroll: bool = True
+) -> str:
+    """SQL text for the index of the nearest codebook centroid (ties ->
+    lowest code). array_max over (negated-distance, negated-code) structs
+    compares field-wise, so the max struct is the min distance, then the
+    min code — the same device as ``_cell_scores``."""
+    structs = ", ".join(
+        f"struct(round(-{_sq_dist_sql(col, c, offset, unroll)}, 9) AS negd, "
+        f"{-ci} AS negc)"
         for ci, c in enumerate(codebook)
-    ]
-    return (-F.array_max(F.array(*scored))["negc"]).cast("int")
+    )
+    return f"CAST(-(array_max(array({structs})).negc) AS INT)"
+
+
+def _pq_unroll(codebooks: list[list[list[float]]]) -> bool:
+    m = len(codebooks)
+    k_cb = len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    return m * k_cb * sub_dim <= _UNROLL_MAX_TERMS
 
 
 def pq_fit(
@@ -527,7 +586,6 @@ def pq_fit(
 
     Returns ``codebooks[j][c] = centroid`` (length dim/m each).
     """
-    v = as_double_vec(vec_col)
     first = corpus.select(F.col(vec_col)).first()
     if first is None:
         raise ValueError("empty corpus")
@@ -541,7 +599,7 @@ def pq_fit(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.slice(v, j * sub_dim + 1, sub_dim).alias("s"),
+                        F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("s"),
                         F.xxhash64(
                             F.col(id_col).cast("string"), F.lit(seed + 31 * j)
                         ).alias("h"),
@@ -564,14 +622,14 @@ def pq_fit(
     for j, b in enumerate(books):
         if len(b) < k_cb:  # corpus smaller than k_cb: pad by repeating
             books[j] = (b * k_cb)[:k_cb]
+    unroll = m * k_cb * sub_dim <= _UNROLL_MAX_TERMS
     for _ in range(iters):
-        code = F.lit(None).cast("int")
-        for j in range(m):
-            code = F.when(F.col("j") == j, _argmin_code(F.col("s"), books[j])).otherwise(
-                code
-            )
+        case = "CASE " + " ".join(
+            f"WHEN j = {j} THEN {_argmin_sql('s', books[j], unroll=unroll)}"
+            for j in range(m)
+        ) + " END"
         rows = (
-            exploded.select("j", "s", code.alias("c"))
+            exploded.select("j", "s", F.expr(case).alias("c"))
             .groupBy("j", "c")
             .agg(
                 *[
@@ -603,14 +661,16 @@ def pq_encode(
     are a byte each (k_cb <= 256), so a parquet/dictionary page stores
     them at ~m bytes/vector — the 100 TB story is the probe SCANS this
     relation instead of the float vectors."""
-    v = as_double_vec(vec_col)
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    codes = F.array(
-        *[
-            _argmin_code(F.slice(v, j * sub_dim + 1, sub_dim), codebooks[j])
+    unroll = _pq_unroll(codebooks)
+    codes = F.expr(
+        "array("
+        + ", ".join(
+            _argmin_sql(vec_col, codebooks[j], offset=j * sub_dim, unroll=unroll)
             for j in range(m)
-        ]
+        )
+        + ")"
     )
     return corpus.select(F.col(id_col), codes.alias(code_col))
 
@@ -625,6 +685,7 @@ def pq_topk(
     rerank: int | None = None,
     corpus: DataFrame | None = None,
     code_col: str = "codes",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance over a PQ code relation.
 
@@ -640,33 +701,66 @@ def pq_topk(
     re-ranked by exact cosine — output schema then matches the other topk
     ops (query_id, neighbor_id, rank, cos); without rerank the score
     column is ``adc``. The join fetches r × |queries| vectors, not the
-    corpus."""
+    corpus.
+
+    ``candidates`` (a (query_id, neighbor_id) relation) restricts the ADC
+    scan to those pairs instead of every query × corpus code — the hook
+    that composes PQ with a candidate generator (``ivf_pq_topk``: IVF
+    cells cut the candidates, PQ cuts the bytes per candidate — the two
+    axes are independent)."""
     m = len(codebooks)
-    par = codes.sparkSession.sparkContext.defaultParallelism
-    qv = as_double_vec(vec_col)
+    spark = codes.sparkSession
+    par = spark.sparkContext.defaultParallelism
     sub_dim = len(codebooks[0][0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[
-                    _sq_dist_lit(F.slice(qv, j * sub_dim + 1, sub_dim), c)
-                    for c in codebooks[j]
-                ]
-            ).alias(f"__lut{j}")
+    # The lookup tables are computed DRIVER-SIDE: queries are the bounded
+    # small side by contract (same as brute_force_topk's broadcast side and
+    # ivf_fit's centroid collect), and a |queries| × m × k_cb table of
+    # doubles is metadata-scale. Doing this as a giant per-row projection
+    # instead costs ~2 s of plan analysis/codegen PER CALL (m × k_cb
+    # unrolled distance expressions) for work the driver finishes in
+    # microseconds — the plan the executors then run is a tiny local
+    # relation broadcast into the code-relation scan, which is where the
+    # actual data volume lives. Python float arithmetic is IEEE double
+    # with the same left-to-right fold, so the LUT values are
+    # bit-identical to the expression form.
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    lut_rows = []
+    for r in qrows:
+        v = [float(x) for x in r[1]]
+        luts = []
+        for j in range(m):
+            off = j * sub_dim
+            col = []
+            for c in codebooks[j]:
+                d = None
+                for i, x in enumerate(c):
+                    t = (v[off + i] - x) * (v[off + i] - x)
+                    d = t if d is None else d + t
+                col.append(d)
+            luts.append(col)
+        lut_rows.append((r[0], *luts))
+    schema = T.StructType(
+        [T.StructField("query_id", queries.schema[id_col].dataType)]
+        + [
+            T.StructField(f"__lut{j}", T.ArrayType(T.DoubleType()))
             for j in range(m)
-        ],
+        ]
     )
+    q = spark.createDataFrame(lut_rows, schema)
     c = codes.repartition(par, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__codes")
     )
+    if candidates is not None:
+        c = c.join(
+            candidates.select("query_id", "neighbor_id"), "neighbor_id"
+        ).join(F.broadcast(q), "query_id")
+    else:
+        c = c.join(F.broadcast(q))
     adc = F.lit(0.0)
     for j in range(m):
         adc = adc + F.get(F.col(f"__lut{j}"), F.element_at("__codes", j + 1))
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc", F.round(adc, 9))
+    scored = c.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "adc", F.round(adc, 9)
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     ranked = (
@@ -695,4 +789,57 @@ def pq_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × PQ: candidates from the query's ``n_probe`` nearest IVF cells
+    (the persisted ``ivf_index`` relation, same gating as
+    ``ivf_topk_indexed``), ranked by ADC over the PQ code relation —
+    the FAISS IVF-PQ shape as two composed relational ops. The two
+    approximations cut INDEPENDENT costs: cells bound how many candidates
+    each query touches (≈ n_probe/n_cells of the corpus), codes bound the
+    bytes per candidate (m logical bytes, no float vectors in the scan);
+    ``rerank`` then restores exact ordering on the short list. Total
+    recall ≈ cell recall × ADC recall — both factors measured separately
+    in tests."""
+    qv = as_double_vec(vec_col)
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.array(*_cell_scores(qv, centroids)), asc=False),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    cand = index.select(F.col(id_col).alias("neighbor_id"), "cell").join(
+        F.broadcast(q_cells), "cell"
+    )
+    return pq_topk(
+        codes,
+        queries,
+        codebooks,
+        vec_col,
+        id_col,
+        k=k,
+        rerank=rerank,
+        corpus=corpus,
+        candidates=cand,
     )

@@ -168,6 +168,40 @@ def main() -> None:
         "queries_exact": exact_q,
     }
     print(f"ann_topk_lsh: {report['ann_topk_lsh']}", file=sys.stderr)
+
+    # ---- 2b. PQ ADC recall at 10x corpus, fixed code budget --------------
+    # Quantization error is corpus-size-independent (codebooks cover the
+    # same manifold) but rank-k MARGINS shrink as the corpus densifies —
+    # this measures how much recall the fixed 64-bit budget loses at 20k
+    # vectors, raw and after the standard exact top-50 rerank.
+    print("pq adc at 10x ...", file=sys.stderr)
+
+    def _recall_of(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        h = sum(len(truth_topk[qid] & got.get(qid, set())) for qid in truth_topk)
+        return round(h / total, 6)
+
+    report["pq_adc"] = {"queries": len(truth_topk), "configs": {}}
+    # the two recovery levers at 10x density: more code bits (m) and a
+    # longer exact-rerank shortlist (r) — measured independently
+    for m_, label in [(16, "64bit"), (32, "128bit")]:
+        books = similarity.pq_fit(emb, m=m_, k_cb=16, iters=2)
+        codes = similarity.pq_encode(emb, books).cache()
+        codes.count()
+        row = {
+            "raw": _recall_of(similarity.pq_topk(codes, q, books, k=K)),
+            "rerank50": _recall_of(
+                similarity.pq_topk(codes, q, books, k=K, rerank=50, corpus=emb)
+            ),
+            "rerank200": _recall_of(
+                similarity.pq_topk(codes, q, books, k=K, rerank=200, corpus=emb)
+            ),
+        }
+        report["pq_adc"]["configs"][f"m{m_}_k16_{label}"] = row
+        codes.unpersist()
+        print(f"pq_adc m={m_}: {row}", file=sys.stderr)
     emb.unpersist()
 
     # ---- 3. sketch_distinct_tolerance: HLL++ rsd=0.01 vs 5% assert -------

@@ -145,6 +145,28 @@ def main() -> None:
         lambda: similarity.ivf_topk(emb1, queries, cents1, k=5, n_probe=4).count(),
         lambda: similarity.ivf_topk(emb10, queries, cents10, k=5, n_probe=4).count(),
     )
+    books1 = similarity.pq_fit(emb1, m=16, k_cb=16, iters=2)
+    books10 = similarity.pq_fit(emb10, m=16, k_cb=16, iters=2)
+    run(
+        "pq_encode",
+        lambda: similarity.pq_encode(emb1, books1).count(),
+        lambda: similarity.pq_encode(emb10, books10).count(),
+    )
+    # probe the MATERIALIZED code relation (the persisted-index usage);
+    # fixed query set, so probe cost is corpus-linear by construction
+    similarity.pq_encode(emb1, books1).write.parquet(f"{tmp}/codes1.parquet")
+    similarity.pq_encode(emb10, books10).write.parquet(f"{tmp}/codes10.parquet")
+    codes1 = spark.read.parquet(f"{tmp}/codes1.parquet")
+    codes10 = spark.read.parquet(f"{tmp}/codes10.parquet")
+    run(
+        "ann_topk_pq",
+        lambda: similarity.pq_topk(
+            codes1, queries, books1, k=5, rerank=25, corpus=emb1
+        ).count(),
+        lambda: similarity.pq_topk(
+            codes10, queries, books10, k=5, rerank=25, corpus=emb10
+        ).count(),
+    )
     run(
         "dedup_ngram_jaccard",
         lambda: dedup.ngram_jaccard_pairs(
