@@ -243,3 +243,72 @@ def test_edit1_pairs_exact_over_random_edit_batches(spark, seed):
         for r in fuzzy.edit1_pairs(df, "key", "id").collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic-sketch properties: minhash estimator concentration, simhash
+# structural invariances. These pin the ESTIMATOR CONTRACTS the dedup
+# family's recall arguments rest on, over random inputs instead of the
+# handpicked fixtures in test_dedup_similarity.py.
+# ---------------------------------------------------------------------------
+
+words = st.sampled_from([f"w{i}" for i in range(24)])
+token_lists = st.lists(words, min_size=4, max_size=40)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists, token_lists)
+def test_minhash_estimate_concentrates_on_exact_jaccard(spark, ta, tb):
+    """mean_i [mh_i(A) == mh_i(B)] estimates J(shingles(A), shingles(B)):
+    each of the k=64 component agreements is a Bernoulli(J) draw, so
+    Hoeffding gives |est - J| <= sqrt(ln(2/d)/(2k)) w.p. 1-d — 0.27 at
+    d=1e-4. The bound is loose but the property is sharp where it matters:
+    a broken permutation family estimates ~0 for ANY pair, which this
+    rejects for every high-J pair, and identical docs must estimate
+    exactly 1 (every component min is equal)."""
+    from healthcare_rcm_etl_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, " ".join(ta)), (1, " ".join(tb)), (2, " ".join(ta))],
+        "doc_id long, text string",
+    )
+    sh = {
+        r["doc"]: set(r["shingles"])
+        for r in dedup._shingle_arrays(df, "text", "doc_id", 3).collect()
+    }
+    sig = {
+        r["doc"]: [r[f"mh{i}"] for i in range(64)]
+        for r in dedup.minhash_signatures(df, "text", "doc_id", k=64).collect()
+    }
+    j = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    est = sum(a == b for a, b in zip(sig[0], sig[1])) / 64
+    assert abs(est - j) <= 0.27, (est, j)
+    # identical text -> identical signature -> estimate exactly 1
+    assert sig[0] == sig[2]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists, st.randoms(use_true_random=False))
+def test_simhash_invariant_to_order_and_duplication(spark, toks, rng):
+    """Simhash is a sign-of-sums over the token MULTISET: permuting tokens
+    must not change it, and doubling every token count scales each bit sum
+    by 2 without flipping any sign — both must hold exactly. (These are
+    the invariances that make simhash a valid near-dup sketch for
+    reordered/concatenated boilerplate.)"""
+    from healthcare_rcm_etl_pipeline_spark.operators import dedup
+
+    shuffled = list(toks)
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(toks)),
+            (1, " ".join(shuffled)),
+            (2, " ".join(toks + toks)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: r["simhash"] for r in dedup.simhash64(df, "text", "doc_id").collect()}
+    assert got[0] == got[1], "order must not matter"
+    assert got[0] == got[2], "uniform duplication must not matter"
