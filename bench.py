@@ -143,6 +143,8 @@ HEADLINE = [
     "q44_top_parts_listagg",
     "q46_bitmap_distinct",
     "q47_ewma_revenue",
+    "q48_copurchase_pairs",
+    "q49_copurchase_pagerank",
 ]
 
 

@@ -755,3 +755,48 @@ def mixture_upsample(
             F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("repeat_ix"),
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Item pairs co-occurring in at least ``min_support`` groups —
+    the pairwise core of frequent-itemset / co-purchase / co-mention
+    mining over any (group, item) relation (orders x parts, docs x
+    entities, sessions x pages).
+
+    (item_a < item_b, support) via: per-group distinct -> self-equi-join
+    ON THE GROUP KEY (pairs explode only within a group — C(n,2) per
+    group, never a cartesian) with a < b to canonicalize and halve the
+    output -> partial-aggregated support count on one pair shuffle.
+
+    ``max_group`` is the degenerate-group guard, same trade as the dedup
+    family's ``max_bucket``: one million-item group would emit ~10^12
+    pairs from a single key, so groups with more distinct items than the
+    cap are DROPPED (a spillable count window on the same exchange as
+    the distinct — not a collect) at the cost of their pairs. Off by
+    default: TPC-H baskets are <= 7 items, and the registered oracle is
+    exact."""
+    items = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_group is not None:
+        w = Window.partitionBy("__g")
+        items = items.withColumn("__n", F.count("*").over(w)).filter(
+            F.col("__n") <= max_group
+        ).drop("__n")
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__i") < F.col("b.__i")),
+    ).select(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -194,3 +194,77 @@ def connected_components_incremental(
             F.col("node").alias(out_node), F.col("label").alias(out_component)
         )
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    scale: int = 10**12,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with INTEGER fixed-point arithmetic —
+    (node, rank_scaled) after ``iters`` power steps, rank mass carried as
+    BIGINT units of 1/``scale``.
+
+    Why integers: float PageRank sums per-node contributions whose
+    addition order differs across partitionings and engines, so no two
+    runs (or a Spark run and a SQL oracle) agree bit-for-bit. BIGINT
+    sums are exact and order-free and integer division floors
+    identically everywhere, so the whole iteration is deterministic and
+    cross-engine reproducible — the same device as the decimal money
+    sums, applied to an iterative algorithm. The quantization error per
+    step is < outdeg/scale of a unit, irrelevant at scale=1e12.
+
+    Per step, each node sends floor(rank / outdeg) along every out-edge,
+    and receives damp% of its incoming sum plus the constant teleport
+    floor((100-damp)% of scale/N): one co-partitionable edge-rank join +
+    one partial-aggregated sum per iteration — the canonical O(iters)
+    shuffle loop; ``localCheckpoint`` truncates lineage each round like
+    ``connected_components``. Overflow-safe by construction: total mass
+    stays ~scale, so damp_pct x any incoming sum fits a BIGINT. Dangling
+    nodes keep only the teleport term (their mass leaks — the standard
+    simple variant; symmetrize the edges for the undirected walk, which
+    has none).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # one scalar to the driver, like ivf_fit's N
+    if n_nodes == 0:
+        raise ValueError("empty edge set")
+    init = scale // n_nodes
+    tele = ((100 - damp_pct) * init) // 100
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele)
+                    + F.expr(f"({damp_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))

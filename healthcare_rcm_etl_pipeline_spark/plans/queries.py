@@ -5134,3 +5134,119 @@ def q47_ewma_revenue_q(spark, sf_dir):
         )
         .orderBy("n_name", "month")
     )
+
+
+@query(
+    "q48_copurchase_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def q48_copurchase_pairs_q(spark, sf_dir):
+    """Market-basket co-purchase mining: part pairs appearing together in
+    >= 2 orders, top-100 by support — the pairwise core of
+    frequent-itemset analysis, via ``operators/corpus.py:
+    cooccurrence_pairs`` (per-group distinct -> self-equi-join ON the
+    order key, so pairs explode only within an order: C(basket, 2) per
+    key, never a cartesian; a < b canonicalizes and halves; one
+    partial-aggregated pair shuffle). The operator's ``max_group`` guard
+    bounds degenerate million-item baskets (a 10^12-pair single key) the
+    same way the dedup family's max_bucket does — off here so the oracle
+    stays exact on TPC-H's <= 7-item baskets; the guard behavior is
+    pinned in tests/test_corpus.py."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+        .select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            "support",
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+def _pagerank_oracle(iters: int = 5, scale: int = 10**12, damp: int = 85) -> str:
+    """Unrolled-CTE twin of pagerank_fixed_point over the co-purchase
+    graph: standard SQL forbids aggregates in a recursive CTE member, so
+    the fixed iteration count is unrolled as c1/r1 ... cN/rN stages —
+    byte-identical integer arithmetic (// floors like Spark's div for the
+    all-positive ranks), so the oracle matches exactly, not within a
+    tolerance."""
+    head = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    meta AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, {scale} // n AS rank FROM nodes, meta)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    c{i} AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS s
+             FROM edges e JOIN deg d ON e.src = d.src
+             JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    (({100 - damp} * ({scale} // m.n)) // 100)
+                    + (({damp} * COALESCE(c.s, 0)) // 100) AS rank
+             FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, meta m)""")
+    tail = f"""
+    SELECT node AS part, CAST(rank AS BIGINT) AS rank_scaled
+    FROM r{iters} ORDER BY rank_scaled DESC, part LIMIT 20
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q49_copurchase_pagerank", _pagerank_oracle())
+def q49_copurchase_pagerank_q(spark, sf_dir):
+    """PageRank centrality over the undirected co-purchase graph (edges =
+    q48's part pairs, both directions), 5 power steps, top-20 parts —
+    the iterative-numeric-graph-algorithm showcase next to
+    connected_components' iterative-label one.
+
+    Exact-match oracle for an ITERATIVE float-free algorithm: rank mass
+    is BIGINT fixed-point (operators/graph.py:pagerank_fixed_point), so
+    per-node contribution sums are order-free and integer division
+    floors identically in every engine — a float PageRank could never
+    hash-match a SQL twin. Each step is one co-partitionable edge-rank
+    join plus a partial-aggregated sum; lineage is localCheckpoint-
+    truncated per round. The oracle unrolls the 5 steps as CTE stages
+    (recursive CTEs cannot aggregate)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import cooccurrence_pairs
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=1).select(
+        "item_a", "item_b"
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(pairs.select(F.col("item_b"), F.col("item_a")))
+    pr = pagerank_fixed_point(edges, iters=5)
+    return (
+        pr.select(F.col("node").alias("part"), "rank_scaled")
+        .orderBy(F.desc("rank_scaled"), "part")
+        .limit(20)
+    )

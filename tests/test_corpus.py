@@ -148,3 +148,29 @@ class TestRepetition:
     def test_short_doc_zero_fracs(self, spark):
         r = corpus.repetition_stats(_docs(spark, ["one"])).collect()[0]
         assert r.top_ngram_frac == 0.0 and r.dup_ngram_frac == 0.0 and not r.flagged
+
+
+def test_cooccurrence_pairs_support_and_group_cap(spark):
+    """Pair mining: distinct-per-group (repeats can't inflate support),
+    canonical a<b pairs, min_support filter; max_group drops a degenerate
+    giant group's pairs while small groups are untouched."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import cooccurrence_pairs
+    from pyspark.sql import Row
+
+    rows = (
+        [Row(g=1, i=x) for x in ("a", "b", "c", "a")]  # repeat 'a' in g1
+        + [Row(g=2, i=x) for x in ("a", "b")]
+        + [Row(g=3, i=x) for x in ("a", "b")]
+        + [Row(g=9, i=f"z{k}") for k in range(50)]  # degenerate group
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in cooccurrence_pairs(df, "g", "i", min_support=2).collect()
+    }
+    assert got == {("a", "b"): 3}  # a-c/b-c appear once; repeats don't count
+    capped = cooccurrence_pairs(df, "g", "i", min_support=1, max_group=10)
+    pairs = {(r.item_a, r.item_b) for r in capped.collect()}
+    assert ("z0", "z1") not in pairs and ("a", "c") in pairs
+    uncapped = cooccurrence_pairs(df, "g", "i", min_support=1)
+    assert uncapped.count() == len(pairs) + 50 * 49 // 2

@@ -125,3 +125,29 @@ class TestIncrementalCC:
         got = {r["doc"]: r["component"] for r in
                graph.connected_components_incremental(prev, new).collect()}
         assert got == {1: 1, 2: 1, 7: 1, 8: 1}
+
+
+def test_pagerank_fixed_point_deterministic_and_sane(spark):
+    """The integer fixed-point claim: ranks are EXACTLY identical under
+    different partitionings (a float PageRank differs in last bits when
+    per-node sums reduce in different orders), and the ranking itself is
+    sane — on an undirected star the hub outranks every leaf, leaves tie
+    exactly; total mass stays ~scale (floors only leak downward)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import pagerank_fixed_point
+    from pyspark.sql import Row
+
+    star = [Row(src=0, dst=i) for i in range(1, 7)] + [
+        Row(src=i, dst=0) for i in range(1, 7)
+    ]
+    e = spark.createDataFrame(star)
+    r1 = {r.node: r.rank_scaled for r in pagerank_fixed_point(e, iters=8).collect()}
+    r2 = {
+        r.node: r.rank_scaled
+        for r in pagerank_fixed_point(e.repartition(7, "dst"), iters=8).collect()
+    }
+    assert r1 == r2  # exact, not approximate
+    hub, leaves = r1[0], [r1[i] for i in range(1, 7)]
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    assert hub > leaves[0] * 3  # the hub dominates
+    total = sum(r1.values())
+    assert 0.9 * 10**12 < total <= 10**12  # floors leak mass, never add
