@@ -312,3 +312,80 @@ def test_simhash_invariant_to_order_and_duplication(spark, toks, rng):
     got = {r["doc"]: r["simhash"] for r in dedup.simhash64(df, "text", "doc_id").collect()}
     assert got[0] == got[1], "order must not matter"
     assert got[0] == got[2], "uniform duplication must not matter"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pagerank_matches_pure_python_integer_simulation(spark, edge_list):
+    """pagerank_fixed_point's whole claim is that the iteration is exact
+    integer arithmetic — so a pure-Python simulation running the IDENTICAL
+    integer ops on the same graph must reproduce every rank EXACTLY, for
+    arbitrary random digraphs. Catches any translation slip (wrong floor,
+    wrong dangling handling, off-by-one teleport) that a tolerance-based
+    check would absorb."""
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    edges = sorted(set(edge_list))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank_fixed_point(df, iters=4, scale=10**9).collect()
+    }
+
+    nodes = sorted({v for e in edges for v in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    init = 10**9 // len(nodes)
+    tele = (15 * init) // 100
+    rank = {v: init for v in nodes}
+    for _ in range(4):
+        recv = {v: 0 for v in nodes}
+        for s, ds in out.items():
+            c = rank[s] // len(ds)
+            for d in ds:
+                recv[d] += c
+        rank = {v: tele + (85 * recv[v]) // 100 for v in nodes}
+    assert got == rank
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 3),
+)
+def test_cooccurrence_matches_bruteforce_combinations(spark, rows, min_support):
+    """cooccurrence_pairs over random (group, item) multisets must equal
+    the brute-force: distinct items per group, all C(n,2) combinations,
+    counted across groups, filtered by support."""
+    import itertools
+    from collections import Counter
+
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import cooccurrence_pairs
+
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in cooccurrence_pairs(df, "g", "i", min_support=min_support).collect()
+    }
+    groups: dict[int, set] = {}
+    for g, i in rows:
+        groups.setdefault(g, set()).add(i)
+    want = Counter(
+        p
+        for items in groups.values()
+        for p in itertools.combinations(sorted(items), 2)
+    )
+    assert got == {p: c for p, c in want.items() if c >= min_support}
