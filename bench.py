@@ -145,6 +145,7 @@ HEADLINE = [
     "q47_ewma_revenue",
     "q48_copurchase_pairs",
     "q49_copurchase_pagerank",
+    "sketch_set_intersection",
 ]
 
 

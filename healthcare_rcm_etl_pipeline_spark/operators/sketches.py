@@ -75,3 +75,73 @@ def cms_heavy_hitters(
     return spark.createDataFrame(
         rows, "key string, exact_n bigint, cms_within_bound boolean"
     )
+
+
+def kmv_sketches(
+    df: DataFrame, group_col: str, key_col: str, k: int = 1024
+) -> DataFrame:
+    """(group, kmv) — the k MINIMUM distinct hash VALUES of the group's
+    keys (Beyer et al., "On synopses for distinct-value estimation under
+    multiset operations", SIGMOD 2007), as a sorted long array.
+
+    KMV is the mergeable distinct sketch that, unlike HLL, also supports
+    set INTERSECTION estimation: the union sketch is just merge-and-keep-
+    k-smallest, and the Jaccard fraction of shared values inside the
+    union sketch unbiasedly estimates the true Jaccard, so
+    |A ∩ B| ≈ ρ(union-k) × D(union-k). Error ~ 1/sqrt(k) on the union,
+    amplified by 1/J for small overlaps — the query contract uses a
+    high-overlap pair and pins a several-sigma tolerance.
+
+    Shuffle shape: per-(group, hash) distinct, then a row_number window
+    keeps only the k smallest hashes BEFORE the bounded collect (same
+    spill-safe exchange as ``bounded_bucket_collect`` — a group's full
+    key set never sits in an aggregation buffer), then one ≤k-element
+    sorted array per group. Deterministic: xxhash64 + total-order mins.
+    """
+    from pyspark.sql import Window
+
+    hashes = df.select(
+        F.col(group_col).alias("g"), F.xxhash64(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def _kmv_u(h: F.Column) -> F.Column:
+    """Map a signed 64-bit hash to (0, 1]: rank position of the hash on
+    the number line — the KMV estimator's uniform variate."""
+    return (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+
+
+def kmv_distinct_estimate(kmv: F.Column, k: int) -> F.Column:
+    """D ≈ (k - 1) / u(kth smallest); exact |sketch| when the group had
+    fewer than k distinct keys (the sketch then holds every hash)."""
+    size = F.size(kmv)
+    kth = _kmv_u(F.element_at(kmv, size))
+    return F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) / kth
+    )
+
+
+def kmv_union(a: F.Column, b: F.Column, k: int) -> F.Column:
+    """Union sketch: merged distinct hashes, k smallest — closed under
+    merge, so union estimates need only the two sketches."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_intersect_estimate(a: F.Column, b: F.Column, k: int) -> F.Column:
+    """|A ∩ B| ≈ (shared fraction of the union sketch) × D(union sketch).
+    Membership tests are array_contains over ≤k-element arrays — O(k²)
+    per PAIR of sketches, driver-free and constant in the data size."""
+    u = kmv_union(a, b, k)
+    shared = F.size(
+        F.filter(u, lambda x: F.array_contains(a, x) & F.array_contains(b, x))
+    )
+    return (
+        shared.cast("double") / F.size(u).cast("double")
+    ) * kmv_distinct_estimate(u, k)

@@ -5250,3 +5250,71 @@ def q49_copurchase_pagerank_q(spark, sf_dir):
         .orderBy(F.desc("rank_scaled"), "part")
         .limit(20)
     )
+
+
+@query(
+    "sketch_set_intersection",
+    """
+    SELECT 'click' AS type_a, 'purchase' AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS within_10pct
+    FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def sketch_set_intersection_q(spark, sf_dir):
+    """Distinct-set INTERSECTION estimation from mergeable sketches — the
+    set operation HLL cannot do (HLL unions only; inclusion-exclusion on
+    HLL estimates compounds error). KMV sketches (operators/sketches.py,
+    Beyer et al. SIGMOD'07) of the click/purchase user sets are
+    intersected sketch-side: |A ∩ B| ≈ shared-fraction(union-k) ×
+    D(union-k). At 100 TB the two sides never co-shuffle raw user ids —
+    each side reduces to a ≤k-long sorted hash array (bounded window
+    selection before the collect, never a whole-set buffer) and the
+    intersection estimate is O(k²) arithmetic on one row.
+
+    Checked in-engine against the exact intersection (the driver hashes
+    the exact count plus a within-10% boolean). Deterministic: xxhash64
+    mins and total-order merges. When the true distinct count is under k
+    the union sketch holds EVERY hash and the estimate is exact; the 10%
+    margin covers the estimator regime (~1/sqrt(k) on the union,
+    amplified by 1/J — click∩purchase users overlap heavily, J ~ 1)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketches,
+    )
+
+    k = 1024
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sks = kmv_sketches(e, "event_type", "user_id", k=k)
+    a = sks.filter(F.col("g") == "click").select(
+        F.lit(1).alias("__k"), F.col("kmv").alias("ka")
+    )
+    b = sks.filter(F.col("g") == "purchase").select(
+        F.lit(1).alias("__k"), F.col("kmv").alias("kb")
+    )
+    exact = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            e.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").alias("n_exact"))
+        .select(F.lit(1).alias("__k"), "n_exact")
+    )
+    pair = a.join(b, "__k").join(exact, "__k")
+    est = kmv_intersect_estimate(F.col("ka"), F.col("kb"), k)
+    return pair.select(
+        F.lit("click").alias("type_a"),
+        F.lit("purchase").alias("type_b"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(est - F.col("n_exact"))
+            / F.greatest(F.col("n_exact").cast("double"), F.lit(1.0))
+            <= 0.10
+        ).alias("within_10pct"),
+    )
