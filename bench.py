@@ -43,8 +43,9 @@ DELTA_NOTES = {
     "no longer shuffles per batch. Measured trade at sf0.1: the prune's "
     "distinct+broadcast adds a CONSTANT ~1.5s/batch while the shuffle it "
     "saves is still small (index <=76k rows), so the per-batch LEVEL is "
-    "~16% higher this round — but the per-batch SLOPE is now ~0.02/batch "
-    "(flat; r5 rose 5.5->10.8s over 4 batches). The constant loses at toy "
+    "~16% higher this round — but the per-batch SLOPE is now ~0 (clean "
+    "runs measured -0.02..+0.02/batch; r5 rose 5.5->10.8s over 4 "
+    "batches). The constant loses at toy "
     "index sizes and wins as soon as index >> batch; r6 also benches 8 "
     "batches (r5: 4)",
     "q44_top_parts_listagg": "r6 bounds the LISTAGG aggregation buffer: "
