@@ -64,3 +64,25 @@ def test_kmv_deterministic_across_partitionings(spark):
     s1 = {r["g"]: r["kmv"] for r in sketches.kmv_sketches(d1, "g", "v", k=k).collect()}
     s2 = {r["g"]: r["kmv"] for r in sketches.kmv_sketches(d2, "g", "v", k=k).collect()}
     assert s1 == s2
+
+
+def test_kmv_difference_and_algebra_consistency(spark):
+    """|A \\ B| estimate on the planted fixture, and the algebra identity
+    the three estimators share by construction: difference(A,B) +
+    intersection(A,B) + difference(B,A) == distinct(A ∪ B) EXACTLY (the
+    three fractions partition the same union sketch)."""
+    k = 256
+    sk = _sk(spark, {"a": range(4000), "b": range(2000, 6000)}, k=k)
+    df = spark.createDataFrame([(sk["a"], sk["b"])],
+                               "ka array<long>, kb array<long>")
+    row = df.select(
+        sketches.kmv_difference_estimate(F.col("ka"), F.col("kb"), k).alias("ab"),
+        sketches.kmv_difference_estimate(F.col("kb"), F.col("ka"), k).alias("ba"),
+        sketches.kmv_intersect_estimate(F.col("ka"), F.col("kb"), k).alias("i"),
+        sketches.kmv_distinct_estimate(
+            sketches.kmv_union(F.col("ka"), F.col("kb"), k), k
+        ).alias("u"),
+    ).first()
+    assert abs(row["ab"] - 2000) / 2000 < 0.30  # true |A \ B| = 2000
+    assert abs(row["ba"] - 2000) / 2000 < 0.30
+    assert abs(row["ab"] + row["ba"] + row["i"] - row["u"]) < 1e-6
