@@ -389,3 +389,32 @@ def test_cooccurrence_matches_bruteforce_combinations(spark, rows, min_support):
         for p in itertools.combinations(sorted(items), 2)
     )
     assert got == {p: c for p, c in want.items() if c >= min_support}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.sets(st.integers(0, 3000), min_size=1, max_size=400),
+    st.sets(st.integers(0, 3000), min_size=1, max_size=400),
+)
+def test_kmv_exact_regime_set_algebra_on_random_sets(spark, sa, sb):
+    """With k above both set sizes the KMV sketches hold EVERY hash, so
+    union/intersection/difference estimates must equal the true set
+    cardinalities exactly — for arbitrary random overlap structure. This
+    pins the estimator plumbing (union slice, membership fractions,
+    under-k exactness branch) free of sampling noise."""
+    from healthcare_rcm_etl_pipeline_spark.operators import sketches as sk
+
+    k = 1024
+    rows = [("a", v) for v in sa] + [("b", v) for v in sb]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r["kmv"] for r in sk.kmv_sketches(df, "g", "v", k=k).collect()}
+    d = spark.createDataFrame([(got["a"], got["b"])], "ka array<long>, kb array<long>")
+    row = d.select(
+        sk.kmv_distinct_estimate(sk.kmv_union(F.col("ka"), F.col("kb"), k), k).alias("u"),
+        sk.kmv_intersect_estimate(F.col("ka"), F.col("kb"), k).alias("i"),
+        sk.kmv_difference_estimate(F.col("ka"), F.col("kb"), k).alias("ab"),
+    ).first()
+    assert row["u"] == float(len(sa | sb))
+    assert abs(row["i"] - len(sa & sb)) < 1e-9
+    assert abs(row["ab"] - len(sa - sb)) < 1e-9
