@@ -196,6 +196,69 @@ def connected_components_incremental(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 3,
+    out_node: str = "node",
+    out_hops: str = "hops",
+) -> DataFrame:
+    """Minimum hop distance from a SEED set over an undirected edge list,
+    bounded at ``max_hops`` — the multi-hop reach primitive (related-item
+    expansion, contamination blast radius, recall set growth).
+
+    Level-synchronous frontier BFS: the frontier starts as the seeds at
+    hop 0; each round joins the CURRENT frontier (not the full visited
+    set) against the edges and anti-joins out already-visited nodes, so
+    round cost is O(edges touching the frontier) and the loop stops early
+    the moment a frontier comes back empty — on a 100 TB graph the work
+    is proportional to the reached neighborhood, never the node count.
+    Determinism: hop numbers are structural (min distance), independent
+    of partitioning; min() over multiple discovery paths settles ties.
+    ``localCheckpoint`` per round truncates the lineage exactly as in
+    ``connected_components`` — iterative plans otherwise double in size
+    per round and Catalyst analysis dominates long before the data does.
+
+    ``seeds``: one-column DataFrame of node ids. Returns (out_node,
+    out_hops) for every node within ``max_hops`` of any seed (seeds
+    included at hop 0).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(e.select(F.col("s").alias("node")).distinct(), "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.withColumn("hops", F.lit(0))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(hop))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.col("node").alias(out_node), F.col("hops").cast("int").alias(out_hops)
+    )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src_col: str = "src",

@@ -114,8 +114,15 @@ def kmv_sketches(
 
 def _kmv_u(h: F.Column) -> F.Column:
     """Map a signed 64-bit hash to (0, 1]: rank position of the hash on
-    the number line — the KMV estimator's uniform variate."""
-    return (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    the number line — the KMV estimator's uniform variate. The raw affine
+    map sends Long.MIN_VALUE to exactly 0.0, which would divide-by-zero in
+    ``kmv_distinct_estimate``; clamping to 2^-64 (the smallest nonzero
+    value the map can otherwise produce) keeps the advertised (0, 1]
+    range with distortion only on that single 2^-64-probability hash."""
+    return F.greatest(
+        (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5),
+        F.lit(2.0**-64),
+    )
 
 
 def kmv_distinct_estimate(kmv: F.Column, k: int) -> F.Column:

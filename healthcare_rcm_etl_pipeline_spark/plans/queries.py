@@ -5034,7 +5034,7 @@ def q46_bitmap_distinct_q(spark, sf_dir):
     words = (
         o.select(
             "o_orderpriority",
-            (F.col("o_custkey") / 63).cast("bigint").alias("word"),
+            F.expr("o_custkey div 63").alias("word"),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 63 AS INT))"
             ).alias("bitval"),

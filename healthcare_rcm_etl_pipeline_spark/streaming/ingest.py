@@ -359,13 +359,72 @@ def semantic_ingest_stream(
 
 
 _DATASETS = ("docs", "bands", "vectors")
+_MAINT_LOCK = "_MAINT_LOCK"
 
 
 def _jpath(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
 
 
-def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
+def _must_rename(spark: SparkSession, fs, src: str, dst: str) -> None:
+    """Hadoop ``FileSystem.rename`` signals most failures (missing source,
+    existing destination, cross-FS move) by RETURNING FALSE, not raising.
+    Every rename in the maintenance swap protocol is load-bearing — in
+    particular the commit rename, after which the trash copy is deleted —
+    so a silently-ignored false here would let the cleanup step destroy
+    the only surviving copy. Raise instead; the leftover dirs then encode
+    the crash point exactly as for a process kill, and ``recover_base``
+    heals on the next maintenance entry."""
+    if not fs.rename(_jpath(spark, src), _jpath(spark, dst)):
+        raise IOError(f"fs.rename returned false: {src} -> {dst}")
+
+
+def _must_delete(spark: SparkSession, fs, path: str) -> None:
+    """``FileSystem.delete`` also returns false instead of raising; a
+    missing path is fine (idempotent cleanup), but a present-yet-
+    undeletable one is not — it would be misread as a crash leftover by
+    the next ``recover_base``."""
+    p = _jpath(spark, path)
+    if fs.exists(p) and not fs.delete(p, True):
+        raise IOError(f"fs.delete returned false: {path}")
+
+
+class MaintenanceLockHeld(RuntimeError):
+    pass
+
+
+def _acquire_maintenance_lock(spark: SparkSession, base: str, steal: bool):
+    """Single-writer gate for purge_ids/compact_epochs. The swap protocol
+    is crash-safe against a KILLED maintenance op, but not against a
+    CONCURRENT one: a second writer's recover_base could classify the
+    first writer's in-flight ``.purge_tmp`` as stale and delete it between
+    its write and its rename. The lock file (atomic ``createNewFile``)
+    makes maintenance single-writer, and the streaming batch path SKIPS
+    recovery while it is held (``recover_base`` lock check) — batches keep
+    reading the still-intact live dirs. If a maintenance op crashes while
+    holding the lock, the leftovers stay quarantined until an operator
+    confirms nothing is running and re-runs with ``steal_lock=True``."""
+    fs, _ = sinks._fs_path(spark, base)
+    lock = f"{base}/{_MAINT_LOCK}"
+    if steal:
+        _must_delete(spark, fs, lock)
+    if not fs.createNewFile(_jpath(spark, lock)):
+        raise MaintenanceLockHeld(
+            f"maintenance lock held at {lock}: another purge_ids/"
+            "compact_epochs is running, or a prior one crashed. If no "
+            "maintenance process is alive, re-run with steal_lock=True "
+            "(recover_base then heals any half-finished swap)."
+        )
+    return fs, lock
+
+
+def _release_maintenance_lock(spark: SparkSession, fs, lock: str) -> None:
+    _must_delete(spark, fs, lock)
+
+
+def recover_base(
+    spark: SparkSession, base: str, ignore_lock: bool = False
+) -> dict[str, int]:
     """Detect and resolve interrupted maintenance swaps (purge_ids /
     compact_epochs) so a crash at ANY point is recoverable without data
     loss. Both maintenance ops rename live directories ASIDE (to a
@@ -398,9 +457,18 @@ def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
       rewrite, delete it.
 
     Called on entry by both maintenance ops (idempotent, one directory
-    listing per dataset). Returns {dataset: resolved_leftover_count}.
+    listing per dataset) and by every streaming micro-batch. The batch
+    path must NOT heal while a maintenance op is mid-swap — its tmp/trash
+    dirs are live protocol state, not crash leftovers — so when the
+    ``_MAINT_LOCK`` file is present (held by a running purge/compact, or
+    by a crashed one awaiting an operator's ``steal_lock=True``) the
+    default call returns without touching anything; the maintenance ops
+    themselves pass ``ignore_lock=True`` after acquiring the lock.
+    Returns {dataset: resolved_leftover_count} ({} when skipped).
     """
     fs, _ = sinks._fs_path(spark, base)
+    if not ignore_lock and fs.exists(_jpath(spark, f"{base}/{_MAINT_LOCK}")):
+        return {}
     recovered: dict[str, int] = {}
     for sub in _DATASETS:
         root = f"{base}/{sub}"
@@ -415,21 +483,17 @@ def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
                 live = name[1 : -len(".purge_trash")]  # "epoch=N"
                 tmp = f".{live}.purge_tmp"
                 if live in names:
-                    fs.delete(_jpath(spark, f"{root}/{name}"), True)
+                    _must_delete(spark, fs, f"{root}/{name}")
                 elif tmp in names:
-                    fs.rename(
-                        _jpath(spark, f"{root}/{tmp}"), _jpath(spark, f"{root}/{live}")
-                    )
-                    fs.delete(_jpath(spark, f"{root}/{name}"), True)
+                    _must_rename(spark, fs, f"{root}/{tmp}", f"{root}/{live}")
+                    _must_delete(spark, fs, f"{root}/{name}")
                 else:
-                    fs.rename(
-                        _jpath(spark, f"{root}/{name}"), _jpath(spark, f"{root}/{live}")
-                    )
+                    _must_rename(spark, fs, f"{root}/{name}", f"{root}/{live}")
                 n += 1
             elif name.startswith(".epoch=") and name.endswith(".purge_tmp"):
                 trash = name[: -len(".purge_tmp")] + ".purge_trash"
                 if trash not in names:  # else: handled with its trash above
-                    fs.delete(_jpath(spark, f"{root}/{name}"), True)
+                    _must_delete(spark, fs, f"{root}/{name}")
                     n += 1
         has_trash = ".compact_trash" in names
         has_tmp = ".compact_tmp" in names
@@ -437,15 +501,15 @@ def recover_base(spark: SparkSession, base: str) -> dict[str, int]:
             for st in fs.listStatus(_jpath(spark, f"{root}/.compact_trash")):
                 nm = st.getPath().getName()
                 if not sinks.path_exists(spark, f"{root}/{nm}"):
-                    fs.rename(st.getPath(), _jpath(spark, f"{root}/{nm}"))
-            fs.delete(_jpath(spark, f"{root}/.compact_trash"), True)
-            fs.delete(_jpath(spark, f"{root}/.compact_tmp"), True)
+                    _must_rename(spark, fs, f"{root}/.compact_trash/{nm}", f"{root}/{nm}")
+            _must_delete(spark, fs, f"{root}/.compact_trash")
+            _must_delete(spark, fs, f"{root}/.compact_tmp")
             n += 1
         elif has_trash:
-            fs.delete(_jpath(spark, f"{root}/.compact_trash"), True)
+            _must_delete(spark, fs, f"{root}/.compact_trash")
             n += 1
         elif has_tmp:
-            fs.delete(_jpath(spark, f"{root}/.compact_tmp"), True)
+            _must_delete(spark, fs, f"{root}/.compact_tmp")
             n += 1
         recovered[sub] = n
     return recovered
@@ -457,6 +521,7 @@ def purge_ids(
     ids: DataFrame | list,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    steal_lock: bool = False,
 ) -> dict[str, int]:
     """Tombstone deletion ("right to be forgotten") propagated through the
     ingest base AND its derived indexes: the given ids are removed from
@@ -479,6 +544,16 @@ def purge_ids(
 
     Returns {dataset: rewritten_epoch_count}. The _EPOCH marker is
     untouched — purging removes rows, it does not rewind ingestion.
+
+    Maintenance is SINGLE-WRITER: entry takes the ``_MAINT_LOCK`` file
+    (atomic create; raises ``MaintenanceLockHeld`` if another purge/
+    compact holds it — pass ``steal_lock=True`` only after confirming the
+    prior holder is dead), and while it is held, streaming batches skip
+    their pre-read ``recover_base`` so they cannot misread this op's
+    in-flight tmp/trash dirs as crash leftovers. Every rename/delete is
+    checked (``_must_rename``/``_must_delete``): Hadoop's FileSystem API
+    reports failure by returning false, and an unchecked false on the
+    commit rename would let the trash cleanup destroy the only copy.
     """
     if isinstance(ids, list):
         ids = spark.createDataFrame([(int(i),) for i in ids], "__pid long")
@@ -486,40 +561,48 @@ def purge_ids(
     else:
         ids = ids.select(F.col(ids.columns[0]).alias("__pid"))
 
-    recover_base(spark, base)
-    fs, _ = sinks._fs_path(spark, base)
-    rewritten: dict[str, int] = {}
-    for sub, col in (("docs", id_col), ("bands", "doc"), ("vectors", vec_id_col)):
-        root = f"{base}/{sub}"
-        if not sinks.path_exists(spark, root):
-            continue
-        full = spark.read.parquet(root)
-        affected = sorted(
-            r["epoch"]
-            for r in full.join(
-                F.broadcast(ids), full[col] == F.col("__pid"), "left_semi"
+    fs, lock = _acquire_maintenance_lock(spark, base, steal_lock)
+    try:
+        recover_base(spark, base, ignore_lock=True)
+        rewritten: dict[str, int] = {}
+        for sub, col in (("docs", id_col), ("bands", "doc"), ("vectors", vec_id_col)):
+            root = f"{base}/{sub}"
+            if not sinks.path_exists(spark, root):
+                continue
+            full = spark.read.parquet(root)
+            affected = sorted(
+                r["epoch"]
+                for r in full.join(
+                    F.broadcast(ids), full[col] == F.col("__pid"), "left_semi"
+                )
+                .select("epoch")
+                .distinct()
+                .collect()
             )
-            .select("epoch")
-            .distinct()
-            .collect()
-        )
-        for ep in affected:
-            part = f"{root}/epoch={ep}"
-            tmp = f"{root}/.epoch={ep}.purge_tmp"
-            trash = f"{root}/.epoch={ep}.purge_trash"
-            kept = spark.read.parquet(part).join(
-                F.broadcast(ids), F.col(col) == F.col("__pid"), "left_anti"
-            )
-            kept.write.mode("overwrite").parquet(tmp)
-            fs.rename(_jpath(spark, part), _jpath(spark, trash))
-            fs.rename(_jpath(spark, tmp), _jpath(spark, part))
-            fs.delete(_jpath(spark, trash), True)
-        rewritten[sub] = len(affected)
-    return rewritten
+            for ep in affected:
+                part = f"{root}/epoch={ep}"
+                tmp = f"{root}/.epoch={ep}.purge_tmp"
+                trash = f"{root}/.epoch={ep}.purge_trash"
+                kept = spark.read.parquet(part).join(
+                    F.broadcast(ids), F.col(col) == F.col("__pid"), "left_anti"
+                )
+                kept.write.mode("overwrite").parquet(tmp)
+                if not fs.exists(_jpath(spark, tmp)):
+                    raise IOError(f"purge tmp vanished before swap: {tmp}")
+                _must_rename(spark, fs, part, trash)
+                _must_rename(spark, fs, tmp, part)  # the commit
+                _must_delete(spark, fs, trash)
+            rewritten[sub] = len(affected)
+        return rewritten
+    finally:
+        _release_maintenance_lock(spark, fs, lock)
 
 
 def compact_epochs(
-    spark: SparkSession, base: str, small_bytes: int | None = None
+    spark: SparkSession,
+    base: str,
+    small_bytes: int | None = None,
+    steal_lock: bool = False,
 ) -> dict[str, int]:
     """Small-files management for a long-running ingest base: every epoch
     appends its own ``epoch=N`` directory, so after thousands of batches
@@ -555,46 +638,57 @@ def compact_epochs(
     the rename.
 
     The _EPOCH marker is untouched. Returns {dataset: folded_dir_count}.
+
+    Single-writer + checked-FS-API discipline as in ``purge_ids``: the
+    ``_MAINT_LOCK`` gate keeps a concurrent batch's recover_base from
+    deleting the in-flight ``.compact_tmp``, and every rename/delete
+    raises on Hadoop's boolean-false failure mode so the trash is only
+    dropped after the commit rename is CONFIRMED.
     """
-    recover_base(spark, base)
-    fs, _ = sinks._fs_path(spark, base)
-    last = _read_epoch(spark, base)
-    folded: dict[str, int] = {}
-    for sub in _DATASETS:
-        root = f"{base}/{sub}"
-        if not sinks.path_exists(spark, root):
-            continue
-        listing = fs.listStatus(_jpath(spark, root))
-        epoch_dirs = [
-            st.getPath().getName()
-            for st in listing
-            if st.isDirectory() and st.getPath().getName().startswith("epoch=")
-        ]
-        committed = [d for d in epoch_dirs if int(d.split("=")[1]) <= last]
-        if small_bytes is not None:
-            committed = [
-                d
-                for d in committed
-                if fs.getContentSummary(_jpath(spark, f"{root}/{d}")).getLength()
-                <= small_bytes
+    fs, lock = _acquire_maintenance_lock(spark, base, steal_lock)
+    try:
+        recover_base(spark, base, ignore_lock=True)
+        last = _read_epoch(spark, base)
+        folded: dict[str, int] = {}
+        for sub in _DATASETS:
+            root = f"{base}/{sub}"
+            if not sinks.path_exists(spark, root):
+                continue
+            listing = fs.listStatus(_jpath(spark, root))
+            epoch_dirs = [
+                st.getPath().getName()
+                for st in listing
+                if st.isDirectory() and st.getPath().getName().startswith("epoch=")
             ]
-        if len(committed) <= 1:
-            folded[sub] = 0
-            continue
-        epochs = sorted(int(d.split("=")[1]) for d in committed)
-        target = epochs[-1]
-        tmp = f"{root}/.compact_tmp"
-        trash = f"{root}/.compact_trash"
-        df = (
-            spark.read.parquet(root)
-            .filter(F.col("epoch").isin(epochs))
-            .drop("epoch")
-        )
-        df.write.mode("overwrite").parquet(tmp)
-        fs.mkdirs(_jpath(spark, trash))
-        for d in committed:
-            fs.rename(_jpath(spark, f"{root}/{d}"), _jpath(spark, f"{trash}/{d}"))
-        fs.rename(_jpath(spark, tmp), _jpath(spark, f"{root}/epoch={target}"))
-        fs.delete(_jpath(spark, trash), True)
-        folded[sub] = len(committed)
-    return folded
+            committed = [d for d in epoch_dirs if int(d.split("=")[1]) <= last]
+            if small_bytes is not None:
+                committed = [
+                    d
+                    for d in committed
+                    if fs.getContentSummary(_jpath(spark, f"{root}/{d}")).getLength()
+                    <= small_bytes
+                ]
+            if len(committed) <= 1:
+                folded[sub] = 0
+                continue
+            epochs = sorted(int(d.split("=")[1]) for d in committed)
+            target = epochs[-1]
+            tmp = f"{root}/.compact_tmp"
+            trash = f"{root}/.compact_trash"
+            df = (
+                spark.read.parquet(root)
+                .filter(F.col("epoch").isin(epochs))
+                .drop("epoch")
+            )
+            df.write.mode("overwrite").parquet(tmp)
+            if not fs.exists(_jpath(spark, tmp)):
+                raise IOError(f"compact tmp vanished before swap: {tmp}")
+            fs.mkdirs(_jpath(spark, trash))
+            for d in committed:
+                _must_rename(spark, fs, f"{root}/{d}", f"{trash}/{d}")
+            _must_rename(spark, fs, tmp, f"{root}/epoch={target}")  # the commit
+            _must_delete(spark, fs, trash)
+            folded[sub] = len(committed)
+        return folded
+    finally:
+        _release_maintenance_lock(spark, fs, lock)

@@ -248,3 +248,59 @@ def test_ingest_batch_self_heals_before_reading(spark, tmp_path):
     )
     assert _ids(spark, base) == [2, 31]
     _no_hidden_dirs(base)
+
+
+def test_maintenance_lock_blocks_second_writer(spark, tmp_path):
+    """Single-writer enforcement (round-6 ADVICE): a second maintenance op
+    must refuse to run while the lock is held — its recover_base would
+    otherwise classify the first writer's in-flight tmp as stale and
+    delete it mid-swap."""
+    import pytest
+
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    open(f"{base}/{ingest._MAINT_LOCK}", "w").close()
+
+    with pytest.raises(ingest.MaintenanceLockHeld):
+        ingest.purge_ids(spark, base, [1])
+    with pytest.raises(ingest.MaintenanceLockHeld):
+        ingest.compact_epochs(spark, base)
+    # nothing was touched
+    assert _ids(spark, base) == [1, 2]
+
+    # operator confirms the holder is dead -> steal proceeds and releases
+    assert ingest.purge_ids(spark, base, [1], steal_lock=True) == {
+        "docs": 1,
+        "bands": 1,
+    }
+    assert _ids(spark, base) == [2]
+    assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
+
+
+def test_batch_recover_skips_while_lock_held(spark, tmp_path):
+    """While a maintenance op holds the lock, the streaming batch path's
+    recover_base must NOT touch the op's in-flight tmp/trash dirs (they
+    are live protocol state, not crash leftovers)."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    part, tmp = _write_purge_tmp(spark, base, 0, [1])
+    open(f"{base}/{ingest._MAINT_LOCK}", "w").close()
+
+    assert ingest.recover_base(spark, base) == {}  # skipped, not healed
+    assert os.path.isdir(tmp)  # in-flight tmp untouched
+
+    os.remove(f"{base}/{ingest._MAINT_LOCK}")
+    assert ingest.recover_base(spark, base)["docs"] == 1  # now it heals
+    _no_hidden_dirs(base)
+
+
+def test_lock_released_after_success_and_failure(spark, tmp_path):
+    """The lock must not leak: released after a normal run, and after an
+    in-op exception (at which point no writer is active, so the next
+    caller may safely take it without stealing)."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    ingest.compact_epochs(spark, base)
+    assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
+    ingest.purge_ids(spark, base, [999])
+    assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
