@@ -306,6 +306,53 @@ def _posting_cooccurrence(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_pct: int = 70,
+    max_df: int | None = None,
+    cap_mode: str = "window",
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| — the
+    asymmetric cousin of Jaccard (Broder's resemblance vs containment,
+    "On the resemblance and containment of documents", SEQUENCES'97).
+    Jaccard misses SUBSET duplicates: a paragraph quoted inside a much
+    longer document scores |A∩B|/|A∪B| ≈ |A|/|B| → 0, yet its containment
+    is ≈ 1. This is the partial-copy / quotation / excerpt detector a
+    training-corpus pipeline needs alongside symmetric near-dup.
+
+    Emits (doc_a < doc_b) pairs where max(C(A→B), C(B→A)) =
+    n_common / min(n_a, n_b) clears ``threshold_pct``. The filter is
+    INTEGER arithmetic (100·n_common ≥ pct·min) so engine and oracle agree
+    exactly; the reported ``containment`` double is a single IEEE division
+    computed identically on both sides.
+
+    Same posting-list core (and therefore the same scale story) as
+    ``ngram_jaccard_pairs``: one pass, two shuffles, ``max_df`` stop-
+    shingle cap with the three documented enforcement modes. Containment
+    is MORE cap-sensitive than Jaccard — a dropped stop-shingle removes
+    intersection mass from small docs disproportionately — so size max_df
+    above the largest doc's shingle count when subset recall matters.
+    """
+    cooc = _posting_cooccurrence(
+        _shingle_posting(df, text_col, id_col, n), max_df, cap_mode
+    )
+    min_sz = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        cooc.filter(F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * min_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.col("n_common") / min_sz.cast("double")).alias("containment"),
+        )
+    )
+
+
 def exact_substring_pairs(
     df: DataFrame,
     text_col: str,

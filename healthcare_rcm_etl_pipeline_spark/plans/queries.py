@@ -5318,3 +5318,467 @@ def sketch_set_intersection_q(spark, sf_dir):
             <= 0.10
         ).alias("within_10pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: multi-hop graph reach, IR retrieval, weighted sampling, sequence
+# patterns, containment dedup, priority survivors
+# ---------------------------------------------------------------------------
+
+
+def _reach_oracle(max_hops: int = 3, seed_mod: int = 400) -> str:
+    """Unrolled frontier-BFS twin of operators/graph.py:bfs_hops — min hop
+    distance is structural, so integer hops hash-match exactly; the fixed
+    depth unrolls as f{i}/v{i} CTE stages (same device as the PageRank
+    oracle: recursive CTEs cannot express the visited-set anti-join)."""
+    head = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cp AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT pa AS s, pb AS t FROM cp UNION SELECT pb, pa FROM cp),
+    f0 AS (SELECT DISTINCT s AS node FROM edges WHERE s % {seed_mod} = 0),
+    v0 AS (SELECT node, 0 AS hops FROM f0)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f""",
+    f{i} AS (SELECT DISTINCT e.t AS node FROM edges e
+             JOIN f{i - 1} f ON e.s = f.node
+             WHERE e.t NOT IN (SELECT node FROM v{i - 1})),
+    v{i} AS (SELECT * FROM v{i - 1} UNION ALL SELECT node, {i} FROM f{i})"""
+        )
+    tail = f"""
+    SELECT node AS part, CAST(hops AS INT) AS hops FROM v{max_hops}
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q50_copurchase_reach", _reach_oracle())
+def q50_copurchase_reach_q(spark, sf_dir):
+    """Multi-hop reach (hop-bounded BFS) from seed parts over the
+    co-purchase graph — the related-item-expansion / blast-radius shape:
+    "every part within 3 co-purchase hops of the seed catalog". Seeds are
+    parts ≡ 0 mod 400 present in the graph; edges are part pairs sharing
+    ≥ 2 orders (q48's supported pairs, symmetrized).
+
+    operators/graph.py:bfs_hops is level-synchronous frontier BFS: each
+    round joins only the CURRENT frontier against the edges and anti-joins
+    the visited set, so round cost tracks the reached neighborhood — on a
+    100 TB graph the untouched part of the graph is never shuffled, and an
+    empty frontier stops the loop early. Hop numbers are structural (min
+    distance), so the result is exact, not partition-dependent."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import cooccurrence_pairs
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 400 == 0)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=3, out_node="part", out_hops="hops")
+
+
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('join', 'vector', 'stream') GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (s.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / s.avgdl))
+             ) AS score
+      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk_q(spark, sf_dir):
+    """BM25 keyword retrieval (Robertson/Spärck Jones probabilistic
+    weighting, the TREC-era standard): top-10 documents for a fixed query
+    term set — the retrieval primitive for curation workflows (find
+    training docs matching a probe query, quality-rank a keyword slice).
+
+    Plan shape at 100 TB: one tokenize pass feeds BOTH the per-doc length
+    aggregate and the query-term tf aggregate (the tf side filters to the
+    query terms BEFORE its shuffle, so it moves |terms|·|matching docs|
+    rows, not the corpus); df and the (N, avgdl) scalars are tiny —
+    AQE broadcasts them — and the final per-doc sum + top-k is a
+    TakeOrderedAndProject, never a global sort. Scores are rounded to 6
+    before ranking with a doc_id tie-break, absorbing cross-engine ln()
+    ulp exactly as tfidf_top_terms does."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1 - b) + F.lit(b) * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "weighted_sample_es",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(
+               ln((('0x' || substr(md5('es-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                  / 1152921504606846976.0)
+               / n_chars, 9) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_es_q(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    exponential-jitter keys ("Weighted random sampling with a reservoir",
+    IPL 2006): each row draws u ~ U(0,1] and ranks by u^(1/w) — the top-k
+    is then a weight-proportional sample. Used for length-weighted corpus
+    subsampling (w = n_chars: long docs proportionally likelier, without
+    the with-replacement duplication mixture upsampling produces).
+
+    Determinism + scale: u is the md5-prefix uniform (same portable device
+    as deterministic_split), so every engine draws the SAME jitter — the
+    'sample' is reproducible run-to-run and hash-matches the oracle. The
+    rank key uses the monotone-equivalent ln(u)/w (avoids pow underflow at
+    large weights); top-k by key is a TakeOrderedAndProject — per-
+    partition heaps, no global sort, no shuffle of the corpus. Keys are
+    rounded to 9 (values span ~1e-5..1e-1; cross-engine ln() ulp is
+    ~1e-15) with a doc_id tie-break, the tfidf_top_terms device."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es-v1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(2**60))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    return keyed.orderBy(F.desc("es_key"), "doc_id").limit(20)
+
+
+@query(
+    "events_pattern_conversion",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER w AS last_view,
+             max(CASE WHEN event_type = 'error' THEN ts END) OVER w AS last_error
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           MIN(ts) AS first_conversion_ts
+    FROM x
+    WHERE event_type = 'purchase'
+      AND last_view IS NOT NULL
+      AND ts <= last_view + INTERVAL 30 MINUTE
+      AND (last_error IS NULL OR last_error < last_view)
+    GROUP BY user_id
+    """,
+)
+def events_pattern_conversion_q(spark, sf_dir):
+    """Sequential pattern detection (MATCH_RECOGNIZE-lite): per user,
+    purchases preceded by a view within 30 minutes with NO error event in
+    between — the funnel-with-veto shape (attribution windows, abuse
+    rules, UX diagnostics) that plain funnels can't express.
+
+    One window pass, zero self-joins: a running conditional MAX per
+    event type ('latest view so far', 'latest error so far') turns the
+    three-event pattern into per-row predicates — the classic trick for
+    sequence patterns on engines without MATCH_RECOGNIZE. The window is
+    partitioned by user (no global ordering), MAX is order-independent,
+    and (ts, event_id) makes the frame total, so results are exact. At
+    100 TB this is one hash-partition shuffle on user_id and a sorted
+    spill per partition; the veto adds a column, not a pass."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "last_view"
+        ),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w).alias(
+            "last_error"
+        ),
+    )
+    return (
+        x.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view").isNotNull()
+            & (F.col("ts") <= F.col("last_view") + F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("last_error").isNull() | (F.col("last_error") < F.col("last_view")))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.min("ts").alias("first_conversion_ts"),
+        )
+    )
+
+
+_CONTAINMENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM toks
+    ),
+    post AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_a, n_b, n_common,
+           n_common / CAST(LEAST(n_a, n_b) AS DOUBLE) AS containment
+    FROM pairs
+    WHERE 100 * n_common >= 70 * LEAST(n_a, n_b)
+"""
+
+
+@query("dedup_containment", _CONTAINMENT_ORACLE)
+def dedup_containment_q(spark, sf_dir):
+    """Shingle-containment pairs (Broder SEQUENCES'97): detects SUBSET
+    duplicates — a doc mostly contained in a longer one — which Jaccard
+    structurally misses (|A∩B|/|A∪B| → 0 as |B| grows even at containment
+    1). The integer filter (100·n_common ≥ 70·min) makes the threshold
+    exact across engines; see operators/dedup.py:containment_pairs for
+    the posting-list core and the max_df cap trade (off here so the
+    oracle is full-semantics; containment is more cap-sensitive than
+    Jaccard because dropped stop-shingles deplete small docs first)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "text", "doc_id", n=3, threshold_pct=70, max_df=None
+    )
+
+
+_PRIORITY_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jp
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM jp
+    ),
+    walk(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT w.s, e.t FROM walk w JOIN e ON w.t = e.s
+    ),
+    comp AS (SELECT s AS doc, LEAST(s, MIN(t)) AS component FROM walk GROUP BY s),
+    labeled AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.component, d.doc_id) AS component,
+             CAST(substring(d.source, 4) AS BIGINT) AS prio
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    ),
+    ranked AS (
+      SELECT doc_id, source, component,
+             row_number() OVER (PARTITION BY component ORDER BY prio, doc_id) AS rn
+      FROM labeled
+    )
+    SELECT doc_id, source FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_priority", _PRIORITY_SURVIVORS_ORACLE)
+def dedup_keep_priority_q(spark, sf_dir):
+    """Source-priority survivor selection: near-dup clusters keep the copy
+    from the most-trusted SOURCE (lowest srcN ordinal; doc_id tie-break),
+    not the min-id — the real-world dedup policy when the same text exists
+    in both a curated corpus and a web crawl and the curated copy must
+    win. Same pairs→CC spine as dedup_keep_survivors; the survivor pick
+    is a per-cluster min_by over a (priority, id) struct — a COMBINABLE
+    aggregate (map-side partials, no sort, no whole-cluster buffer), the
+    best_survivors device with a composite policy key."""
+    from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+    )
+    labels = graph.connected_components(pairs)
+    labeled = (
+        d.select(
+            "doc_id",
+            "source",
+            F.substring("source", 4, 16).cast("long").alias("prio"),
+        )
+        .join(labels.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    surv = labeled.groupBy("component").agg(
+        F.min_by(
+            F.struct("doc_id", "source"), F.struct("prio", "doc_id")
+        ).alias("s")
+    )
+    return surv.select(F.col("s.doc_id").alias("doc_id"), F.col("s.source").alias("source"))
+
+
+_KMEANS_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, list_transform(e, x -> round(x, 6)) AS c
+      FROM v ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+      SELECT v.vec_id, c0.cluster,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> (v.e[i] - c0.c[i]) * (v.e[i] - c0.c[i]))), 6) AS dist2
+      FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, cluster) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    x1 AS (
+      SELECT a1.cluster, unnest(v.e) AS val, generate_subscripts(v.e, 1) AS i
+      FROM a1 JOIN v USING (vec_id)
+    ),
+    m1 AS (SELECT cluster, i, round(AVG(val), 6) AS cv FROM x1 GROUP BY 1, 2),
+    c1 AS (SELECT cluster, list(cv ORDER BY i) AS c FROM m1 GROUP BY cluster),
+    d2 AS (
+      SELECT v.vec_id, c1.cluster,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> (v.e[i] - c1.c[i]) * (v.e[i] - c1.c[i]))), 6) AS dist2
+      FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster, dist2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, cluster) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+           round(SUM(dist2), 3) AS inertia
+    FROM a2 GROUP BY cluster
+"""
+
+
+@query("kmeans_lloyd", _KMEANS_ORACLE)
+def kmeans_lloyd_q(spark, sf_dir):
+    """Lloyd k-means (k=8, 2 steps) over the embeddings table, reported as
+    per-cluster sizes + inertia — an ITERATIVE FLOAT algorithm with an
+    exact-match SQL twin. Floats normally forbid this (summation order
+    changes means, means change assignments); operators/clustering.py
+    makes the sequence deterministic by rounding every distance and
+    centroid coordinate to 6 dp per step with id tie-breaks, the
+    float-world analogue of q49's integer fixed-point. The loop is fully
+    declarative — broadcast k-row centroid cross join for assignment,
+    partial-aggregated per-dim avg (k·dim rows per partition) for the
+    update, no driver-side centroids, localCheckpoint per round — so the
+    same plan runs unchanged on a 100 TB corpus. The oracle unrolls both
+    steps (d1/a1 → m1/c1 → d2/a2), hard-coding this table's dim=64 in its
+    range(); the engine side reads the dim from the data.
+
+    Per-point rounded distances are summed into inertia and re-rounded to
+    3 dp: 1e4 points × 1e-16 relative float-order noise sits 6 orders
+    below the last kept digit at any realistic SF."""
+    from healthcare_rcm_etl_pipeline_spark.operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=2, ndp=6)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.sum("dist2"), 3).alias("inertia"),
+    )

@@ -418,3 +418,88 @@ def test_kmv_exact_regime_set_algebra_on_random_sets(spark, sa, sb):
     assert row["u"] == float(len(sa | sb))
     assert abs(row["i"] - len(sa & sb)) < 1e-9
     assert abs(row["ab"] - len(sa - sb)) < 1e-9
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(0, 14), min_size=1, max_size=4),
+    st.integers(1, 4),
+)
+def test_bfs_hops_matches_pure_python_bfs(spark, edge_list, seed_list, max_hops):
+    """bfs_hops on arbitrary random graphs must equal a pure-Python BFS:
+    same reached set, same minimum hop distances, seeds-in-graph-only
+    semantics, and the max_hops bound. Catches frontier/visited slips
+    (re-expanding visited nodes, off-by-one depth) that the fixed-seed
+    q50 oracle can't distinguish from a lucky topology."""
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import bfs_hops
+
+    edges = sorted({(a, b) for a, b in edge_list if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in set(seed_list)], "node long")
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(df, seeds, max_hops=max_hops).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    frontier = {s for s in set(seed_list) if s in adj}
+    expect = {s: 0 for s in frontier}
+    for hop in range(1, max_hops + 1):
+        frontier = {
+            t for s in frontier for t in adj[s] if t not in expect
+        }
+        for t in frontier:
+            expect[t] = hop
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(10, 100),
+)
+def test_containment_pairs_match_bruteforce_sets(spark, docs, pct):
+    """containment_pairs over random token docs must equal the brute-force
+    set computation: for every doc pair, distinct-3-gram intersection over
+    the smaller set, thresholded with the same integer arithmetic. Pins
+    the asymmetric-metric claim (subset docs score 1.0 regardless of the
+    superset's size) for arbitrary inputs, not just the planted fixtures."""
+    from healthcare_rcm_etl_pipeline_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, round(r.containment, 9))
+        for r in containment_pairs(
+            df, "text", "doc_id", n=3, threshold_pct=pct
+        ).collect()
+    }
+
+    def sh(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    expect = {}
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            sa, sb = sh(a), sh(docs[j])
+            inter = len(sa & sb)
+            m = min(len(sa), len(sb))
+            if inter and 100 * inter >= pct * m:
+                expect[(i, j)] = (inter, round(inter / m, 9))
+    assert got == expect
