@@ -147,6 +147,15 @@ HEADLINE = [
     "q48_copurchase_pairs",
     "q49_copurchase_pagerank",
     "sketch_set_intersection",
+    # round-7 surface additions (retrieval, sampling, pattern detection,
+    # containment dedup, survivor policy, clustering, BFS reach)
+    "bm25_topk",
+    "weighted_sample_es",
+    "events_pattern_conversion",
+    "dedup_containment",
+    "dedup_keep_priority",
+    "kmeans_lloyd",
+    "q50_copurchase_reach",
 ]
 
 

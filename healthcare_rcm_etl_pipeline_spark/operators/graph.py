@@ -222,8 +222,12 @@ def bfs_hops(
     per round and Catalyst analysis dominates long before the data does.
 
     ``seeds``: one-column DataFrame of node ids. Returns (out_node,
-    out_hops) for every node within ``max_hops`` of any seed (seeds
-    included at hop 0).
+    out_hops) for every node within ``max_hops`` of any seed — ALL
+    distinct seeds included at hop 0, even seeds with no incident edge
+    (an isolated seed is within 0 hops of itself; for the blast-radius
+    use the benchmark hit itself is always in the radius). The
+    edges-semi-join is applied only to the EXPANSION frontier, where it
+    is a pure optimization: isolated seeds cannot discover neighbors.
     """
     e = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
@@ -233,13 +237,15 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    frontier = (
+    all_seeds = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
-        .join(e.select(F.col("s").alias("node")).distinct(), "node", "left_semi")
         .localCheckpoint(eager=True)
     )
-    visited = frontier.withColumn("hops", F.lit(0))
+    frontier = all_seeds.join(
+        e.select(F.col("s").alias("node")).distinct(), "node", "left_semi"
+    ).localCheckpoint(eager=True)
+    visited = all_seeds.withColumn("hops", F.lit(0))
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("node", "s"), "s")

@@ -5662,7 +5662,8 @@ _PRIORITY_SURVIVORS_ORACLE = f"""
     labeled AS (
       SELECT d.doc_id, d.source,
              COALESCE(c.component, d.doc_id) AS component,
-             CAST(substring(d.source, 4) AS BIGINT) AS prio
+             COALESCE(TRY_CAST(substring(d.source, 4) AS BIGINT),
+                      4611686018427387904) AS prio
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
     ),
     ranked AS (
@@ -5683,7 +5684,14 @@ def dedup_keep_priority_q(spark, sf_dir):
     win. Same pairs→CC spine as dedup_keep_survivors; the survivor pick
     is a per-cluster min_by over a (priority, id) struct — a COMBINABLE
     aggregate (map-side partials, no sort, no whole-cluster buffer), the
-    best_survivors device with a composite policy key."""
+    best_survivors device with a composite policy key.
+
+    NULL-priority policy (explicit on BOTH sides): a source that doesn't
+    parse as 'srcN' gets priority 2^62 — i.e. malformed sources lose to
+    every well-formed one, identically in Spark (coalesce after cast,
+    which yields NULL on junk) and DuckDB (COALESCE(TRY_CAST(...))).
+    Without this the engines disagree silently: Spark's min_by struct
+    sorts NULLs FIRST (malformed wins) while DuckDB's CAST raises."""
     from healthcare_rcm_etl_pipeline_spark.operators import graph
 
     d = _t(spark, sf_dir, "documents")
@@ -5695,7 +5703,9 @@ def dedup_keep_priority_q(spark, sf_dir):
         d.select(
             "doc_id",
             "source",
-            F.substring("source", 4, 16).cast("long").alias("prio"),
+            F.coalesce(
+                F.substring("source", 4, 16).cast("long"), F.lit(2**62)
+            ).alias("prio"),
         )
         .join(labels.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))

@@ -43,6 +43,7 @@ marker recipe shared with ``events.make_upsert_batch_fn``.
 from __future__ import annotations
 
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -399,10 +400,12 @@ def _acquire_maintenance_lock(spark: SparkSession, base: str, steal: bool):
     CONCURRENT one: a second writer's recover_base could classify the
     first writer's in-flight ``.purge_tmp`` as stale and delete it between
     its write and its rename. The lock file (atomic ``createNewFile``)
-    makes maintenance single-writer, and the streaming batch path SKIPS
-    recovery while it is held (``recover_base`` lock check) — batches keep
-    reading the still-intact live dirs. If a maintenance op crashes while
-    holding the lock, the leftovers stay quarantined until an operator
+    makes every healer single-writer: maintenance ops hold it for their
+    whole swap, and the streaming batch path acquires the SAME lock before
+    any heal action (``recover_base`` scans lock-free, locks only when it
+    found leftovers) — so a batch can never delete an op's in-flight
+    tmp/trash, and an op can never start mid-heal. If a holder crashes
+    while locked, the leftovers stay quarantined until an operator
     confirms nothing is running and re-runs with ``steal_lock=True``."""
     fs, _ = sinks._fs_path(spark, base)
     lock = f"{base}/{_MAINT_LOCK}"
@@ -411,15 +414,33 @@ def _acquire_maintenance_lock(spark: SparkSession, base: str, steal: bool):
     if not fs.createNewFile(_jpath(spark, lock)):
         raise MaintenanceLockHeld(
             f"maintenance lock held at {lock}: another purge_ids/"
-            "compact_epochs is running, or a prior one crashed. If no "
-            "maintenance process is alive, re-run with steal_lock=True "
-            "(recover_base then heals any half-finished swap)."
+            "compact_epochs is running, a batch-side recover_base is "
+            "healing crash leftovers (transient — retry), or a prior "
+            "holder crashed. If no maintenance process is alive, re-run "
+            "with steal_lock=True (recover_base then heals any "
+            "half-finished swap)."
         )
     return fs, lock
 
 
 def _release_maintenance_lock(spark: SparkSession, fs, lock: str) -> None:
-    _must_delete(spark, fs, lock)
+    """Best-effort: every caller runs this in ``finally``, where raising
+    would REPLACE an in-flight maintenance exception with the (strictly
+    less interesting) lock-cleanup failure. A lock that could not be
+    deleted is left behind and warned about; the next maintenance entry
+    then raises ``MaintenanceLockHeld`` until an operator confirms no
+    writer is alive and passes ``steal_lock=True`` — the same recovery
+    path as a process kill, which also orphans the lock."""
+    try:
+        _must_delete(spark, fs, lock)
+    except Exception as exc:  # noqa: BLE001 — must not mask the body's error
+        warnings.warn(
+            f"maintenance lock release failed ({lock}): {exc}; the next "
+            "purge_ids/compact_epochs must pass steal_lock=True after "
+            "confirming no maintenance process is alive",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def recover_base(
@@ -459,60 +480,92 @@ def recover_base(
     Called on entry by both maintenance ops (idempotent, one directory
     listing per dataset) and by every streaming micro-batch. The batch
     path must NOT heal while a maintenance op is mid-swap — its tmp/trash
-    dirs are live protocol state, not crash leftovers — so when the
-    ``_MAINT_LOCK`` file is present (held by a running purge/compact, or
-    by a crashed one awaiting an operator's ``steal_lock=True``) the
-    default call returns without touching anything; the maintenance ops
-    themselves pass ``ignore_lock=True`` after acquiring the lock.
+    dirs are live protocol state, not crash leftovers. Batch-side healing
+    is therefore MUTUALLY EXCLUSIVE with maintenance, not merely
+    check-then-skip (r7 ADVICE closed the TOCTOU): the default call first
+    scans WITHOUT acting; if nothing needs healing (the steady state) it
+    returns zero counts with no lock I/O; if leftovers are found it
+    atomically acquires the SAME ``_MAINT_LOCK`` the maintenance ops use
+    (``createNewFile``), re-scans under the lock — state is now stable,
+    no purge/compact can start — heals, and releases. Losing the acquire
+    race, or finding the lock already present (a running op, or a crashed
+    one awaiting an operator's ``steal_lock=True``), returns {} without
+    touching anything. The maintenance ops themselves pass
+    ``ignore_lock=True`` after acquiring the lock on entry.
     Returns {dataset: resolved_leftover_count} ({} when skipped).
     """
     fs, _ = sinks._fs_path(spark, base)
-    if not ignore_lock and fs.exists(_jpath(spark, f"{base}/{_MAINT_LOCK}")):
-        return {}
-    recovered: dict[str, int] = {}
-    for sub in _DATASETS:
-        root = f"{base}/{sub}"
-        if not sinks.path_exists(spark, root):
-            continue
+
+    def _sweep_dataset(root: str, names: set[str], apply: bool) -> int:
         n = 0
-        names = {
-            st.getPath().getName() for st in fs.listStatus(_jpath(spark, root))
-        }
         for name in sorted(names):
             if name.startswith(".epoch=") and name.endswith(".purge_trash"):
                 live = name[1 : -len(".purge_trash")]  # "epoch=N"
                 tmp = f".{live}.purge_tmp"
-                if live in names:
-                    _must_delete(spark, fs, f"{root}/{name}")
-                elif tmp in names:
-                    _must_rename(spark, fs, f"{root}/{tmp}", f"{root}/{live}")
-                    _must_delete(spark, fs, f"{root}/{name}")
-                else:
-                    _must_rename(spark, fs, f"{root}/{name}", f"{root}/{live}")
+                if apply:
+                    if live in names:
+                        _must_delete(spark, fs, f"{root}/{name}")
+                    elif tmp in names:
+                        _must_rename(spark, fs, f"{root}/{tmp}", f"{root}/{live}")
+                        _must_delete(spark, fs, f"{root}/{name}")
+                    else:
+                        _must_rename(spark, fs, f"{root}/{name}", f"{root}/{live}")
                 n += 1
             elif name.startswith(".epoch=") and name.endswith(".purge_tmp"):
                 trash = name[: -len(".purge_tmp")] + ".purge_trash"
                 if trash not in names:  # else: handled with its trash above
-                    _must_delete(spark, fs, f"{root}/{name}")
+                    if apply:
+                        _must_delete(spark, fs, f"{root}/{name}")
                     n += 1
         has_trash = ".compact_trash" in names
         has_tmp = ".compact_tmp" in names
         if has_trash and has_tmp:
-            for st in fs.listStatus(_jpath(spark, f"{root}/.compact_trash")):
-                nm = st.getPath().getName()
-                if not sinks.path_exists(spark, f"{root}/{nm}"):
-                    _must_rename(spark, fs, f"{root}/.compact_trash/{nm}", f"{root}/{nm}")
-            _must_delete(spark, fs, f"{root}/.compact_trash")
-            _must_delete(spark, fs, f"{root}/.compact_tmp")
+            if apply:
+                for st in fs.listStatus(_jpath(spark, f"{root}/.compact_trash")):
+                    nm = st.getPath().getName()
+                    if not sinks.path_exists(spark, f"{root}/{nm}"):
+                        _must_rename(
+                            spark, fs, f"{root}/.compact_trash/{nm}", f"{root}/{nm}"
+                        )
+                _must_delete(spark, fs, f"{root}/.compact_trash")
+                _must_delete(spark, fs, f"{root}/.compact_tmp")
             n += 1
         elif has_trash:
-            _must_delete(spark, fs, f"{root}/.compact_trash")
+            if apply:
+                _must_delete(spark, fs, f"{root}/.compact_trash")
             n += 1
         elif has_tmp:
-            _must_delete(spark, fs, f"{root}/.compact_tmp")
+            if apply:
+                _must_delete(spark, fs, f"{root}/.compact_tmp")
             n += 1
-        recovered[sub] = n
-    return recovered
+        return n
+
+    def _sweep(apply: bool) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for sub in _DATASETS:
+            root = f"{base}/{sub}"
+            if not sinks.path_exists(spark, root):
+                continue
+            names = {
+                st.getPath().getName() for st in fs.listStatus(_jpath(spark, root))
+            }
+            out[sub] = _sweep_dataset(root, names, apply)
+        return out
+
+    if ignore_lock:
+        return _sweep(apply=True)
+    lock = f"{base}/{_MAINT_LOCK}"
+    if fs.exists(_jpath(spark, lock)):
+        return {}
+    detected = _sweep(apply=False)
+    if not any(detected.values()):
+        return detected  # steady state: no leftovers, no lock taken
+    if not fs.createNewFile(_jpath(spark, lock)):
+        return {}  # a maintenance op took the lock between scan and acquire
+    try:
+        return _sweep(apply=True)  # re-scan under the lock: state is stable
+    finally:
+        _release_maintenance_lock(spark, fs, lock)
 
 
 def purge_ids(
@@ -548,9 +601,10 @@ def purge_ids(
     Maintenance is SINGLE-WRITER: entry takes the ``_MAINT_LOCK`` file
     (atomic create; raises ``MaintenanceLockHeld`` if another purge/
     compact holds it — pass ``steal_lock=True`` only after confirming the
-    prior holder is dead), and while it is held, streaming batches skip
-    their pre-read ``recover_base`` so they cannot misread this op's
-    in-flight tmp/trash dirs as crash leftovers. Every rename/delete is
+    prior holder is dead), and streaming batches heal only under the SAME
+    lock (acquired atomically, never check-then-act), so they cannot
+    misread this op's in-flight tmp/trash dirs as crash leftovers at any
+    interleaving. Every rename/delete is
     checked (``_must_rename``/``_must_delete``): Hadoop's FileSystem API
     reports failure by returning false, and an unchecked false on the
     commit rename would let the trash cleanup destroy the only copy.
@@ -640,8 +694,9 @@ def compact_epochs(
     The _EPOCH marker is untouched. Returns {dataset: folded_dir_count}.
 
     Single-writer + checked-FS-API discipline as in ``purge_ids``: the
-    ``_MAINT_LOCK`` gate keeps a concurrent batch's recover_base from
-    deleting the in-flight ``.compact_tmp``, and every rename/delete
+    ``_MAINT_LOCK`` gate (which batch-side recover_base must itself
+    acquire before acting) keeps a concurrent batch from deleting the
+    in-flight ``.compact_tmp`` or ``.compact_trash``, and every rename/delete
     raises on Hadoop's boolean-false failure mode so the trash is only
     dropped after the commit rename is CONFIRMED.
     """

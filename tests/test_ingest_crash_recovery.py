@@ -304,3 +304,90 @@ def test_lock_released_after_success_and_failure(spark, tmp_path):
     assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
     ingest.purge_ids(spark, base, [999])
     assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
+
+
+def test_batch_heal_is_locked_and_releases(spark, tmp_path):
+    """Batch-side recover_base heals under the maintenance lock (r7 ADVICE:
+    the old check-then-act let a batch heal an op's in-flight dirs) and
+    releases it afterwards; steady-state calls return zero counts without
+    ever creating the lock."""
+    base = str(tmp_path / "corpus")
+    lock = f"{base}/{ingest._MAINT_LOCK}"
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    _write_purge_tmp(spark, base, 0, [1])
+
+    got = ingest.recover_base(spark, base)
+    assert got["docs"] == 1
+    assert not os.path.exists(lock)  # released after the locked heal
+    _no_hidden_dirs(base)
+
+    steady = ingest.recover_base(spark, base)
+    assert steady and all(v == 0 for v in steady.values())
+    assert not os.path.exists(lock)
+
+
+def test_batch_recover_loses_acquire_race(spark, tmp_path, monkeypatch):
+    """If a maintenance op wins the lock between recover_base's lock-free
+    scan and its acquire (the r7-ADVICE TOCTOU window), the batch must
+    back off: return {} and touch nothing — the in-flight dirs now belong
+    to the op. Simulated by forcing createNewFile to lose."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    part, tmp = _write_purge_tmp(spark, base, 0, [1])
+
+    real_fs_path = ingest.sinks._fs_path
+
+    class _LosesTheRace:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def createNewFile(self, p):  # noqa: N802 — Hadoop API name
+            return False  # someone else created the lock first
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(spark_, path):
+        fs, p = real_fs_path(spark_, path)
+        return _LosesTheRace(fs), p
+
+    monkeypatch.setattr(ingest.sinks, "_fs_path", patched)
+    assert ingest.recover_base(spark, base) == {}
+    monkeypatch.undo()
+    assert os.path.isdir(tmp)  # in-flight protocol state untouched
+    assert _ids(spark, base) == [1, 2]
+
+
+def test_lock_release_failure_warns_not_masks(spark, tmp_path, monkeypatch):
+    """A failed lock delete in the finally path must not replace the op's
+    result (r7 ADVICE: _must_delete raising in finally masked the real
+    outcome): the op returns normally, a RuntimeWarning points at
+    steal_lock, and the lock lingers for the next caller to steal."""
+    import pytest
+
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+
+    real = ingest._must_delete
+
+    def flaky(spark_, fs, path):
+        if path.endswith(ingest._MAINT_LOCK):
+            raise IOError(f"fs.delete returned false: {path}")
+        return real(spark_, fs, path)
+
+    monkeypatch.setattr(ingest, "_must_delete", flaky)
+    with pytest.warns(RuntimeWarning, match="steal_lock"):
+        out = ingest.purge_ids(spark, base, [1])
+    monkeypatch.undo()
+    assert out == {"docs": 1, "bands": 1}
+    assert os.path.exists(f"{base}/{ingest._MAINT_LOCK}")  # lingers, documented
+    assert _ids(spark, base) == [2]
+
+    # the next maintenance entry must steal, then everything is normal again
+    with pytest.raises(ingest.MaintenanceLockHeld):
+        ingest.purge_ids(spark, base, [2])
+    assert ingest.purge_ids(spark, base, [2], steal_lock=True) == {
+        "docs": 1,
+        "bands": 1,
+    }
+    assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")

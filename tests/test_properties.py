@@ -433,8 +433,9 @@ def test_kmv_exact_regime_set_algebra_on_random_sets(spark, sa, sb):
 )
 def test_bfs_hops_matches_pure_python_bfs(spark, edge_list, seed_list, max_hops):
     """bfs_hops on arbitrary random graphs must equal a pure-Python BFS:
-    same reached set, same minimum hop distances, seeds-in-graph-only
-    semantics, and the max_hops bound. Catches frontier/visited slips
+    same reached set, same minimum hop distances, ALL seeds at hop 0
+    (isolated seeds included — r7 ADVICE: an isolated seed is within 0
+    hops of itself), and the max_hops bound. Catches frontier/visited slips
     (re-expanding visited nodes, off-by-one depth) that the fixed-seed
     q50 oracle can't distinguish from a lucky topology."""
     from healthcare_rcm_etl_pipeline_spark.operators.graph import bfs_hops
@@ -454,7 +455,7 @@ def test_bfs_hops_matches_pure_python_bfs(spark, edge_list, seed_list, max_hops)
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
     frontier = {s for s in set(seed_list) if s in adj}
-    expect = {s: 0 for s in frontier}
+    expect = {s: 0 for s in set(seed_list)}
     for hop in range(1, max_hops + 1):
         frontier = {
             t for s in frontier for t in adj[s] if t not in expect
