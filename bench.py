@@ -153,6 +153,7 @@ HEADLINE = [
     "weighted_sample_es",
     "events_pattern_conversion",
     "dedup_containment",
+    "dedup_containment_capped",
     "dedup_keep_priority",
     "kmeans_lloyd",
     "q50_copurchase_reach",

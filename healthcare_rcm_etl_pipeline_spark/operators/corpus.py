@@ -800,3 +800,158 @@ def cooccurrence_pairs(
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, "Neural Machine Translation
+# of Rare Words with Subword Units") — the vocabulary-learning primitive a
+# training-data pipeline needs alongside tokenize->pack. Reference repo has
+# no tokenizer surface; this is beyond-reference LLM-pipeline coverage.
+# ---------------------------------------------------------------------------
+
+_BPE_EOW = "</w>"  # Sennrich end-of-word marker: its own symbol, never a char
+
+
+def bpe_initial_words(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, w, cnt): corpus word frequencies with each word expanded to
+    its initial symbol string — characters plus the ``</w>`` marker,
+    joined by TWO spaces and wrapped in single spaces (``' h  i  </w> '``).
+
+    The double-space separator is what makes the merge step a plain
+    string ``replace``: replacing ``' a  b '`` with ``' ab '`` consumes
+    one space of each flanking separator, so the wrapped-double-space
+    invariant survives every merge AND adjacent occurrences stay
+    replaceable (with single spaces, ``' a b a b '`` loses its second
+    match to the consumed boundary space). Both Spark's and DuckDB's
+    ``replace`` scan left-to-right non-overlapping — exactly greedy BPE
+    application order — so engine and oracle rewrite identically.
+
+    This corpus-wide word count is the ONLY corpus-scale shuffle in BPE
+    training; everything after runs on the distinct-word table, which is
+    Heaps-law bounded (~1M rows at 100 TB), not corpus-sized.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    wrapped = F.concat(
+        F.lit(" "),
+        F.array_join(F.concat(chars, F.array(F.lit(_BPE_EOW))), "  "),
+        F.lit(" "),
+    )
+    return words.select("word", wrapped.alias("w"), "cnt")
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the current word table,
+    weighted by word count — a combinable integer aggregate (map-side
+    partials; the pair keyspace is vocab-bounded)."""
+    pair_structs = F.expr(
+        "zip_with(slice(split(trim(w), '  '), 1, size(split(trim(w), '  ')) - 1), "
+        "slice(split(trim(w), '  '), 2, size(split(trim(w), '  ')) - 1), "
+        "(x, y) -> named_struct('a', x, 'b', y))"
+    )
+    return (
+        words.select(F.col("cnt"), F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus. Returns
+    ``(merges, words)``: the merge table (step, left_sym, right_sym,
+    merged, pair_count) in learned order, and the final word table
+    (word, w, cnt) with every learned merge applied.
+
+    Iterative, fully declarative, DETERMINISTIC: per round, (1) adjacent-
+    pair counts — integer sums, order-free; (2) the winner = top-1 by
+    (pair_count DESC, left_sym ASC, right_sym ASC) — a 1-row
+    TakeOrderedAndProject with a total tie-break, so every engine picks
+    the same merge; (3) the rewrite — the winner broadcast-cross-joined
+    onto the word table and applied as one string ``replace`` per word
+    (whole-stage codegen; greedy left-to-right, see
+    ``bpe_initial_words``). No driver-side state: centroid-style, the
+    merge never leaves the plan; ``localCheckpoint`` per round truncates
+    lineage exactly as in connected_components/kmeans. Per-round cost is
+    O(vocab), not O(corpus) — the corpus is touched once, in
+    ``bpe_initial_words``. Stops early if no pair remains (every word
+    collapsed to one symbol), which cannot happen at realistic
+    ``n_merges`` << vocab size.
+    """
+    spark = df.sparkSession
+    words = bpe_initial_words(df, text_col).localCheckpoint(eager=True)
+    merges = spark.createDataFrame(
+        [],
+        "step int, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+    for step in range(1, n_merges + 1):
+        winner = (
+            _bpe_pairs(words)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if winner.isEmpty():
+            break
+        merges = merges.unionByName(winner)
+        words = (
+            words.crossJoin(F.broadcast(winner))
+            .select(
+                "word",
+                F.replace(
+                    F.col("w"),
+                    F.concat(F.lit(" "), "left_sym", F.lit("  "), "right_sym", F.lit(" ")),
+                    F.concat(F.lit(" "), "merged", F.lit(" ")),
+                ).alias("w"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges, words
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str, group_col: str, n_merges: int = 8
+) -> DataFrame:
+    """Per-group token statistics under a corpus-trained BPE vocabulary:
+    (group, n_words, n_tokens_char, n_tokens_bpe) — the compression
+    measurement that tells a data pipeline how a vocab candidate prices
+    each source/language slice. Trains on the WHOLE corpus (one shared
+    vocab, the production shape), then joins the final per-word
+    segmentation back onto per-group word counts — the words table is
+    vocab-sized, so the join broadcasts; the corpus is scanned twice
+    (train counts + group counts), never more.
+    """
+    _, words = bpe_train(df, text_col, n_merges)
+    seg = words.select(
+        "word", F.size(F.split(F.trim("w"), "  ")).alias("n_syms")
+    )
+    per_group = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("word"))
+        .groupBy("grp", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        per_group.join(F.broadcast(seg), "word")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * (F.length("word") + 1)).cast("bigint").alias(
+                "n_tokens_char"
+            ),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_tokens_bpe"),
+        )
+        .select(F.col("grp").alias(group_col), "n_words", "n_tokens_char", "n_tokens_bpe")
+    )

@@ -5646,6 +5646,60 @@ def dedup_containment_q(spark, sf_dir):
     )
 
 
+_CONTAINMENT_CAPPED_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM toks
+    ),
+    post_all AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ),
+    hot AS (  -- stop-shingle cap: mirrors the engine's max_df skew guard
+      SELECT shingle FROM post_all GROUP BY 1 HAVING COUNT(*) > 50
+    ),
+    post AS (
+      SELECT * FROM post_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_a, n_b, n_common,
+           n_common / CAST(LEAST(n_a, n_b) AS DOUBLE) AS containment
+    FROM pairs
+    WHERE 100 * n_common >= 70 * LEAST(n_a, n_b)
+"""
+
+
+@query("dedup_containment_capped", _CONTAINMENT_CAPPED_ORACLE)
+def dedup_containment_capped_q(spark, sf_dir):
+    """The PRODUCTION registration of containment dedup: same semantics as
+    ``dedup_containment`` but with the ``max_df`` stop-shingle cap ON
+    (df > 50 shingles dropped before pairing) — at 100 TB a single
+    boilerplate shingle with document frequency d otherwise contributes
+    O(d²) candidate pairs, so the uncapped form is an oracle-semantics
+    registration, not the plan you'd run. The oracle mirrors the cap
+    exactly (hot CTE), so this stays hash-exact rather than tolerance-
+    checked; what the cap costs in RECALL (containment is more cap-
+    sensitive than Jaccard — dropped shingles deplete small docs'
+    intersection mass first) is measured against the uncapped ground
+    truth at the 10× corpus in scripts/audit_tolerance_sf1.py, with the
+    curve quoted in SCALE.md."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "text", "doc_id", n=3, threshold_pct=70, max_df=50
+    )
+
+
 _PRIORITY_SURVIVORS_ORACLE = f"""
     WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
     e AS (
@@ -5792,3 +5846,194 @@ def kmeans_lloyd_q(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_points"),
         F.round(F.sum("dist2"), 3).alias("inertia"),
     )
+
+
+def _bpe_oracle_stages(n_merges: int) -> str:
+    """The shared unrolled-merge CTE chain for the BPE oracles: wc/w0 plus
+    (p_k, m_k, w_k) per merge — the same exact device as q49's unrolled
+    PageRank steps, here for an iterative STRING algorithm. Both engines
+    pick each merge by (count DESC, pair ASC) over integer counts and
+    rewrite via left-to-right non-overlapping replace on the
+    double-space-wrapped symbol string, so every stage is hash-exact."""
+    stages = [
+        f"""
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY 1
+    ),
+    w0 AS (
+      SELECT word,
+             ' ' || array_to_string(list_append(
+               list_transform(range(1, length(word) + 1),
+                              i -> substring(word, i, 1)), '</w>'), '  ') || ' ' AS w,
+             cnt
+      FROM wc
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        stages.append(f"""
+    p{k} AS (
+      SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT cnt,
+                   unnest(list_transform(range(1, len(syms)),
+                                         i -> [syms[i], syms[i+1]])) AS pr
+            FROM (SELECT cnt, string_split(trim(w), '  ') AS syms FROM w{k - 1}))
+      GROUP BY 1, 2
+    ),
+    m{k} AS (
+      SELECT {k} AS step, a, b, a || b AS merged, pair_count
+      FROM p{k} ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    w{k} AS (
+      SELECT t.word,
+             replace(t.w, ' ' || m.a || '  ' || m.b || ' ',
+                          ' ' || m.a || m.b || ' ') AS w,
+             t.cnt
+      FROM w{k - 1} t, m{k} m
+    )""")
+    return ",".join(stages)
+
+
+_BPE_MERGES = 8
+
+
+def _bpe_train_oracle() -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, a AS left_sym, b AS right_sym, merged, pair_count FROM m{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"WITH {_bpe_oracle_stages(_BPE_MERGES)}\n    {union}"
+
+
+@query("corpus_bpe_train", _bpe_train_oracle())
+def corpus_bpe_train_q(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016) over the documents
+    corpus: the first 8 learned merges as (step, left_sym, right_sym,
+    merged, pair_count) — an ITERATIVE string algorithm with an exact
+    unrolled SQL twin, the q49/kmeans determinism device applied to vocab
+    learning. See operators/corpus.py:bpe_train for the loop: the corpus
+    is shuffled ONCE (word counts — the only corpus-scale stage); each
+    round is a vocab-bounded pair count (combinable integer agg), a 1-row
+    top-1 with a total (count DESC, pair ASC) tie-break, and a broadcast
+    cross-join rewrite via whole-stage-codegen string replace. No
+    driver-side state, localCheckpoint per round."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", n_merges=_BPE_MERGES)
+    return merges
+
+
+def _bpe_token_count_oracle() -> str:
+    return f"""WITH {_bpe_oracle_stages(_BPE_MERGES)},
+    seg AS (
+      SELECT word, len(string_split(trim(w), '  ')) AS n_syms FROM w{_BPE_MERGES}
+    ),
+    pg AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest({_TOKS}) AS word FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * (length(word) + 1)) AS BIGINT) AS n_tokens_char,
+           CAST(SUM(cnt * n_syms) AS BIGINT) AS n_tokens_bpe
+    FROM pg JOIN seg USING (word)
+    GROUP BY 1
+    """
+
+
+@query("corpus_bpe_token_count", _bpe_token_count_oracle())
+def corpus_bpe_token_count_q(spark, sf_dir):
+    """Per-source token statistics under the corpus-trained 8-merge BPE
+    vocab: (source, n_words, n_tokens_char, n_tokens_bpe) — the
+    compression measurement that prices a vocab candidate per corpus
+    slice (how many tokens each source costs before/after subword
+    merges). One shared vocab trained corpus-wide, then the vocab-sized
+    segmentation table broadcast-joins onto per-source word counts —
+    corpus scanned twice, never more."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(d, "text", "source", n_merges=_BPE_MERGES)
+
+
+def _blast_radius_oracle(max_hops: int = 2) -> str:
+    """Unrolled BFS over the near-dup pair graph seeded by the benchmark-
+    contaminated docs — composes the _JACCARD_ORACLE edge set with the
+    contamination seed set and the _reach_oracle frontier device. Seeds
+    enter at hop 0 UNFILTERED (an isolated contaminated doc is its own
+    blast radius — the r7-ADVICE bfs semantics), so f0 is the seed set
+    itself; expansion joins prune to graph nodes naturally."""
+    head = f"""
+    WITH jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM jp
+      UNION SELECT doc_b, doc_a FROM jp
+    ),
+    t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                          i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM t
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+    ),
+    corp AS (SELECT * FROM sh WHERE source <> 'src0'),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corp) c
+      JOIN bench b ON c.shingle = b.shingle
+      GROUP BY 1
+    ),
+    f0 AS (SELECT DISTINCT doc_id AS node FROM hits WHERE n_hits >= 2),
+    v0 AS (SELECT node, 0 AS hops FROM f0)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f""",
+    f{i} AS (SELECT DISTINCT e.t AS node FROM edges e
+             JOIN f{i - 1} f ON e.s = f.node
+             WHERE e.t NOT IN (SELECT node FROM v{i - 1})),
+    v{i} AS (SELECT * FROM v{i - 1} UNION ALL SELECT node, {i} FROM f{i})"""
+        )
+    tail = f"""
+    SELECT node AS doc, CAST(hops AS INT) AS hops FROM v{max_hops}
+    """
+    return head + "".join(steps) + tail
+
+
+@query("decontaminate_blast_radius", _blast_radius_oracle())
+def decontaminate_blast_radius_q(spark, sf_dir):
+    """Contamination BLAST RADIUS: every doc within 2 near-dup hops of a
+    benchmark-contaminated doc — the removal set for strict
+    decontamination, where dropping only the direct n-gram hits leaves
+    their near-duplicates (same content, perturbed surface) in the
+    training corpus. Composes three verified operators: contamination
+    seeds (GPT-3-style n-gram overlap vs source='src0', >= 2 shared
+    3-grams), the capped Jaccard near-dup pair graph (max_df=20), and
+    operators/graph.py:bfs_hops — frontier-only expansion, so at 100 TB
+    the cost tracks the contaminated neighborhood, not the corpus, and a
+    contaminated doc with no near-dups still surfaces at hop 0 (its own
+    radius). hops = min near-dup distance from any benchmark hit — the
+    triage key (hop 0: drop; hop 1-2: review or drop by policy)."""
+    from healthcare_rcm_etl_pipeline_spark.operators import corpus as corpus_ops
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import bfs_hops
+
+    d = _t(spark, sf_dir, "documents")
+    stats = corpus_ops.contamination_stats(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=3,
+        min_overlap=2,
+    )
+    seeds = stats.filter(F.col("contaminated")).select(F.col("doc_id").alias("node"))
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return bfs_hops(edges, seeds, max_hops=2, out_node="doc", out_hops="hops")

@@ -190,6 +190,80 @@ def view_purchase_join(
     )
 
 
+def pattern_conversions(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of the ``events_pattern_conversion`` batch query:
+    purchases preceded by a view within ``within`` with no error between
+    the view and the purchase, emitted per conversion as
+    (user_id, purchase_id, purchase_ts). The SAME body runs in batch.
+
+    The batch query expresses the pattern as running conditional MAXes in
+    one window pass; window functions don't stream, so this is the
+    watermark-compatible reformulation as interval joins — equivalent by
+    a witness argument: *some* view with no error before the purchase
+    exists iff the LAST view has none (any error after the last view is
+    after every view). Concretely: views ⋈ purchases on user within
+    (purchase_ts - within, purchase_ts], left-outer ⋈ errors on user
+    within [view_ts, purchase_ts], keep rows with no error match, then
+    de-duplicate per purchase (several clean views may witness the same
+    purchase). Tie policy is TIMESTAMP-based (an error sharing the last
+    view's timestamp vetoes, as in the batch query's max-ts comparison);
+    the batch window orders same-ts rows by event_id only to totalize the
+    frame, which cannot change either max.
+
+    Streaming state stays bounded exactly as in ``view_purchase_join``:
+    user-equi join keys partition the state; every interval condition is
+    two-sided, so both join buffers evict at watermark; the final
+    ``dropDuplicates`` includes the event-time column, so dedup state
+    evicts too. Append mode end-to-end (chained stateful operators)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    v = src.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = src.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("__e_user"),
+        F.col("ts").alias("error_ts"),
+    )
+    iv = F.expr(f"INTERVAL {within}")
+    vp = v.join(
+        p,
+        (F.col("user_id") == F.col("__p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - iv),
+    )
+    # the joined stream carries TWO watermarked event-time columns
+    # (view_ts, purchase_ts); downstream stateful operators require
+    # exactly one, so view_ts is demoted to a plain timestamp (the
+    # unix_micros round-trip strips the event-time metadata — values are
+    # unchanged) and purchase_ts stays the stream's event time
+    if events.isStreaming:
+        vp = vp.withColumn(
+            "view_ts", F.expr("timestamp_micros(unix_micros(view_ts))")
+        )
+    vpe = vp.join(
+        e,
+        (F.col("user_id") == F.col("__e_user"))
+        & (F.col("error_ts") >= F.col("view_ts"))
+        & (F.col("error_ts") <= F.col("purchase_ts"))
+        # two-sided purchase_ts<->error_ts bound (implied by the view
+        # window) so both join buffers evict at the watermark
+        & (F.col("error_ts") >= F.col("purchase_ts") - iv),
+        "left_outer",
+    )
+    return (
+        vpe.filter(F.col("error_ts").isNull())
+        .select("user_id", "purchase_id", "purchase_ts")
+        .dropDuplicates(["purchase_id", "purchase_ts"])
+    )
+
+
 def make_upsert_batch_fn(base: str, keys: list[str], order_cols: list[str]):
     """foreachBatch body for an exactly-once-style keyed upsert into a
     versioned parquet dataset (sources.sinks.write_versioned).

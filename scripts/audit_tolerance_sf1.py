@@ -370,6 +370,178 @@ def main() -> None:
     }
     print(f"group_minhash: {report['group_minhash']}", file=sys.stderr)
 
+    # ---- 7. containment recall vs max_df at 10x ---------------------------
+    # The registered dedup_containment runs UNCAPPED (full oracle
+    # semantics); the production twin dedup_containment_capped caps at
+    # df > 50. Containment is more cap-sensitive than Jaccard (a dropped
+    # stop-shingle depletes small docs' intersection mass first), so the
+    # cap's recall cost is measured here against the uncapped ground truth
+    # on the 10x corpus — the same protocol as the adaptive-plane sweep.
+    import time as _time
+
+    print("containment cap sweep ...", file=sys.stderr)
+    docs10.cache().count()
+    t0 = _time.perf_counter()
+    truth_c = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.containment_pairs(
+            docs10, "text", "doc_id", n=3, threshold_pct=70, max_df=None
+        ).collect()
+    }
+    uncapped_sec = round(_time.perf_counter() - t0, 2)
+    cont = {"true_pairs": len(truth_c), "uncapped_sec": uncapped_sec}
+    for cap in (200, 50, 20):
+        t0 = _time.perf_counter()
+        got_c = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.containment_pairs(
+                docs10, "text", "doc_id", n=3, threshold_pct=70, max_df=cap
+            ).collect()
+        }
+        cont[f"max_df_{cap}"] = {
+            "found": len(got_c),
+            "recall": round(len(got_c & truth_c) / max(1, len(truth_c)), 6),
+            "false_positives": len(got_c - truth_c),
+            "sec": round(_time.perf_counter() - t0, 2),
+        }
+        print(f"  containment cap={cap}: {cont[f'max_df_{cap}']}", file=sys.stderr)
+    docs10.unpersist()
+    report["containment_cap"] = cont
+    print(f"containment_cap: {cont}", file=sys.stderr)
+
+    # ---- 8. rounding-before-rank margins at 10x: bm25 + ES sampling ------
+    # bm25_topk rounds scores to 6 dp and weighted_sample_es rounds its
+    # ln(u)/w keys to 9 dp BEFORE ranking; cross-engine agreement needs
+    # every score in the top region to sit far from its rounding boundary
+    # relative to ln()/sum-order ulp noise (~1e-14 relative). Rank flips
+    # at the boundary are the exact failure class the r4 audit caught, and
+    # score populations DENSIFY as corpora grow — so the margin is
+    # measured at 10x, alongside a full engine-vs-oracle parity run on
+    # the same 10x corpus.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import duckdb as _duckdb
+
+    import __spark_entry__ as _entry
+
+    print("bm25/es margin audit ...", file=sys.stderr)
+    base_docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    # id-shifted replicas, r filler tokens appended (dlen varies per
+    # replica so the 10x score population is DISTINCT, not 10 copies —
+    # token-prefixed replicas would break term matching entirely)
+    parts = [
+        base_docs.select(
+            (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.concat(F.col("text"), F.lit(" " + " ".join(["zfill"] * r)))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for r in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    tmp = _tempfile.mkdtemp(prefix="hrcm_margin_")
+    big.write.parquet(f"{tmp}/documents.parquet")
+
+    qs, oracles = _entry.queries(), _entry.oracle_sql()
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{tmp}/documents.parquet/*.parquet')"
+    )
+
+    def _canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, int):
+            return repr(float(v)) if abs(v) < 1e15 else repr(v)
+        return str(v)
+
+    def _parity(name):
+        sdf = qs[name](spark, tmp)
+        scols = sdf.columns
+        si = sorted(range(len(scols)), key=lambda i: scols[i])
+        srows = sorted(
+            tuple(_canon(row[i]) for i in si) for row in sdf.collect()
+        )
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        drows = sorted(
+            tuple(_canon(row[i]) for i in di) for row in res.fetchall()
+        )
+        return sorted(scols) == sorted(dcols) and srows == drows
+
+    # unrounded score populations from DuckDB (same integer inputs both
+    # engines consume); margin = distance to the nearest 0.5e-ndp rounding
+    # boundary among the top region, in units of the score's ulp noise
+    def _boundary_margin(values, ndp, top):
+        v = np.sort(np.asarray(values, dtype=np.float64))[::-1][:top]
+        scaled = v * 10.0**ndp
+        dist = np.abs(scaled - np.floor(scaled) - 0.5) * 10.0 ** (-ndp)
+        noise = np.maximum(np.abs(v), 1e-30) * 1e-14  # ln + sum-order ulp
+        i = int(np.argmin(dist / noise))
+        return {
+            "top_region": int(len(v)),
+            "min_boundary_dist": float(dist[i]),
+            "noise_at_min": float(noise[i]),
+            "margin_ratio": round(float(dist[i] / noise[i]), 1),
+        }
+
+    bm25_unrounded = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('join', 'vector', 'stream') GROUP BY 1, 2
+    ),
+    idf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           SUM(
+             ln(1 + (s.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl))
+           ) AS score
+    FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    """
+    bm25_scores = [r[1] for r in con.execute(bm25_unrounded).fetchall()]
+    es_unrounded = """
+    SELECT ln((('0x' || substr(md5('es-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+              / 1152921504606846976.0) / n_chars AS es_key
+    FROM documents
+    """
+    es_keys = [r[0] for r in con.execute(es_unrounded).fetchall()]
+    report["rounding_margins_10x"] = {
+        "n_docs": len(es_keys),
+        "bm25_topk": {
+            "oracle_parity": _parity("bm25_topk"),
+            "scored_docs": len(bm25_scores),
+            **_boundary_margin(bm25_scores, 6, 100),
+        },
+        "weighted_sample_es": {
+            "oracle_parity": _parity("weighted_sample_es"),
+            **_boundary_margin(es_keys, 9, 100),
+        },
+    }
+    print(f"rounding_margins_10x: {report['rounding_margins_10x']}", file=sys.stderr)
+    _shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps(report))
 
 

@@ -210,6 +210,37 @@ def main() -> None:
         lambda: corpus.bigram_lm_scores(docs10, "text", "doc_id").count(),
     )
 
+    # kmeans (r7): per-round cost must track DATA (assignment scan +
+    # k·dim partial-agg rows), never k·n² — the broadcast-centroid loop
+    # has no term that grows faster than the corpus
+    from healthcare_rcm_etl_pipeline_spark.operators.clustering import kmeans_lloyd
+
+    run(
+        "kmeans_lloyd",
+        lambda: kmeans_lloyd(emb1, "embedding", "vec_id", k=8, iters=2, ndp=6).count(),
+        lambda: kmeans_lloyd(emb10, "embedding", "vec_id", k=8, iters=2, ndp=6).count(),
+    )
+
+    # bfs_hops (r7): frontier BFS over the near-dup pair graph — cost must
+    # track the REACHED neighborhood (frontier⋈edges per round), and the
+    # replica-isolated 10x graph reaches ~10x the nodes from 10x the seeds
+    def bfs_reach(d):
+        edges = dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+        ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        seeds = (
+            d.select(F.col("doc_id").alias("node"))
+            .filter(F.col("node") % 100 == 0)
+            .distinct()
+        )
+        return graph.bfs_hops(edges, seeds, max_hops=3).count()
+
+    run(
+        "bfs_hops",
+        lambda: bfs_reach(docs1),
+        lambda: bfs_reach(docs10),
+    )
+
     # CC round count must be scale-invariant (pointer jumping: O(log
     # diameter), and replica isolation keeps per-replica diameter fixed)
     results["cc_rounds"] = {

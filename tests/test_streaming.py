@@ -218,3 +218,39 @@ def test_stream_upsert_versioned_end_to_end(spark, event_dir):
     finally:
         _sh.rmtree(base, ignore_errors=True)
         _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_pattern_conversions_streaming_matches_batch(spark, sf_dir, event_dir):
+    """The MATCH_RECOGNIZE-lite pattern (view -> purchase within 30 min,
+    no error in between) runs END-TO-END under Structured Streaming as
+    chained stateful operators (two interval joins + watermarked dedup,
+    append mode) and must emit exactly the batch result of the same body.
+    A second bridge assertion ties that body to the REGISTERED
+    window-formulation query (events_pattern_conversion): identical
+    per-user conversion counts on the same events — so the streaming
+    path is transitively anchored to the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    batch = ev.pattern_conversions(load_events(spark, sf_dir))
+    b = {tuple(r) for r in batch.collect()}
+    assert len(b) > 0
+
+    schema = spark.read.parquet(event_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    out = _run_stream(spark, ev.pattern_conversions(stream), "t_pattern", "append")
+    got = {tuple(r) for r in out.collect()}
+    # availableNow drains the source; watermark may withhold only state
+    # still open at end-of-stream, and the final watermark advances past
+    # every event, so the emitted set must equal the batch set
+    assert got == b
+
+    # bridge: join-formulation counts == registered window-formulation query
+    a = {
+        (r["user_id"], r["n"])
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    q = entrymod.queries()["events_pattern_conversion"](spark, sf_dir)
+    w = {(r["user_id"], r["n_conversions"]) for r in q.collect()}
+    assert a == w
