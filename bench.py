@@ -94,7 +94,14 @@ def _prev_round() -> tuple[str | None, dict[str, float], float | None]:
             continue
         parsed = doc.get("parsed", doc) or {}
         queries = parsed.get("queries", {})
-        prev_sent = (parsed.get("sentinel") or {}).get("before_sec")
+        # Compare converged-min to converged-min: older rounds' before_sec
+        # was measured on a partly-JIT-compiled JVM (min of 5 early runs),
+        # while after_sec follows the full bench and is converged — taking
+        # the min of both sides keeps the cross-round env ratio from
+        # reading JIT warm-up depth as an environment shift.
+        prev = parsed.get("sentinel") or {}
+        cands = [v for v in (prev.get("before_sec"), prev.get("after_sec")) if v]
+        prev_sent = min(cands) if cands else None
         if not queries and doc.get("tail"):
             queries, prev_sent = _recover_from_tail(doc["tail"])
         if queries:
@@ -157,6 +164,10 @@ HEADLINE = [
     "dedup_keep_priority",
     "kmeans_lloyd",
     "q50_copurchase_reach",
+    # round-8 surface additions
+    "corpus_bpe_train",
+    "decontaminate_blast_radius",
+    "hybrid_rrf_topk",
 ]
 
 
@@ -300,15 +311,28 @@ def _bench_pq(spark, sf_dir: str) -> dict:
     return {"fit_sec": fit_sec, "encode_sec": encode_sec, "probe_runs": probe_runs}
 
 
-def _sentinel_sec(spark, iters: int = 5) -> float:
-    """Min wall-clock of a fixed-cost JVM-side job: 50M-row range sum over
-    32 partitions. No IO, no engine code — its only variable is machine
-    load, which is exactly what it exists to measure."""
+def _sentinel_sec(spark, max_iters: int = 30, patience: int = 5) -> float:
+    """Converged min wall-clock of a fixed-cost JVM-side job: 50M-row range
+    sum over 32 partitions. No IO, no engine code — its only variable is
+    machine load, which is exactly what it exists to measure. Converged:
+    iterate until the best time stops improving for `patience` consecutive
+    runs (capped at max_iters), because the first few runs also measure C2
+    JIT depth — a fixed 5-iteration min read ~2x slower BEFORE the bench
+    than after it on an otherwise idle machine, flagging JIT warm-up as
+    contention (round-8 false positive)."""
     best = float("inf")
-    for _ in range(iters):
+    stale = 0
+    for _ in range(max_iters):
         t0 = time.perf_counter()
         spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 + 1)").collect()
-        best = min(best, time.perf_counter() - t0)
+        took = time.perf_counter() - t0
+        if took < best * 0.98:
+            best, stale = min(best, took), 0
+        else:
+            best = min(best, took)
+            stale += 1
+            if stale >= patience:
+                break
     return best
 
 

@@ -6037,3 +6037,162 @@ def decontaminate_blast_radius_q(spark, sf_dir):
     )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return bfs_hops(edges, seeds, max_hops=2, out_node="doc", out_hops="hops")
+
+
+_RRF_K = 60
+_RRF_TOP = 20
+
+
+@query(
+    "hybrid_rrf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('join', 'vector', 'stream') GROUP BY 1, 2
+    ),
+    idf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln(1 + (s.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    ti AS (
+      SELECT tf.doc_id,
+             round(SUM(tf.tf * ln(s.n_docs / idf.df)), 6) AS score
+      FROM tf JOIN idf USING (token) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm ORDER BY score DESC, doc_id LIMIT {_RRF_TOP}
+    ),
+    rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ti ORDER BY score DESC, doc_id LIMIT {_RRF_TOP}
+    ),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({_RRF_K} + ra.r), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + rb.r), 0), 9) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_topk_q(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/Büttcher
+    SIGIR'09): fuse the BM25 ranking and a TF-IDF-sum ranking for the same
+    query terms as Σ 1/(60 + rank), the standard score-free combiner for
+    lexical+semantic hybrid search (here two lexical scorers with different
+    length normalization — the composition pattern is the point; swap
+    either list for an ANN ranking over aligned ids unchanged).
+
+    Determinism across engines: ranks are INTEGERS from rounded-score
+    orderings with doc_id tie-breaks, and the fused score is a fixed
+    two-term IEEE sum of exact rationals 1/(60+r), rounded at 9 — no
+    accumulated float noise at all. Scale: both candidate lists are
+    TakeOrderedAndProject top-20s (the tf relation filters to query terms
+    before any shuffle, as in bm25_topk); ranking *within* each 20-row
+    candidate list avoids even a single-partition Window (the plan sweep
+    bans empty partitionSpecs outright) by the q44 device — sort_array
+    over (negated score, doc_id) structs on the one-row collected list,
+    posexploded back to (doc_id, rank); the fusion join touches <= 40
+    rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    bm = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * F.lit(k1 + 1)
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1 - b) + F.lit(b) * F.col("dlen") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    ti = (
+        tf.join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
+            ).alias("score")
+        )
+    )
+    def _ranked(scored):
+        return (
+            scored.orderBy(F.desc("score"), "doc_id")
+            .limit(_RRF_TOP)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("doc_id").alias("doc_id"),
+                        )
+                    )
+                ).alias("arr")
+            )
+            .select(F.posexplode("arr").alias("pos", "s"))
+            .select(
+                F.col("s.doc_id").alias("doc_id"),
+                (F.col("pos") + 1).cast("int").alias("r"),
+            )
+        )
+
+    ra = _ranked(bm)
+    rb = _ranked(ti)
+    fused = (
+        ra.withColumnRenamed("r", "ra")
+        .join(rb.withColumnRenamed("r", "rb"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)

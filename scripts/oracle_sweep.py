@@ -4,9 +4,12 @@ names, and the order-insensitive value hash — the exact compare the
 driver's CORRECTNESS gate uses, over the FULL registry instead of its
 50-query sample.
 
-Usage: python scripts/oracle_sweep.py [sf_dir]   (default /root/testdata/sf0.01)
-Prints one line per mismatch and a final TOTAL/FAILURES line; exit 1 on
-any failure.
+Usage: python scripts/oracle_sweep.py [sf_dir] [--json PATH]
+(default sf_dir /root/testdata/sf0.01). Prints one line per mismatch and a
+final TOTAL/FAILURES line; exit 1 on any failure. --json appends a
+one-object summary line {sf_dir, total, failures} to PATH — the committed
+per-round sweep artifact (round-7 ADVICE: the full-registry result must be
+reproducible from the repo, not just from a session log).
 """
 
 from __future__ import annotations
@@ -36,7 +39,13 @@ def canon(v) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(cpus=16, driver_memory="16g", app_name="hrcm-oracle-sweep")
     assert len(entrymod.entry(spark).collect()) > 0
     con = duckdb.connect()
@@ -66,6 +75,14 @@ def main() -> int:
             fails.append(name)
             print(f"{name} MISMATCH spark={len(srows)} oracle={len(drows)}")
     print(f"TOTAL {len(qs)} FAILURES: {fails or 'none'}")
+    if json_path:
+        import json
+
+        with open(json_path, "a") as f:
+            f.write(
+                json.dumps({"sf_dir": sf_dir, "total": len(qs), "failures": fails})
+                + "\n"
+            )
     spark.stop()
     return 1 if fails else 0
 
