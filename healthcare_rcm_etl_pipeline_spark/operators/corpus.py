@@ -955,3 +955,90 @@ def bpe_token_counts(
         )
         .select(F.col("grp").alias(group_col), "n_words", "n_tokens_char", "n_tokens_bpe")
     )
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 15,
+) -> DataFrame:
+    """Cross-document chunk dedup as an actual corpus REWRITE — the
+    companion to ``chunk_dedup_stats``, which only measures. This is the
+    CCNet/RefinedWeb "remove duplicated lines" stage (adapted to
+    non-overlapping token chunks, as the synthetic corpus has no
+    newlines): a chunk occurrence survives iff its document is the
+    canonical keeper (minimum ``id_col``) among the distinct documents
+    containing that exact chunk text — so each duplicated chunk keeps
+    exactly one home (content is never lost from the corpus), every other
+    copy is cut, and within-doc repeats in the keeper survive (within-doc
+    repetition is ``repetition_stats``' concern, not cross-doc
+    boilerplate).
+
+    Plan: chunking is the same pure array expression as the stats op (no
+    shuffle); the keeper table is ONE map-side-combinable ``min(doc)``
+    groupBy; survivors come from one equi-join back on the chunk text.
+    Unlike the stats op this groupBy keys on the chunk TEXT, not an
+    8-byte hash: a hash collision there only nudges a frequency signal,
+    here it would silently DELETE innocent text — correctness over
+    shuffle width for a destructive op (at ~15 tokens the key is ~100
+    bytes, the same order as shuffling the corpus once; the hash-keyed
+    variant with a text-equality recheck join is the documented trade if
+    that ever dominates). Reassembly sorts each doc's surviving chunks by
+    original position inside an array aggregate — per-doc bounded, no
+    window.
+
+    Returns (id_col, n_chunks, n_kept, clean_text) with chunks re-joined
+    by single spaces; a fully-deduped doc yields the empty string.
+    """
+    c = chunk_tokens
+    toks = _repartition_if_narrow(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
+    )
+    n_chunks = F.ceil(F.size("__t") / F.lit(float(c))).cast("int")
+    chunks = toks.select(
+        "doc",
+        F.when(
+            F.size("__t") > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("__t", i * c + 1, c), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__chunks"),
+    )
+    occ = chunks.select(
+        "doc",
+        F.size("__chunks").cast("bigint").alias("n_chunks"),
+        F.posexplode_outer("__chunks").alias("pos", "__chunk"),
+    )
+    keeper = (
+        occ.filter(F.col("__chunk").isNotNull())
+        .groupBy("__chunk")
+        .agg(F.min("doc").alias("__keep_doc"))
+    )
+    kept = (
+        occ.filter(F.col("__chunk").isNotNull())
+        .join(keeper, "__chunk")
+        .filter(F.col("doc") == F.col("__keep_doc"))
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("__chunk")))
+                ),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = occ.select("doc", "n_chunks").distinct()
+    return base.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

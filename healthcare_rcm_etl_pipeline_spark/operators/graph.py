@@ -337,3 +337,77 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    out_node: str = "node",
+    out_tri: str = "n_triangles",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list via
+    degree-ordered orientation (the MapReduce node-iterator++ of Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11) — the clustering/cohesion primitive the co-purchase graph
+    family (q48 pairs, q49 PageRank, q50 reach) lacked.
+
+    Each edge is oriented from its lower endpoint to its higher endpoint
+    under the total order (degree, id); every triangle then has exactly
+    one node with out-edges to the other two, and the third edge is
+    oriented between them consistently — so each triangle is found exactly
+    once as a closed wedge, with no post-hoc 1/3 correction. The payoff is
+    the wedge bound: orientation caps out-degree at O(sqrt(m)) for ANY
+    degree distribution, so the wedge join generates O(m^{3/2}) candidates
+    even when a celebrity node has degree 10^6 (whose naive open-wedge
+    count would be 10^12). Plan shape: one groupBy for degrees, one
+    self-equi-join on the wedge pivot u, one semi-join on (v, w) to close,
+    one explode+groupBy for per-node counts — every shuffle is on node
+    ids, every aggregate map-side combinable. No iteration, no driver
+    state.
+
+    Determinism: the (degree, id) order and the counts are integers;
+    output is partitioning-independent. Self-loops are dropped; parallel
+    edges collapse via distinct. Returns (out_node, out_tri) for nodes in
+    >= 1 triangle.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u"))
+        & (
+            (F.col("x.dv") < F.col("y.dv"))
+            | ((F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v")))
+        ),
+    ).select(F.col("x.u").alias("u"), F.col("x.v").alias("v"), F.col("y.v").alias("w"))
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias(out_node))
+        .groupBy(out_node)
+        .agg(F.count("*").cast("bigint").alias(out_tri))
+    )

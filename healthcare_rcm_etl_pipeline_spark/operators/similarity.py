@@ -843,3 +843,130 @@ def ivf_pq_topk(
         corpus=corpus,
         candidates=cand,
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k results maximizing
+    ``lam * rel(q, d) - (1 - lam) * max sim(d, selected)`` — the standard
+    redundancy-killing rerank for retrieval (RAG context packing, dedup-
+    aware search) that plain cosine top-k lacks. ``lam`` is the rational
+    ``lam_num / lam_den`` (default 7/10): see the fixed-point note below
+    for why it is NOT a float parameter.
+
+    Set-based greedy: the selection loop is unrolled into k dataflow
+    stages that run for ALL queries simultaneously — stage i is one join
+    of the candidate-pair sims against the selected-so-far set, a
+    map-side-combinable max (the penalty), and a per-query ``max_by``
+    argmax; no driver-side per-query loop, no collect. The greedy
+    recursion is inherently sequential in k, but k is a user constant
+    (5-20) while the query set is the scale axis — and that axis is fully
+    parallel.
+
+    Cost shape at 100 TB: the only corpus-sized work is the relevance
+    scan (``brute_force_topk`` here; swap in the LSH/IVF path for the
+    same (query_id, cid, rel) contract). Everything after operates on
+    pool-bounded sets: pool^2 pair sims per query, computed ONCE and
+    reused by every stage (localCheckpoint pins them — the re-analysis
+    cost of re-deriving the scan per stage is the trap, not the data).
+
+    Determinism (oracle-exact, integer fixed-point): rel and pair sims
+    are cosines rounded at 6 dp, then scaled to exact BIGINTs (x * 1e6 is
+    within ~1e-9 of an integer, so the int cast is unambiguous). The
+    greedy objective is computed ENTIRELY in integers:
+    ``score_i = lam_num * rel_i - (lam_den - lam_num) * pen_i`` — the
+    same device as the PageRank fixed-point oracle. A float formulation
+    (``round(0.7*rel - 0.3*pen, 6)``) is structurally unsafe here: the
+    exact product of a 1-dp coefficient and a 6-dp value has 7 decimals,
+    so roughly every other score sits EXACTLY on a 6-dp round-half
+    boundary, where engines' round() implementations disagree based on
+    which side of the boundary the nearest double lands (observed: one
+    flipped digit at sf0.01 on the first run of the float form). Integer
+    argmax has no boundaries; ties break on lowest candidate id via the
+    (score_i, -id) ``max_by`` struct. The reported ``score`` is the
+    single exact division score_i / (lam_den * 1e6), bit-identical in
+    any IEEE engine.
+
+    Returns (query_id, pos 1..k, neighbor_id, score).
+    """
+    if not (0 < lam_num < lam_den):
+        raise ValueError("need 0 < lam_num < lam_den")
+    cand = brute_force_topk(corpus, queries, vec_col, id_col, k=pool).select(
+        "query_id",
+        F.col("neighbor_id").alias("cid"),
+        F.round(F.col("cos") * 1e6, 0).cast("bigint").alias("rel_i"),
+    )
+    vecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__v"))
+    cw = cand.join(vecs, "cid").localCheckpoint(eager=True)
+    pa = cw.select("query_id", F.col("cid").alias("a"), F.col("__v").alias("__va"))
+    pb = cw.select("query_id", F.col("cid").alias("b"), F.col("__v").alias("__vb"))
+    pairs = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(F.round(cosine("__va", "__vb"), 6) * 1e6, 0)
+            .cast("bigint")
+            .alias("sim_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = cw.select("query_id", "cid", "rel_i")
+    scale = float(lam_den * 1_000_000)
+
+    def _argmax(scored: DataFrame, pos: int) -> DataFrame:
+        return (
+            scored.groupBy("query_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cid"), F.col("score_i")),
+                    F.struct(F.col("score_i"), (-F.col("cid")).alias("nid")),
+                ).alias("s")
+            )
+            .select(
+                "query_id",
+                F.col("s.cid").alias("cid"),
+                F.lit(pos).cast("int").alias("pos"),
+                F.col("s.score_i").alias("score_i"),
+            )
+        )
+
+    selected = _argmax(
+        cand.withColumn("score_i", F.lit(lam_num) * F.col("rel_i")), 1
+    )
+    for pos in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.select("query_id", F.col("cid").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("cid"))
+            .agg(F.max("sim_i").alias("pen_i"))
+        )
+        scored = (
+            cand.join(selected.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+            .join(pen, ["query_id", "cid"])
+            .withColumn(
+                "score_i",
+                F.lit(lam_num) * F.col("rel_i")
+                - F.lit(lam_den - lam_num) * F.col("pen_i"),
+            )
+        )
+        selected = selected.unionByName(_argmax(scored, pos))
+    return selected.select(
+        "query_id",
+        "pos",
+        F.col("cid").alias("neighbor_id"),
+        (F.col("score_i") / F.lit(scale)).alias("score"),
+    )

@@ -6196,3 +6196,201 @@ def hybrid_rrf_topk_q(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+@query(
+    "q51_copurchase_triangles",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT pa AS node FROM p UNION ALL SELECT pb FROM p
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+                  THEN pa ELSE pb END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+                  THEN pb ELSE pa END AS v,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+                  THEN db.deg ELSE da.deg END AS dv
+      FROM p JOIN deg da ON da.node = p.pa JOIN deg db ON db.node = p.pb
+    ),
+    wg AS (
+      SELECT x.u AS u, x.v AS va, y.v AS vb
+      FROM o x JOIN o y
+        ON x.u = y.u AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+    ),
+    t AS (
+      SELECT u, va, vb FROM wg
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wg.va AND o.v = wg.vb)
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT u AS node FROM t
+      UNION ALL SELECT va FROM t
+      UNION ALL SELECT vb FROM t
+    ) GROUP BY 1
+    """,
+)
+def q51_copurchase_triangles_q(spark, sf_dir):
+    """Per-part triangle counts over the co-purchase graph (edges = part
+    pairs bought together in >= 2 orders, exactly q48's support
+    threshold) — the local-clustering / community-cohesion measure that
+    completes the graph family (pairs -> PageRank -> reach -> triangles).
+    Engine: ``operators/graph.py:triangle_counts`` — degree-ordered
+    orientation (Suri & Vassilvitskii WWW'11) bounds the wedge join at
+    O(m^1.5) regardless of skew; the oracle re-derives the same
+    orientation in SQL, so counts are integer-exact."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import cooccurrence_pairs
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_counts(edges, "item_a", "item_b")
+
+
+_MMR_K, _MMR_POOL, _MMR_NUM, _MMR_DEN = 5, 20, 7, 10
+
+
+def _mmr_oracle(
+    k: int = _MMR_K, pool: int = _MMR_POOL, num: int = _MMR_NUM, den: int = _MMR_DEN
+) -> str:
+    """Unrolled-CTE twin of similarity.mmr_topk: standard SQL cannot
+    express the greedy selection recursion with aggregates in a recursive
+    CTE member, so the k selection stages are unrolled as sel1/acc1 ...
+    selK/accK — the same device as the PageRank/k-means/BPE oracles. The
+    score arithmetic is INTEGER fixed-point (6-dp cosines scaled to
+    BIGINT, weights num/(den-num)) because a float MMR score — a 1-dp
+    coefficient times a 6-dp value — has exactly 7 decimals and so sits
+    ON the 6-dp round-half boundary about half the time, where engines'
+    round() legitimately disagree (one flipped digit observed at sf0.01
+    on the float form's first run). Integers have no boundaries; the
+    single reported division is bit-identical in any IEEE engine."""
+    head = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 40 = 0),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS cid,
+             round(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS rel,
+             v.e AS ce
+      FROM q, v WHERE q.query_id <> v.vec_id
+    ),
+    cand AS (
+      SELECT query_id, cid, CAST(round(rel * 1000000) AS BIGINT) AS rel_i, ce FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn <= {pool}
+    ),
+    pairs AS (
+      SELECT c1.query_id, c1.cid AS a, c2.cid AS b,
+             CAST(round(round(list_dot_product(c1.ce, c2.ce)
+                   / (sqrt(list_dot_product(c1.ce, c1.ce)) * sqrt(list_dot_product(c2.ce, c2.ce))), 6)
+                   * 1000000) AS BIGINT) AS sim_i
+      FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id AND c1.cid <> c2.cid
+    ),
+    sel1 AS (
+      SELECT query_id, cid, 1 AS pos, {num} * rel_i AS score_i FROM (
+        SELECT query_id, cid, rel_i,
+               row_number() OVER (PARTITION BY query_id ORDER BY rel_i DESC, cid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    acc1 AS (SELECT * FROM sel1)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    sel{i} AS (
+      SELECT query_id, cid, {i} AS pos, score_i FROM (
+        SELECT c.query_id, c.cid,
+               {num} * c.rel_i - {den - num} * p.pen_i AS score_i,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {num} * c.rel_i - {den - num} * p.pen_i DESC, c.cid
+               ) AS rn
+        FROM cand c
+        JOIN (SELECT pr.query_id, pr.a AS cid, MAX(pr.sim_i) AS pen_i
+              FROM pairs pr
+              JOIN acc{i - 1} s ON pr.query_id = s.query_id AND pr.b = s.cid
+              GROUP BY 1, 2) p USING (query_id, cid)
+        WHERE NOT EXISTS (SELECT 1 FROM acc{i - 1} s2
+                          WHERE s2.query_id = c.query_id AND s2.cid = c.cid)
+      ) WHERE rn = 1
+    ),
+    acc{i} AS (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    parts.append(f"""
+    SELECT query_id, CAST(pos AS INTEGER) AS pos, cid AS neighbor_id,
+           score_i / {float(den * 1_000_000)!r} AS score
+    FROM acc{k}""")
+    return "".join(parts)
+
+
+@query("mmr_diverse_topk", _mmr_oracle())
+def mmr_diverse_topk_q(spark, sf_dir):
+    """Diversity-aware retrieval: MMR rerank (Carbonell & Goldstein
+    SIGIR'98) of each query's cosine top-20 pool down to 5 results,
+    lambda = 7/10 — the standard redundancy filter for RAG context packing
+    over a near-dup-heavy corpus, where plain top-k returns five copies
+    of the same boilerplate. Engine: ``operators/similarity.py:mmr_topk``
+    (set-based greedy: k unrolled stages over ALL queries at once,
+    pool-bounded pair sims computed once; only the relevance scan touches
+    the corpus; integer fixed-point scores — see the operator docstring).
+    Oracle: the same greedy unrolled as k CTE stages."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    return similarity.mmr_topk(
+        e, q, k=_MMR_K, pool=_MMR_POOL, lam_num=_MMR_NUM, lam_den=_MMR_DEN
+    )
+
+
+@query(
+    "dedup_chunks_rewrite",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 THEN
+               list_transform(range(0, CAST(ceil(len(toks) / 15.0) AS BIGINT)),
+                              i -> array_to_string(toks[i*15+1:i*15+15], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS chunks
+      FROM t
+    ),
+    base AS (SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks FROM ch),
+    occ AS (
+      SELECT doc_id, unnest(chunks) AS c, generate_subscripts(chunks, 1) AS pos
+      FROM ch
+    ),
+    keep AS (SELECT c, MIN(doc_id) AS keep_doc FROM occ GROUP BY 1),
+    kept AS (
+      SELECT o.doc_id, o.pos, o.c FROM occ o JOIN keep k ON o.c = k.c
+      WHERE o.doc_id = k.keep_doc
+    ),
+    reb AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(c, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_chunks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dedup_chunks_rewrite_q(spark, sf_dir):
+    """The corpus REWRITE form of chunk-level dedup (CCNet/RefinedWeb
+    "remove duplicated lines", on the same 15-token non-overlapping
+    chunks as chunk_dedup_rate): every duplicated chunk keeps exactly one
+    home (the min-doc_id keeper), all other copies are cut, and each doc's
+    surviving chunks are reassembled in original order. The oracle
+    compares the full rebuilt text, not a digest — the strictest check in
+    the dedup family. Engine: ``operators/corpus.py:chunk_dedup_rewrite``."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import chunk_dedup_rewrite
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dedup_rewrite(d, "text", "doc_id", chunk_tokens=15)
