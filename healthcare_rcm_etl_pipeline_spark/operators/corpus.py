@@ -861,7 +861,7 @@ def _bpe_pairs(words: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int = 8
+    df: DataFrame, text_col: str, n_merges: int = 8, require_full: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus. Returns
     ``(merges, words)``: the merge table (step, left_sym, right_sym,
@@ -881,7 +881,13 @@ def bpe_train(
     O(vocab), not O(corpus) — the corpus is touched once, in
     ``bpe_initial_words``. Stops early if no pair remains (every word
     collapsed to one symbol), which cannot happen at realistic
-    ``n_merges`` << vocab size.
+    ``n_merges`` << vocab size. ``require_full=True`` turns that early
+    stop into a loud ValueError instead — callers whose oracle SQL
+    unrolls exactly ``n_merges`` stages (the registered corpus_bpe_*
+    queries) MUST set it: the oracle's ``FROM w{k-1} t, m{k} m`` cross
+    join with an empty m{k} cascades every later stage to empty, so a
+    silent short schedule would diverge (engine returns counts, oracle
+    returns zero rows) rather than fail.
     """
     spark = df.sparkSession
     words = bpe_initial_words(df, text_col).localCheckpoint(eager=True)
@@ -904,6 +910,13 @@ def bpe_train(
             .localCheckpoint(eager=True)
         )
         if winner.isEmpty():
+            if require_full:
+                raise ValueError(
+                    f"bpe_train exhausted mergeable pairs at step {step} "
+                    f"(< n_merges={n_merges}); the unrolled oracle assumes "
+                    "the full merge schedule — lower n_merges or use "
+                    "require_full=False"
+                )
             break
         merges = merges.unionByName(winner)
         words = (
@@ -923,7 +936,8 @@ def bpe_train(
 
 
 def bpe_token_counts(
-    df: DataFrame, text_col: str, group_col: str, n_merges: int = 8
+    df: DataFrame, text_col: str, group_col: str, n_merges: int = 8,
+    require_full: bool = False,
 ) -> DataFrame:
     """Per-group token statistics under a corpus-trained BPE vocabulary:
     (group, n_words, n_tokens_char, n_tokens_bpe) — the compression
@@ -934,7 +948,7 @@ def bpe_token_counts(
     vocab-sized, so the join broadcasts; the corpus is scanned twice
     (train counts + group counts), never more.
     """
-    _, words = bpe_train(df, text_col, n_merges)
+    _, words = bpe_train(df, text_col, n_merges, require_full=require_full)
     seg = words.select(
         "word", F.size(F.split(F.trim("w"), "  ")).alias("n_syms")
     )

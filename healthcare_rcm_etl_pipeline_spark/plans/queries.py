@@ -5540,8 +5540,8 @@ def weighted_sample_es_q(spark, sf_dir):
              max(CASE WHEN event_type = 'view' THEN ts END) OVER w AS last_view,
              max(CASE WHEN event_type = 'error' THEN ts END) OVER w AS last_error
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
@@ -5564,17 +5564,24 @@ def events_pattern_conversion_q(spark, sf_dir):
     event type ('latest view so far', 'latest error so far') turns the
     three-event pattern into per-row predicates — the classic trick for
     sequence patterns on engines without MATCH_RECOGNIZE. The window is
-    partitioned by user (no global ordering), MAX is order-independent,
-    and (ts, event_id) makes the frame total, so results are exact. At
-    100 TB this is one hash-partition shuffle on user_id and a sorted
-    spill per partition; the veto adds a column, not a pass."""
+    partitioned by user (no global ordering) and MAX is order-
+    independent. The frame is RANGE (peers included), not ROWS: the
+    pattern's semantics are purely TIMESTAMP-based — a view/error sharing
+    the purchase's exact ts counts regardless of event_id order — which
+    is what makes the streaming interval-join twin
+    (streaming/events.py:pattern_conversions) exactly equivalent on ALL
+    inputs, including same-user same-ts ties at the purchase; a ROWS
+    frame keyed on (ts, event_id) would exclude a same-ts row sorting
+    after the purchase that the join form admits (r8 advice). At 100 TB
+    this is one hash-partition shuffle on user_id and a sorted spill per
+    partition; the veto adds a column, not a pass."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     x = e.select(
         "user_id",
@@ -5742,10 +5749,15 @@ def dedup_keep_priority_q(spark, sf_dir):
 
     NULL-priority policy (explicit on BOTH sides): a source that doesn't
     parse as 'srcN' gets priority 2^62 — i.e. malformed sources lose to
-    every well-formed one, identically in Spark (coalesce after cast,
+    every well-formed one, identically in Spark (coalesce after TRY_CAST,
     which yields NULL on junk) and DuckDB (COALESCE(TRY_CAST(...))).
-    Without this the engines disagree silently: Spark's min_by struct
-    sorts NULLs FIRST (malformed wins) while DuckDB's CAST raises."""
+    TRY_CAST is load-bearing here: Spark 4.x runs ANSI mode by default,
+    where a plain CAST on junk raises CAST_INVALID_INPUT instead of
+    returning NULL — the coalesce would never fire and the engine would
+    crash where the oracle returns 2^62. Without the coalesce the engines
+    disagree silently even in non-ANSI mode: Spark's min_by struct sorts
+    NULLs FIRST (malformed wins) while DuckDB's CAST raises.
+    tests/test_dedup.py::test_keep_priority_junk_source pins the junk path."""
     from healthcare_rcm_etl_pipeline_spark.operators import graph
 
     d = _t(spark, sf_dir, "documents")
@@ -5758,7 +5770,8 @@ def dedup_keep_priority_q(spark, sf_dir):
             "doc_id",
             "source",
             F.coalesce(
-                F.substring("source", 4, 16).cast("long"), F.lit(2**62)
+                F.expr("try_cast(substring(source, 4, 16) AS bigint)"),
+                F.lit(2**62),
             ).alias("prio"),
         )
         .join(labels.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
@@ -5921,7 +5934,10 @@ def corpus_bpe_train_q(spark, sf_dir):
     from healthcare_rcm_etl_pipeline_spark.operators.corpus import bpe_train
 
     d = _t(spark, sf_dir, "documents")
-    merges, _ = bpe_train(d, "text", n_merges=_BPE_MERGES)
+    # require_full: the unrolled oracle assumes exactly _BPE_MERGES stages;
+    # a silent early stop would diverge (engine rows vs oracle-empty), so
+    # merge exhaustion raises instead (r8 advice, corpus.py:906)
+    merges, _ = bpe_train(d, "text", n_merges=_BPE_MERGES, require_full=True)
     return merges
 
 
@@ -5956,7 +5972,9 @@ def corpus_bpe_token_count_q(spark, sf_dir):
     from healthcare_rcm_etl_pipeline_spark.operators.corpus import bpe_token_counts
 
     d = _t(spark, sf_dir, "documents")
-    return bpe_token_counts(d, "text", "source", n_merges=_BPE_MERGES)
+    return bpe_token_counts(
+        d, "text", "source", n_merges=_BPE_MERGES, require_full=True
+    )
 
 
 def _blast_radius_oracle(max_hops: int = 2) -> str:

@@ -207,10 +207,13 @@ def pattern_conversions(
     (purchase_ts - within, purchase_ts], left-outer ⋈ errors on user
     within [view_ts, purchase_ts], keep rows with no error match, then
     de-duplicate per purchase (several clean views may witness the same
-    purchase). Tie policy is TIMESTAMP-based (an error sharing the last
-    view's timestamp vetoes, as in the batch query's max-ts comparison);
-    the batch window orders same-ts rows by event_id only to totalize the
-    frame, which cannot change either max.
+    purchase). Tie policy is TIMESTAMP-based END TO END: an error sharing
+    the last view's timestamp vetoes, and a view/error sharing the
+    PURCHASE's timestamp counts/vetoes too — the batch window uses a
+    RANGE frame (peers included, no event_id ordering) precisely so the
+    join form's inclusive <= bounds and the window form agree on
+    same-user same-ts ties at the purchase, not just on tie-free data
+    (r8 advice closed; tests/test_streaming.py pins a constructed tie).
 
     Streaming state stays bounded exactly as in ``view_purchase_join``:
     user-equi join keys partition the state; every interval condition is

@@ -156,3 +156,21 @@ def test_no_python_eval_in_plan(spark):
     _, words = corpus.bpe_train(df, "text", n_merges=2)
     plan = words._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_require_full_raises_on_merge_exhaustion(spark):
+    """A corpus whose every word collapses to one symbol before n_merges
+    is reached: require_full=True (what the oracle-backed registered
+    queries set) must raise loudly — the unrolled DuckDB oracle's empty
+    m{k} stage would otherwise cascade to zero rows while the engine
+    keeps returning data (r8 advice)."""
+    import pytest as _pytest
+
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    # 'ab' needs exactly 1 merge; asking for 5 exhausts at step 2
+    merges, _ = bpe_train(df, "text", n_merges=5)
+    assert merges.count() < 5  # default: silent early stop (documented)
+    with _pytest.raises(ValueError, match="exhausted mergeable pairs"):
+        bpe_train(df, "text", n_merges=5, require_full=True)

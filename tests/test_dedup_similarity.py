@@ -271,3 +271,41 @@ def test_jaccard_cap_modes_agree(spark, sf_dir):
         for mode in ("window", "antijoin", "filter")
     }
     assert out["window"] == out["antijoin"] == out["filter"]
+
+
+def test_keep_priority_junk_source(spark, tmp_path):
+    """dedup_keep_priority on a source that does NOT parse as 'srcN': the
+    junk-source copy must LOSE to any well-formed source (priority 2^62),
+    and the engine must not crash — Spark 4 runs ANSI mode by default, so
+    a plain CAST on junk raises CAST_INVALID_INPUT; the query uses
+    try_cast so the coalesce-to-2^62 actually fires. Pins the exact
+    engine/oracle divergence the r8 advice flagged (crash vs value)."""
+    import duckdb
+
+    from healthcare_rcm_etl_pipeline_spark.plans.queries import ORACLES, QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        # near-dup cluster: junk source has the LOWER doc_id — under a
+        # NULLs-first min_by it would (wrongly) win; under the 2^62
+        # policy src9 wins despite the higher id
+        (10, base, "en", "web-crawl", len(base)),
+        (11, base, "en", "src9", len(base)),
+        (12, "completely unrelated text about spark engines at scale", "en", None, 55),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = QUERIES["dedup_keep_priority"](spark, str(tmp_path))
+    got = {r["doc_id"]: r["source"] for r in out.collect()}
+    assert got == {11: "src9", 12: None}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = sorted(map(tuple, con.execute(ORACLES["dedup_keep_priority"]).fetchall()))
+    con.close()
+    assert oracle == sorted(got.items())

@@ -254,3 +254,55 @@ def test_pattern_conversions_streaming_matches_batch(spark, sf_dir, event_dir):
     q = entrymod.queries()["events_pattern_conversion"](spark, sf_dir)
     w = {(r["user_id"], r["n_conversions"]) for r in q.collect()}
     assert a == w
+
+
+def test_pattern_conversions_same_ts_ties_match_window_form(spark, tmp_path):
+    """Constructed same-user same-timestamp ties AT THE PURCHASE — the
+    case absent from the sf events data that the r8 advice flagged. The
+    join form (pattern_conversions, batch mode) and the registered RANGE-
+    frame window query must agree exactly: semantics are purely
+    timestamp-based, so an error sharing the purchase's ts vetoes and a
+    view sharing it witnesses, regardless of event_id order."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from healthcare_rcm_etl_pipeline_spark.plans.queries import QUERIES
+
+    t = lambda m: datetime(2026, 1, 1, 12, m, 0)
+    rows = [
+        # user 1: view, then error SHARING the purchase ts with a HIGHER
+        # event_id (a ROWS frame would miss it) -> vetoed
+        (100, t(0), 1, "view", 0.0, None),
+        (102, t(5), 1, "purchase", 9.0, None),
+        (103, t(5), 1, "error", 0.0, None),
+        # user 2: view SHARING the purchase ts, higher event_id -> converts
+        (201, t(5), 2, "purchase", 9.0, None),
+        (202, t(5), 2, "view", 0.0, None),
+        # user 3: error sharing the LAST VIEW's ts -> vetoed (both forms)
+        (300, t(0), 3, "view", 0.0, None),
+        (301, t(0), 3, "error", 0.0, None),
+        (302, t(5), 3, "purchase", 9.0, None),
+        # user 4: clean control -> converts
+        (400, t(0), 4, "view", 0.0, None),
+        (401, t(5), 4, "purchase", 9.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    join_form = {
+        (r["user_id"], r["n"])
+        for r in ev.pattern_conversions(df)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    window_form = {
+        (r["user_id"], r["n_conversions"])
+        for r in QUERIES["events_pattern_conversion"](spark, str(tmp_path)).collect()
+    }
+    assert join_form == window_form == {(2, 1), (4, 1)}
