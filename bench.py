@@ -168,6 +168,11 @@ HEADLINE = [
     "corpus_bpe_train",
     "decontaminate_blast_radius",
     "hybrid_rrf_topk",
+    # round-8 snapshot-commit queries (benched from r9 — the r8 verdict's
+    # close-out gap; tests/test_closeout.py now guards artifact totals)
+    "mmr_diverse_topk",
+    "q51_copurchase_triangles",
+    "dedup_chunks_rewrite",
 ]
 
 
