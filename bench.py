@@ -173,6 +173,10 @@ HEADLINE = [
     "mmr_diverse_topk",
     "q51_copurchase_triangles",
     "dedup_chunks_rewrite",
+    # round-9 surface additions
+    "mmr_diverse_topk_ivf",
+    "dedup_chunks_incremental",
+    "retrieval_quality_ndcg",
 ]
 
 

@@ -1005,6 +1005,27 @@ def chunk_dedup_rewrite(
     Returns (id_col, n_chunks, n_kept, clean_text) with chunks re-joined
     by single spaces; a fully-deduped doc yields the empty string.
     """
+    occ = _chunk_occurrences(df, text_col, id_col, chunk_tokens)
+    keeper = (
+        occ.filter(F.col("__chunk").isNotNull())
+        .groupBy("__chunk")
+        .agg(F.min("doc").alias("__keep_doc"))
+    )
+    kept = (
+        occ.filter(F.col("__chunk").isNotNull())
+        .join(keeper, "__chunk")
+        .filter(F.col("doc") == F.col("__keep_doc"))
+    )
+    return _rewrite_from_kept(occ, kept, id_col)
+
+
+def _chunk_occurrences(
+    df: DataFrame, text_col: str, id_col: str, chunk_tokens: int
+) -> DataFrame:
+    """Shared chunking stage of the rewrite family: one pure array
+    expression per doc (no shuffle), posexploded to
+    (doc, n_chunks, pos, __chunk) occurrence rows; an empty doc yields a
+    single NULL-chunk row so it survives into the output frame."""
     c = chunk_tokens
     toks = _repartition_if_narrow(df, id_col).select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
@@ -1022,21 +1043,17 @@ def chunk_dedup_rewrite(
         .otherwise(F.array().cast("array<string>"))
         .alias("__chunks"),
     )
-    occ = chunks.select(
+    return chunks.select(
         "doc",
         F.size("__chunks").cast("bigint").alias("n_chunks"),
         F.posexplode_outer("__chunks").alias("pos", "__chunk"),
     )
-    keeper = (
-        occ.filter(F.col("__chunk").isNotNull())
-        .groupBy("__chunk")
-        .agg(F.min("doc").alias("__keep_doc"))
-    )
-    kept = (
-        occ.filter(F.col("__chunk").isNotNull())
-        .join(keeper, "__chunk")
-        .filter(F.col("doc") == F.col("__keep_doc"))
-    )
+
+
+def _rewrite_from_kept(occ: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """Shared reassembly stage: surviving occurrences back to
+    (id, n_chunks, n_kept, clean_text), original order restored inside a
+    per-doc bounded array aggregate (no window)."""
     rebuilt = kept.groupBy("doc").agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.array_join(
@@ -1056,3 +1073,54 @@ def chunk_dedup_rewrite(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def chunk_dedup_rewrite_incremental(
+    batch: DataFrame,
+    seen_chunks: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 15,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental/streaming form of ``chunk_dedup_rewrite``: rewrite ONE
+    arriving batch against the accumulated keeper-chunk state, the way
+    ``dedup.minhash_lsh_pairs_incremental`` probes the accumulated band
+    index — so a long-running ingest pipeline can cut cross-corpus chunk
+    boilerplate per micro-batch instead of recomputing keepers globally.
+
+    ``seen_chunks`` is the state relation: one column ``chunk`` holding
+    every chunk text already claimed by an earlier batch (None/empty ==
+    first batch). A batch occurrence survives iff its text is NOT in the
+    accumulated state (anti-join — the only cross-corpus op, an equi-join
+    on the chunk key, no scan of prior text) AND its doc is the min-id
+    keeper within the batch. Returns ``(rewritten, new_chunks)``:
+    the rewritten batch in chunk_dedup_rewrite's exact output schema, and
+    the batch's newly-claimed chunk texts for the caller to append to the
+    state (a persisted parquet in the ingest pipeline, a unioned
+    localCheckpoint in a driver loop).
+
+    EQUIVALENCE to the batch rewrite: when batches arrive in ascending
+    ``id_col`` order (the append-only ingest case), folding this op over
+    the batches reproduces ``chunk_dedup_rewrite`` on the full corpus
+    EXACTLY — the first batch containing a chunk holds its global min-id
+    doc, so the incremental keeper is the global keeper. Pinned hash-exact
+    by the ``dedup_chunks_incremental`` registered query (oracle = the
+    batch rewrite's SQL) and tests/test_incremental_dedup.py. Out-of-order
+    batches keep the one-home-per-chunk invariant (no text is ever lost)
+    but the keeper becomes first-seen rather than global-min — the
+    standard incremental-dedup relaxation, same as the LSH ingest path.
+
+    State at 100 TB: the chunk state grows with DISTINCT corpus chunks —
+    the same order as the persisted LSH band index, partitionable by
+    chunk hash; the probe is one anti-join keyed on the chunk text.
+    """
+    occ = _chunk_occurrences(batch, text_col, id_col, chunk_tokens)
+    fresh = occ.filter(F.col("__chunk").isNotNull())
+    if seen_chunks is not None:
+        fresh = fresh.join(
+            seen_chunks.select(F.col("chunk").alias("__chunk")), "__chunk", "left_anti"
+        )
+    keeper = fresh.groupBy("__chunk").agg(F.min("doc").alias("__keep_doc"))
+    kept = fresh.join(keeper, "__chunk").filter(F.col("doc") == F.col("__keep_doc"))
+    new_chunks = keeper.select(F.col("__chunk").alias("chunk"))
+    return _rewrite_from_kept(occ, kept, id_col), new_chunks

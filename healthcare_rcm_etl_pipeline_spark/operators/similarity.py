@@ -854,6 +854,7 @@ def mmr_topk(
     pool: int = 20,
     lam_num: int = 7,
     lam_den: int = 10,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein,
     SIGIR'98): greedily pick k results maximizing
@@ -873,11 +874,16 @@ def mmr_topk(
     parallel.
 
     Cost shape at 100 TB: the only corpus-sized work is the relevance
-    scan (``brute_force_topk`` here; swap in the LSH/IVF path for the
-    same (query_id, cid, rel) contract). Everything after operates on
-    pool-bounded sets: pool^2 pair sims per query, computed ONCE and
-    reused by every stage (localCheckpoint pins them — the re-analysis
-    cost of re-deriving the scan per stage is the trap, not the data).
+    scan — ``brute_force_topk`` by default, or ANY ANN path passed via
+    ``candidates`` in the shared top-k contract
+    (query_id, neighbor_id, cos): ``ivf_topk``/``ivf_topk_indexed``/
+    ``lsh_bucket_topk`` all emit it, so the scale path drops in without
+    touching the rerank (registered: ``mmr_diverse_topk_ivf``; partial-
+    probe composition pinned in tests/test_dedup_similarity.py).
+    Everything after operates on pool-bounded sets: pool^2 pair sims per
+    query, computed ONCE and reused by every stage (localCheckpoint pins
+    them — the re-analysis cost of re-deriving the scan per stage is the
+    trap, not the data).
 
     Determinism (oracle-exact, integer fixed-point): rel and pair sims
     are cosines rounded at 6 dp, then scaled to exact BIGINTs (x * 1e6 is
@@ -900,7 +906,9 @@ def mmr_topk(
     """
     if not (0 < lam_num < lam_den):
         raise ValueError("need 0 < lam_num < lam_den")
-    cand = brute_force_topk(corpus, queries, vec_col, id_col, k=pool).select(
+    if candidates is None:
+        candidates = brute_force_topk(corpus, queries, vec_col, id_col, k=pool)
+    cand = candidates.select(
         "query_id",
         F.col("neighbor_id").alias("cid"),
         F.round(F.col("cos") * 1e6, 0).cast("bigint").alias("rel_i"),

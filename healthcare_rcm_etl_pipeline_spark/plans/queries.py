@@ -6367,6 +6367,34 @@ def mmr_diverse_topk_q(spark, sf_dir):
     )
 
 
+@query("mmr_diverse_topk_ivf", _mmr_oracle())
+def mmr_diverse_topk_ivf_q(spark, sf_dir):
+    """MMR rerank composed over the IVF relevance stage — the 100 TB
+    composition the mmr_topk docstring promises: any ANN path emitting
+    the shared (query_id, neighbor_id, cos) top-k contract drops in as
+    the ``candidates`` pool without touching the rerank. Registered with
+    the ann_topk_ivf invariance device: n_probe == n_cells with
+    hash-sampled seeds (iters=0) probes every cell, so the IVF pool MUST
+    equal the brute-force pool exactly and the whole composition shares
+    mmr_diverse_topk's oracle — one hash-exact check over
+    fit ∘ assign ∘ probe ∘ pool ∘ k greedy stages. The production shape
+    (n_probe < n_cells, Lloyd-refined centroids, recall measured vs the
+    brute-force MMR) is pinned in tests/test_dedup_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    cents = similarity.ivf_fit(e, n_cells=8, iters=0)
+    pool = similarity.ivf_topk(e, q, cents, k=_MMR_POOL, n_probe=8)
+    return similarity.mmr_topk(
+        e,
+        q,
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        lam_num=_MMR_NUM,
+        lam_den=_MMR_DEN,
+        candidates=pool,
+    )
+
+
 @query(
     "dedup_chunks_rewrite",
     f"""
@@ -6412,3 +6440,158 @@ def dedup_chunks_rewrite_q(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return chunk_dedup_rewrite(d, "text", "doc_id", chunk_tokens=15)
+
+
+def _retrieval_eval_oracle(k: int = 10) -> str:
+    """Twin of operators/evaluation.py:retrieval_eval over the truncated-
+    dim retrieval setup. The nDCG discount table is computed ONCE here in
+    Python (9 dp) and the SAME literals are injected into the Spark plan
+    (evaluation.ndcg_discounts) and this SQL — no engine's log2 is on the
+    value path. Sums fold in ascending rank order on both sides
+    (list(term ORDER BY rank) + list_sum vs F.aggregate over array_sort),
+    so the float DCGs are bit-identical, not merely close."""
+    from healthcare_rcm_etl_pipeline_spark.operators.evaluation import ndcg_discounts
+
+    dlit = "CAST([" + ", ".join(repr(d) for d in ndcg_discounts(k)) + "] AS DOUBLE[])"
+    cos = (
+        "round(list_dot_product({q}, {v}) / (sqrt(list_dot_product({q}, {q}))"
+        " * sqrt(list_dot_product({v}, {v}))), 6)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 40 = 0),
+    exact AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {cos.format(q="qe", v="e")} DESC, v.vec_id) AS rank
+        FROM q, v WHERE q.query_id <> v.vec_id
+      ) WHERE rank <= {k}
+    ),
+    qrels AS (
+      SELECT query_id, neighbor_id AS did,
+             CASE WHEN rank <= 2 THEN 3 WHEN rank <= 5 THEN 2 ELSE 1 END AS grade
+      FROM exact
+    ),
+    tv AS (SELECT vec_id, e[1:16] AS e FROM v),
+    tq AS (SELECT vec_id AS query_id, e AS qe FROM tv WHERE vec_id % 40 = 0),
+    results AS (
+      SELECT query_id, did, rank FROM (
+        SELECT tq.query_id, tv.vec_id AS did,
+               row_number() OVER (PARTITION BY tq.query_id ORDER BY
+                 {cos.format(q="qe", v="tv.e")} DESC, tv.vec_id) AS rank
+        FROM tq, tv WHERE tq.query_id <> tv.vec_id
+      ) WHERE rank <= {k}
+    ),
+    hits AS (
+      SELECT r.query_id, r.rank, COALESCE(g.grade, 0) AS grade,
+             CAST((1 << COALESCE(g.grade, 0)) - 1 AS DOUBLE) * ({dlit})[r.rank] AS term
+      FROM results r LEFT JOIN qrels g ON r.query_id = g.query_id AND r.did = g.did
+    ),
+    perq AS (
+      SELECT query_id,
+             list_sum(list(term ORDER BY rank)) AS dcg,
+             CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel
+      FROM hits GROUP BY 1
+    ),
+    ideal AS (
+      SELECT query_id, irank,
+             CAST((1 << grade) - 1 AS DOUBLE) * ({dlit})[irank] AS term
+      FROM (SELECT query_id, grade,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY grade DESC, did) AS irank
+            FROM qrels WHERE grade > 0)
+      WHERE irank <= {k}
+    ),
+    perqi AS (
+      SELECT query_id, list_sum(list(term ORDER BY irank)) AS idcg
+      FROM ideal GROUP BY 1
+    ),
+    nrel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM qrels WHERE grade > 0 GROUP BY 1
+    )
+    SELECT p.query_id,
+           CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0
+                THEN round(p.dcg / i.idcg, 6) ELSE 0.0 END AS ndcg,
+           CASE WHEN n.n_rel IS NOT NULL AND n.n_rel > 0
+                THEN round(p.n_hits / CAST(n.n_rel AS DOUBLE), 6) ELSE 0.0 END AS recall,
+           CASE WHEN p.first_rel IS NOT NULL
+                THEN round(1.0 / p.first_rel, 6) ELSE 0.0 END AS mrr,
+           p.n_hits
+    FROM perq p LEFT JOIN perqi i USING (query_id) LEFT JOIN nrel n USING (query_id)
+    """
+
+
+@query("retrieval_quality_ndcg", _retrieval_eval_oracle())
+def retrieval_quality_ndcg_q(spark, sf_dir):
+    """Graded retrieval evaluation (nDCG@10 / recall@10 / MRR@10 per
+    query) of DIMENSION-TRUNCATED retrieval — cosine top-10 over the
+    first 16 of 64 embedding dims, the Matryoshka/prefix-dim cheap-scan
+    trade — judged against qrels derived from the full-dim exact top-10
+    (grades 3/2/1 for exact ranks 1-2 / 3-5 / 6-10). This is the closing
+    primitive the retrieval family (BM25, TF-IDF, RRF, MMR, ANN) was
+    missing: a distributed judge that prices any candidate generator
+    against a graded ground truth. Engine:
+    ``operators/evaluation.py:retrieval_eval`` — candidate-list-bounded
+    joins and per-query folds, never corpus-sized; discount literals and
+    fixed-order summation make the float metrics bit-identical to the
+    oracle (see the module docstring)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.evaluation import retrieval_eval
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    exact = similarity.brute_force_topk(e, q, k=10)
+    qrels = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("rank") <= 2, 3)
+        .when(F.col("rank") <= 5, 2)
+        .otherwise(1)
+        .alias("grade"),
+    )
+    trunc = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    results = similarity.brute_force_topk(
+        trunc, trunc.filter(F.col("vec_id") % 40 == 0), k=10
+    )
+    return retrieval_eval(results, qrels, k=10)
+
+
+@query("dedup_chunks_incremental", ORACLES["dedup_chunks_rewrite"])
+def dedup_chunks_incremental_q(spark, sf_dir):
+    """Incremental chunk-dedup rewrite folded over FOUR ascending-doc_id
+    micro-batches of the corpus (``corpus.chunk_dedup_rewrite_incremental``):
+    each batch is rewritten against the accumulated keeper-chunk state,
+    its newly-claimed chunks appended to the state, and the rewritten
+    batches unioned. The oracle is the BATCH rewrite's SQL verbatim —
+    ascending-id batching makes the incremental fold reproduce the global
+    rewrite exactly (the first batch containing a chunk holds its global
+    min-id doc), so one hash-exact check pins the whole per-batch
+    anti-join / keeper / reassembly machinery against the one-shot form.
+    State unions are localCheckpointed per fold step: 4 batches means 4
+    plan generations, and without truncation the accumulated state's
+    lineage re-derives every earlier batch's chunking (the
+    similarity.py plan-construction lesson)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import (
+        chunk_dedup_rewrite_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).collect()[0][0]
+    n_batches = 4
+    width = (hi + n_batches) // n_batches  # ceil over doc_id range
+    out = None
+    seen = None
+    for b in range(n_batches):
+        batch = d.filter(
+            (F.col("doc_id") >= b * width) & (F.col("doc_id") < (b + 1) * width)
+        )
+        rewritten, new_chunks = chunk_dedup_rewrite_incremental(
+            batch, seen, "text", "doc_id", chunk_tokens=15
+        )
+        rewritten = rewritten.localCheckpoint(eager=True)
+        out = rewritten if out is None else out.unionByName(rewritten)
+        nc = new_chunks.localCheckpoint(eager=True)
+        seen = nc if seen is None else seen.unionByName(nc).localCheckpoint(eager=True)
+    return out

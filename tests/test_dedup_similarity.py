@@ -309,3 +309,41 @@ def test_keep_priority_junk_source(spark, tmp_path):
     oracle = sorted(map(tuple, con.execute(ORACLES["dedup_keep_priority"]).fetchall()))
     con.close()
     assert oracle == sorted(got.items())
+
+
+def test_mmr_over_ivf_partial_probe(spark, sf_dir):
+    """Production-shaped MMR ∘ ANN composition: IVF with a PARTIAL probe
+    (n_probe=4 of 8 Lloyd-refined cells) feeds mmr_topk via the shared
+    (query_id, neighbor_id, cos) candidates contract. Checks the
+    composition is well-formed (k picks per query, positions 1..k, no
+    repeats) and behaviorally sane: the greedy first pick must be the
+    IVF pool's own top-1 (stage 1 is a pure relevance argmax), and the
+    diversified set must overlap the brute-force MMR set (recall floor,
+    not exactness — a partial probe legitimately misses neighbors)."""
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    cents = similarity.ivf_fit(e, n_cells=8, iters=1)
+    cand = similarity.ivf_topk(e, q, cents, k=20, n_probe=4)
+    out = similarity.mmr_topk(e, q, k=5, pool=20, candidates=cand).collect()
+
+    n_queries = q.count()
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == n_queries
+    for qid, rows in per_q.items():
+        assert sorted(r["pos"] for r in rows) == [1, 2, 3, 4, 5]
+        assert len({r["neighbor_id"] for r in rows}) == 5
+    # stage-1 pick == candidate pool's rank-1 (relevance argmax)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in cand.filter("rank = 1").collect()}
+    for qid, rows in per_q.items():
+        first = next(r["neighbor_id"] for r in rows if r["pos"] == 1)
+        assert first == top1[qid]
+    # recall floor vs the exact-pool MMR
+    exact = similarity.mmr_topk(e, q, k=5, pool=20)
+    eset = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(eset & aset) / len(eset)
+    assert recall >= 0.5, f"MMR-over-IVF recall {recall:.2f} vs exact pool"

@@ -190,3 +190,81 @@ class TestPersistedBandIndex:
         key = lambda r: (r.doc_base, r.doc_new, r.n_common, r.jaccard)
         assert sorted(map(key, clean)) == sorted(map(key, padded))
         assert (1, 10) in {(r.doc_base, r.doc_new) for r in clean}
+
+
+class TestIncrementalChunkRewrite:
+    """chunk_dedup_rewrite_incremental: per-batch rewrite against
+    accumulated keeper-chunk state; full-corpus hash parity with the batch
+    form in test_queries_oracle (dedup_chunks_incremental)."""
+
+    CHUNK = 3  # 3-token chunks keep the fixtures readable
+
+    def _fold(self, spark, batches):
+        from healthcare_rcm_etl_pipeline_spark.operators.corpus import (
+            chunk_dedup_rewrite_incremental,
+        )
+
+        out, seen = [], None
+        for rows in batches:
+            b = _docs(spark, rows)
+            rw, nc = chunk_dedup_rewrite_incremental(
+                b, seen, "text", "doc_id", chunk_tokens=self.CHUNK
+            )
+            out.append({r["doc_id"]: r.asDict() for r in rw.collect()})
+            nc = nc.localCheckpoint(eager=True)
+            seen = nc if seen is None else seen.unionByName(nc).localCheckpoint(eager=True)
+        return out
+
+    def test_cross_batch_chunk_cut_and_keeper_repeats_survive(self, spark):
+        boiler = "one two three"
+        b1, b2 = self._fold(
+            spark,
+            [
+                # doc 1 claims the boilerplate chunk; its WITHIN-doc repeat
+                # survives (both occurrences live in the keeper doc)
+                [(1, f"{boiler} {boiler}"), (2, f"{boiler} unique tail here")],
+                # later batch: same chunk -> cut; fresh text -> kept
+                [(10, f"{boiler} fresh words now"), (11, "all new text entirely")],
+            ],
+        )
+        assert b1[1]["n_kept"] == 2 and b1[1]["clean_text"] == f"{boiler} {boiler}"
+        assert b1[2]["n_kept"] == 1 and b1[2]["clean_text"] == "unique tail here"
+        assert b2[10]["n_kept"] == 1 and b2[10]["clean_text"] == "fresh words now"
+        assert b2[11]["n_kept"] == 2  # 4 tokens -> 2 chunks, both new
+
+    def test_ascending_fold_equals_global_batch_rewrite(self, spark):
+        from healthcare_rcm_etl_pipeline_spark.operators.corpus import (
+            chunk_dedup_rewrite,
+        )
+
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma completely different"),
+            (2, ""),
+            (3, "delta epsilon zeta alpha beta gamma"),
+            (4, "delta epsilon zeta"),
+        ]
+        folded = self._fold(spark, [rows[:2], rows[2:4], rows[4:]])
+        inc = {k: v for d in folded for k, v in d.items()}
+        full = {
+            r["doc_id"]: r.asDict()
+            for r in chunk_dedup_rewrite(
+                _docs(spark, rows), "text", "doc_id", chunk_tokens=self.CHUNK
+            ).collect()
+        }
+        assert inc == full
+
+    def test_first_batch_none_state_equals_plain_rewrite(self, spark):
+        from healthcare_rcm_etl_pipeline_spark.operators.corpus import (
+            chunk_dedup_rewrite,
+        )
+
+        rows = [(1, "a b c a b c"), (2, "a b c d e f")]
+        (only,) = self._fold(spark, [rows])
+        full = {
+            r["doc_id"]: r.asDict()
+            for r in chunk_dedup_rewrite(
+                _docs(spark, rows), "text", "doc_id", chunk_tokens=self.CHUNK
+            ).collect()
+        }
+        assert only == full
