@@ -976,6 +976,8 @@ def chunk_dedup_rewrite(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 15,
+    key_mode: str = "text",
+    hash_expr=None,
 ) -> DataFrame:
     """Cross-document chunk dedup as an actual corpus REWRITE — the
     companion to ``chunk_dedup_stats``, which only measures. This is the
@@ -989,33 +991,68 @@ def chunk_dedup_rewrite(
     repetition is ``repetition_stats``' concern, not cross-doc
     boilerplate).
 
-    Plan: chunking is the same pure array expression as the stats op (no
-    shuffle); the keeper table is ONE map-side-combinable ``min(doc)``
-    groupBy; survivors come from one equi-join back on the chunk text.
-    Unlike the stats op this groupBy keys on the chunk TEXT, not an
-    8-byte hash: a hash collision there only nudges a frequency signal,
-    here it would silently DELETE innocent text — correctness over
-    shuffle width for a destructive op (at ~15 tokens the key is ~100
-    bytes, the same order as shuffling the corpus once; the hash-keyed
-    variant with a text-equality recheck join is the documented trade if
-    that ever dominates). Reassembly sorts each doc's surviving chunks by
-    original position inside an array aggregate — per-doc bounded, no
-    window.
+    Plan (``key_mode="text"``, the oracle registration): chunking is the
+    same pure array expression as the stats op (no shuffle); the keeper
+    table is ONE map-side-combinable ``min(doc)`` groupBy keyed on the
+    chunk TEXT; survivors come from one equi-join back on the text.
+
+    ``key_mode="hash"`` is the 100 TB shuffle-width trade, implemented
+    COLLISION-CORRECT (a naive hash key would silently DELETE innocent
+    text on a collision — unacceptable for a destructive op): the keeper
+    aggregate keys on an 8-byte xxhash64 (the wide text column never
+    enters the combinable agg's shuffle), the keeper's actual chunk text
+    is fetched hash-keyed (one row per distinct hash), and a RECHECK
+    compares each occurrence's text to its hash's keeper text — matches
+    follow the fast path; mismatches (collision victims, ~0 rows in
+    practice) fall back to a text-keyed keeper pass over just that set.
+    The output is EQUAL to the text-keyed mode for ANY hash function —
+    every occurrence of a colliding text fails the recheck, so its
+    fallback min(doc) is its true global keeper (pinned by a forced-
+    collision test with a degenerate 1-bit hash,
+    tests/test_corpus.py::test_chunk_rewrite_hash_mode*). ``hash_expr``
+    overrides the hash column for such tests. Measured at 10x in
+    scripts/probe_scale_r9.py (SCALE.md round-9 rows).
+
+    Reassembly sorts each doc's surviving chunks by original position
+    inside an array aggregate — per-doc bounded, no window.
 
     Returns (id_col, n_chunks, n_kept, clean_text) with chunks re-joined
     by single spaces; a fully-deduped doc yields the empty string.
     """
     occ = _chunk_occurrences(df, text_col, id_col, chunk_tokens)
-    keeper = (
-        occ.filter(F.col("__chunk").isNotNull())
-        .groupBy("__chunk")
-        .agg(F.min("doc").alias("__keep_doc"))
-    )
-    kept = (
-        occ.filter(F.col("__chunk").isNotNull())
-        .join(keeper, "__chunk")
-        .filter(F.col("doc") == F.col("__keep_doc"))
-    )
+    nn = occ.filter(F.col("__chunk").isNotNull())
+    if key_mode == "text":
+        keeper = nn.groupBy("__chunk").agg(F.min("doc").alias("__keep_doc"))
+        kept = nn.join(keeper, "__chunk").filter(
+            F.col("doc") == F.col("__keep_doc")
+        )
+    elif key_mode == "hash":
+        hx = hash_expr if hash_expr is not None else F.xxhash64("__chunk")
+        h = nn.withColumn("__h", hx)
+        khash = h.groupBy("__h").agg(F.min("doc").alias("__keep_doc"))
+        ktext = (
+            h.join(khash, "__h")
+            .filter(F.col("doc") == F.col("__keep_doc"))
+            .groupBy("__h")
+            .agg(F.min("__chunk").alias("__keep_chunk"))
+            .join(khash, "__h")
+        )
+        checked = h.join(ktext, "__h")
+        kept_fast = checked.filter(
+            (F.col("doc") == F.col("__keep_doc"))
+            & (F.col("__chunk") == F.col("__keep_chunk"))
+        )
+        fallback = checked.filter(F.col("__chunk") != F.col("__keep_chunk"))
+        fb_keeper = fallback.groupBy("__chunk").agg(
+            F.min("doc").alias("__fb_keep")
+        )
+        kept_fb = fallback.join(fb_keeper, "__chunk").filter(
+            F.col("doc") == F.col("__fb_keep")
+        )
+        cols = ["doc", "n_chunks", "pos", "__chunk"]
+        kept = kept_fast.select(*cols).unionByName(kept_fb.select(*cols))
+    else:
+        raise ValueError(f"unknown key_mode {key_mode!r}")
     return _rewrite_from_kept(occ, kept, id_col)
 
 

@@ -174,3 +174,48 @@ def test_cooccurrence_pairs_support_and_group_cap(spark):
     assert ("z0", "z1") not in pairs and ("a", "c") in pairs
     uncapped = cooccurrence_pairs(df, "g", "i", min_support=1)
     assert uncapped.count() == len(pairs) + 50 * 49 // 2
+
+
+def test_chunk_rewrite_hash_mode_equals_text_mode(spark, sf_dir):
+    """key_mode='hash' (xxhash64 keeper key + recheck + fallback) must be
+    EXACTLY the text-keyed rewrite on the real corpus."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import chunk_dedup_rewrite
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, chunk_dedup_rewrite(d, key_mode="text").collect()))
+    b = sorted(map(tuple, chunk_dedup_rewrite(d, key_mode="hash").collect()))
+    assert a == b
+
+
+def test_chunk_rewrite_hash_mode_survives_forced_collisions(spark):
+    """The collision-correctness guarantee: with a DEGENERATE 1-bit hash
+    (everything collides with nearly everything) the hash mode must still
+    equal the text-keyed output — the recheck routes every collision
+    victim through the text-keyed fallback, so no innocent text is ever
+    deleted, whatever the hash quality."""
+    from pyspark.sql import functions as F
+
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import chunk_dedup_rewrite
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma completely different words"),
+        (2, "delta epsilon zeta alpha beta gamma"),
+        (3, "totally fresh content here nothing shared"),
+        (4, ""),
+        (5, "alpha beta gamma delta epsilon zeta"),  # full dup of 0
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(text_col="text", id_col="doc_id", chunk_tokens=3)
+    a = sorted(map(tuple, chunk_dedup_rewrite(d, **kw, key_mode="text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            chunk_dedup_rewrite(
+                d, **kw, key_mode="hash",
+                hash_expr=F.length("__chunk") % 2,  # 1-bit: forced collisions
+            ).collect(),
+        )
+    )
+    assert a == b
