@@ -29,33 +29,11 @@ from healthcare_rcm_etl_pipeline_spark.plans.queries import QUERIES
 from healthcare_rcm_etl_pipeline_spark.session import get_spark
 
 # explanations for expected round-over-round deltas (emitted with the JSON
-# so a regression vs the previous round is never silent)
-DELTA_NOTES = {
-    "dedup_ngram_jaccard": "r2 runs with the max_df skew cap ON "
-    "(single-pass window mode); r1 benched the uncapped form",
-    "q21_customer_deciles": "r4 computes the exact ntile via the two-pass "
-    "parallel rank (one extra bounded count job) instead of the "
-    "single-task global window r3 benched",
-    "semantic_dedup": "r4 adds the max_cell hot-cell guard (one extra "
-    "partial-aggregated cell-count pass before the pair scan)",
-    "streaming_ingest_batch": "r6 prunes the cross-corpus probe to the "
-    "batch's band-key set (prune_bands_to_probe): the accumulated index "
-    "no longer shuffles per batch. Measured trade at sf0.1: the prune's "
-    "distinct+broadcast adds a CONSTANT ~1.5s/batch while the shuffle it "
-    "saves is still small (index <=76k rows), so the per-batch LEVEL is "
-    "~16% higher this round — but the per-batch SLOPE is now ~0 (clean "
-    "runs measured -0.02..+0.02/batch; r5 rose 5.5->10.8s over 4 "
-    "batches). The constant loses at toy "
-    "index sizes and wins as soon as index >> batch; r6 also benches 8 "
-    "batches (r5: 4)",
-    "q44_top_parts_listagg": "r6 bounds the LISTAGG aggregation buffer: "
-    "row_number<=3 window filter before collect_list (one extra bounded "
-    "window pass; the collect buffers at most 3 structs per group)",
-    "dedup_minhash_lsh": "r6 moves the max_bucket cap BEFORE the bucket "
-    "collect (bounded_bucket_collect window count) so a degenerate bucket "
-    "never materializes in an agg buffer — one extra within-partition "
-    "sort on the same exchange, identical output",
-}
+# so a regression vs the PREVIOUS round is never silent). Keyed per query;
+# entries are purged each round once the delta they explain is no longer
+# live in the prev-round comparison (r1-r6 notes removed in r10 — they
+# described deltas between rounds no longer being compared).
+DELTA_NOTES: dict[str, str] = {}
 
 
 def _recover_from_tail(tail: str) -> tuple[dict[str, float], float | None]:
@@ -177,6 +155,9 @@ HEADLINE = [
     "mmr_diverse_topk_ivf",
     "dedup_chunks_incremental",
     "retrieval_quality_ndcg",
+    # round-10 surface additions
+    "dedup_chunks_rewrite_hashed",
+    "retrieval_quality_bm25",
 ]
 
 

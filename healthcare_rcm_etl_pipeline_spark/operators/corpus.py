@@ -1010,8 +1010,9 @@ def chunk_dedup_rewrite(
     fallback min(doc) is its true global keeper (pinned by a forced-
     collision test with a degenerate 1-bit hash,
     tests/test_corpus.py::test_chunk_rewrite_hash_mode*). ``hash_expr``
-    overrides the hash column for such tests. Measured at 10x in
-    scripts/probe_scale_r9.py (SCALE.md round-9 rows).
+    overrides the hash column for such tests. Both modes are measured at
+    1x and 10x (wall time + shuffle-write bytes) by
+    scripts/probe_scale_r10.py; results in SCALE.md's round-10 section.
 
     Reassembly sorts each doc's surviving chunks by original position
     inside an array aggregate — per-doc bounded, no window.
@@ -1118,6 +1119,8 @@ def chunk_dedup_rewrite_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 15,
+    keeper_col: str | None = None,
+    checkpoint_shared: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental/streaming form of ``chunk_dedup_rewrite``: rewrite ONE
     arriving batch against the accumulated keeper-chunk state, the way
@@ -1150,6 +1153,16 @@ def chunk_dedup_rewrite_incremental(
     State at 100 TB: the chunk state grows with DISTINCT corpus chunks —
     the same order as the persisted LSH band index, partitionable by
     chunk hash; the probe is one anti-join keyed on the chunk text.
+
+    ``keeper_col``: when set, ``new_chunks`` also carries the claiming
+    doc's id under that name — the provenance the streaming ingest path's
+    GDPR purge needs (a purged doc's claimed chunk TEXTS must leave the
+    state too; a later re-arrival of the same text then re-claims it).
+    ``checkpoint_shared=True`` localCheckpoints the post-anti-join
+    occurrence set — the node BOTH returned frames derive from — so a
+    caller running two separate actions over them (the ingest batch fn
+    writes docs and chunk state as two parquet writes) executes the
+    chunking + state probe once, not twice.
     """
     occ = _chunk_occurrences(batch, text_col, id_col, chunk_tokens)
     fresh = occ.filter(F.col("__chunk").isNotNull())
@@ -1157,7 +1170,12 @@ def chunk_dedup_rewrite_incremental(
         fresh = fresh.join(
             seen_chunks.select(F.col("chunk").alias("__chunk")), "__chunk", "left_anti"
         )
+    if checkpoint_shared:
+        fresh = fresh.localCheckpoint(eager=True)
     keeper = fresh.groupBy("__chunk").agg(F.min("doc").alias("__keep_doc"))
     kept = fresh.join(keeper, "__chunk").filter(F.col("doc") == F.col("__keep_doc"))
-    new_chunks = keeper.select(F.col("__chunk").alias("chunk"))
+    state_cols = [F.col("__chunk").alias("chunk")] + (
+        [F.col("__keep_doc").alias(keeper_col)] if keeper_col else []
+    )
+    new_chunks = keeper.select(*state_cols)
     return _rewrite_from_kept(occ, kept, id_col), new_chunks

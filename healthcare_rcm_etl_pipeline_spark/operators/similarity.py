@@ -908,6 +908,21 @@ def mmr_topk(
         raise ValueError("need 0 < lam_num < lam_den")
     if candidates is None:
         candidates = brute_force_topk(corpus, queries, vec_col, id_col, k=pool)
+    else:
+        # Enforce the documented pool bound on external candidate sets: the
+        # pair-sim stage is pool^2 per query, so an oversized caller pool
+        # must be truncated (top-`pool` by cos, ties on lowest neighbor_id)
+        # rather than silently inflating that stage. A caller passing
+        # <= pool rows per query (every ANN path invoked with k=pool) is
+        # unchanged — the filter is the identity there.
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        candidates = (
+            candidates.withColumn("__pr", F.row_number().over(w))
+            .filter(F.col("__pr") <= pool)
+            .drop("__pr")
+        )
     cand = candidates.select(
         "query_id",
         F.col("neighbor_id").alias("cid"),

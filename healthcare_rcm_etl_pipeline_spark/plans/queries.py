@@ -6442,47 +6442,34 @@ def dedup_chunks_rewrite_q(spark, sf_dir):
     return chunk_dedup_rewrite(d, "text", "doc_id", chunk_tokens=15)
 
 
-def _retrieval_eval_oracle(k: int = 10) -> str:
-    """Twin of operators/evaluation.py:retrieval_eval over the truncated-
-    dim retrieval setup. The nDCG discount table is computed ONCE here in
-    Python (9 dp) and the SAME literals are injected into the Spark plan
-    (evaluation.ndcg_discounts) and this SQL — no engine's log2 is on the
-    value path. Sums fold in ascending rank order on both sides
-    (list(term ORDER BY rank) + list_sum vs F.aggregate over array_sort),
-    so the float DCGs are bit-identical, not merely close."""
+@query("dedup_chunks_rewrite_hashed", ORACLES["dedup_chunks_rewrite"])
+def dedup_chunks_rewrite_hashed_q(spark, sf_dir):
+    """The PRODUCTION (100 TB) twin of ``dedup_chunks_rewrite``:
+    ``key_mode="hash"`` keys the combinable keeper aggregate on an 8-byte
+    xxhash64 so the wide chunk text never enters that shuffle, then
+    rechecks each occurrence's text against its hash's keeper text with a
+    text-keyed fallback for collision victims — output provably EQUAL to
+    text mode for ANY hash (forced-collision pytest with a 1-bit hash).
+    The oracle is therefore the text-mode SQL verbatim: an oracle-green
+    run IS the end-to-end equality proof on real data, the same device as
+    ``dedup_containment_capped``. Shuffle-width trade measured at 1x/10x
+    in scripts/probe_scale_r10.py (SCALE.md round-10)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import chunk_dedup_rewrite
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dedup_rewrite(d, "text", "doc_id", chunk_tokens=15, key_mode="hash")
+
+
+def _retrieval_metric_tail(k: int = 10) -> str:
+    """The shared metric tail of every retrieval_eval oracle: given CTEs
+    ``results(query_id, did, rank)`` and ``qrels(query_id, did, grade)``,
+    compute (query_id, ndcg, recall, mrr, n_hits) with the exact same
+    fixed-order-summation / injected-discount-literal devices as
+    operators/evaluation.py:retrieval_eval (see its module docstring)."""
     from healthcare_rcm_etl_pipeline_spark.operators.evaluation import ndcg_discounts
 
     dlit = "CAST([" + ", ".join(repr(d) for d in ndcg_discounts(k)) + "] AS DOUBLE[])"
-    cos = (
-        "round(list_dot_product({q}, {v}) / (sqrt(list_dot_product({q}, {q}))"
-        " * sqrt(list_dot_product({v}, {v}))), 6)"
-    )
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 40 = 0),
-    exact AS (
-      SELECT query_id, neighbor_id, rank FROM (
-        SELECT q.query_id, v.vec_id AS neighbor_id,
-               row_number() OVER (PARTITION BY q.query_id ORDER BY
-                 {cos.format(q="qe", v="e")} DESC, v.vec_id) AS rank
-        FROM q, v WHERE q.query_id <> v.vec_id
-      ) WHERE rank <= {k}
-    ),
-    qrels AS (
-      SELECT query_id, neighbor_id AS did,
-             CASE WHEN rank <= 2 THEN 3 WHEN rank <= 5 THEN 2 ELSE 1 END AS grade
-      FROM exact
-    ),
-    tv AS (SELECT vec_id, e[1:16] AS e FROM v),
-    tq AS (SELECT vec_id AS query_id, e AS qe FROM tv WHERE vec_id % 40 = 0),
-    results AS (
-      SELECT query_id, did, rank FROM (
-        SELECT tq.query_id, tv.vec_id AS did,
-               row_number() OVER (PARTITION BY tq.query_id ORDER BY
-                 {cos.format(q="qe", v="tv.e")} DESC, tv.vec_id) AS rank
-        FROM tq, tv WHERE tq.query_id <> tv.vec_id
-      ) WHERE rank <= {k}
-    ),
     hits AS (
       SELECT r.query_id, r.rank, COALESCE(g.grade, 0) AS grade,
              CAST((1 << COALESCE(g.grade, 0)) - 1 AS DOUBLE) * ({dlit})[r.rank] AS term
@@ -6524,6 +6511,49 @@ def _retrieval_eval_oracle(k: int = 10) -> str:
     """
 
 
+def _retrieval_eval_oracle(k: int = 10) -> str:
+    """Twin of operators/evaluation.py:retrieval_eval over the truncated-
+    dim retrieval setup. The nDCG discount table is computed ONCE here in
+    Python (9 dp) and the SAME literals are injected into the Spark plan
+    (evaluation.ndcg_discounts) and this SQL — no engine's log2 is on the
+    value path. Sums fold in ascending rank order on both sides
+    (list(term ORDER BY rank) + list_sum vs F.aggregate over array_sort),
+    so the float DCGs are bit-identical, not merely close."""
+    from healthcare_rcm_etl_pipeline_spark.operators.evaluation import ndcg_discounts
+
+    cos = (
+        "round(list_dot_product({q}, {v}) / (sqrt(list_dot_product({q}, {q}))"
+        " * sqrt(list_dot_product({v}, {v}))), 6)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 40 = 0),
+    exact AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {cos.format(q="qe", v="e")} DESC, v.vec_id) AS rank
+        FROM q, v WHERE q.query_id <> v.vec_id
+      ) WHERE rank <= {k}
+    ),
+    qrels AS (
+      SELECT query_id, neighbor_id AS did,
+             CASE WHEN rank <= 2 THEN 3 WHEN rank <= 5 THEN 2 ELSE 1 END AS grade
+      FROM exact
+    ),
+    tv AS (SELECT vec_id, e[1:16] AS e FROM v),
+    tq AS (SELECT vec_id AS query_id, e AS qe FROM tv WHERE vec_id % 40 = 0),
+    results AS (
+      SELECT query_id, did, rank FROM (
+        SELECT tq.query_id, tv.vec_id AS did,
+               row_number() OVER (PARTITION BY tq.query_id ORDER BY
+                 {cos.format(q="qe", v="tv.e")} DESC, tv.vec_id) AS rank
+        FROM tq, tv WHERE tq.query_id <> tv.vec_id
+      ) WHERE rank <= {k}
+    ),
+    {_retrieval_metric_tail(k)}"""
+
+
 @query("retrieval_quality_ndcg", _retrieval_eval_oracle())
 def retrieval_quality_ndcg_q(spark, sf_dir):
     """Graded retrieval evaluation (nDCG@10 / recall@10 / MRR@10 per
@@ -6558,6 +6588,143 @@ def retrieval_quality_ndcg_q(spark, sf_dir):
     return retrieval_eval(results, qrels, k=10)
 
 
+_BM25_EVAL_TERMS = (
+    "batch", "scan", "join", "vector", "stream", "hash", "query", "column",
+)
+
+
+def _bm25_eval_oracle(k: int = 10) -> str:
+    """Lexical twin of _retrieval_eval_oracle: qrels graded from the
+    single-term BM25 top-k (the weighted truth), results = the raw
+    term-frequency top-k (the judged cheap scan); shares the exact
+    metric tail."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_EVAL_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ({terms}) GROUP BY 1, 2
+    ),
+    idf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.token, tf.doc_id,
+             round(
+               ln(1 + (s.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+               * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dlen / s.avgdl)), 6) AS score
+      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    qrels AS (
+      SELECT token AS query_id, doc_id AS did,
+             CASE WHEN rank <= 2 THEN 3 WHEN rank <= 5 THEN 2 ELSE 1 END AS grade
+      FROM (SELECT token, doc_id,
+                   row_number() OVER (PARTITION BY token
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+      WHERE rank <= {k}
+    ),
+    results AS (
+      SELECT token AS query_id, doc_id AS did, rank
+      FROM (SELECT token, doc_id,
+                   row_number() OVER (PARTITION BY token
+                                      ORDER BY tf DESC, doc_id) AS rank
+            FROM tf)
+      WHERE rank <= {k}
+    ),
+    {_retrieval_metric_tail(k)}"""
+
+
+@query("retrieval_quality_bm25", _bm25_eval_oracle())
+def retrieval_quality_bm25_q(spark, sf_dir):
+    """retrieval_eval generalized to a SECOND candidate family — lexical
+    retrieval, closing the loop on the judge's stated purpose (any
+    (query_id, neighbor_id, rank) producer can be priced): per-term raw
+    term-frequency top-10 (the cheap unweighted scan) judged against
+    graded qrels derived from the single-term BM25 top-10 (grades 3/2/1
+    for BM25 ranks 1-2 / 3-5 / 6-10) — measuring exactly what BM25's
+    saturation + length normalization buy over raw tf. Same plan shape as
+    ``bm25_topk`` up front (tokenize once, tf filtered to the 8 query
+    terms BEFORE its shuffle, broadcast idf/stats); per-term rankings are
+    row_number windows partitioned by the query term (df(t)-sized
+    partitions — the same per-query-bounded device as brute_force_topk);
+    the eval is candidate-list-bounded joins. Scores round to 6 dp before
+    ranking with a doc_id tie-break (the bm25_topk determinism device)."""
+    from pyspark.sql import Window
+
+    from healthcare_rcm_etl_pipeline_spark.operators.evaluation import retrieval_eval
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_EVAL_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1 - b) + F.lit(b) * F.col("dlen") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    tw = Window.partitionBy("token").orderBy(F.desc("score"), F.asc("doc_id"))
+    qrels = (
+        scored.withColumn("rank", F.row_number().over(tw))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("token").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+            F.when(F.col("rank") <= 2, 3)
+            .when(F.col("rank") <= 5, 2)
+            .otherwise(1)
+            .alias("grade"),
+        )
+    )
+    rw = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    results = (
+        tf.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("token").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+            "rank",
+        )
+    )
+    return retrieval_eval(results, qrels, k=10)
+
+
 @query("dedup_chunks_incremental", ORACLES["dedup_chunks_rewrite"])
 def dedup_chunks_incremental_q(spark, sf_dir):
     """Incremental chunk-dedup rewrite folded over FOUR ascending-doc_id
@@ -6578,14 +6745,21 @@ def dedup_chunks_incremental_q(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    hi = d.agg(F.max("doc_id")).collect()[0][0]
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
     n_batches = 4
-    width = (hi + n_batches) // n_batches  # ceil over doc_id range
+    # ceil over the OBSERVED [lo, hi] id range, not [0, hi]: an offset id
+    # space (all ids near hi) would otherwise collapse into one non-empty
+    # batch and silently stop exercising the cross-batch anti-join path.
+    width = (hi - lo + n_batches) // n_batches
     out = None
     seen = None
     for b in range(n_batches):
         batch = d.filter(
-            (F.col("doc_id") >= b * width) & (F.col("doc_id") < (b + 1) * width)
+            (F.col("doc_id") >= lo + b * width)
+            & (F.col("doc_id") < lo + (b + 1) * width)
         )
         rewritten, new_chunks = chunk_dedup_rewrite_incremental(
             batch, seen, "text", "doc_id", chunk_tokens=15

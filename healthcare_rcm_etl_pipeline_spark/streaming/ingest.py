@@ -359,8 +359,103 @@ def semantic_ingest_stream(
     )
 
 
-_DATASETS = ("docs", "bands", "vectors")
+_DATASETS = ("docs", "bands", "vectors", "chunks")
 _MAINT_LOCK = "_MAINT_LOCK"
+
+
+def read_chunk_state(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """The accumulated keeper-chunk state (chunk, keeper_doc) across
+    committed epochs — the chunk-dedup twin of ``read_band_index``."""
+    return _read_epoched(spark, f"{base}/chunks", max_epoch)
+
+
+def make_chunk_ingest_batch_fn(
+    base: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 15,
+    run_token: str | None = None,
+):
+    """foreachBatch body for chunk-level-deduplicated ingestion: each
+    micro-batch is REWRITTEN (cross-corpus duplicated chunks cut, CCNet
+    "remove duplicated lines" style) against the accumulated keeper-chunk
+    state before landing — the streaming consumer of
+    ``corpus.chunk_dedup_rewrite_incremental``, whose ascending-id fold is
+    pinned hash-equal to the one-shot batch rewrite by the
+    ``dedup_chunks_incremental`` registered oracle query.
+
+    Per micro-batch:
+
+    1. REWRITE: one anti-join of the batch's chunk occurrences against the
+       persisted state (equi-join on the chunk key — the corpus text is
+       never re-scanned), batch-local min-id keeper groupBy, per-doc
+       bounded reassembly.
+    2. APPEND: the rewritten docs land as ``docs/epoch=N`` (schema
+       doc_id, n_chunks, n_kept, clean_text) and the batch's newly-claimed
+       chunks as ``chunks/epoch=N`` (chunk, keeper_doc — keeper provenance
+       so ``purge_ids`` can forget a purged doc's claimed texts); the
+       ``_EPOCH`` marker advances last. Same run-token / rebind /
+       per-epoch-overwrite exactly-once recipe as the LSH text path
+       (shared ``_resolve_epoch``); the shared rewrite lineage is
+       localCheckpointed once so the two writes don't recompute it.
+
+    State at 100 TB: ``chunks/`` grows with DISTINCT corpus chunks (the
+    same order as the band index); per-batch cost tracks the batch, never
+    the corpus.
+    """
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import (
+        chunk_dedup_rewrite_incremental,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        resolved = _resolve_epoch(spark, base, epoch_id, run_token)
+        if resolved is None:
+            return
+        bound, offset, physical, last = resolved
+        recover_base(spark, base)
+        # max_epoch=last: a replay of a partially-committed epoch must not
+        # probe its own ghost chunk rows, or the whole batch's chunks would
+        # anti-join away against themselves (the read_corpus lesson).
+        state = read_chunk_state(spark, base, max_epoch=last)
+        rewritten, new_chunks = chunk_dedup_rewrite_incremental(
+            batch_df,
+            state,
+            text_col,
+            id_col,
+            chunk_tokens=chunk_tokens,
+            keeper_col="keeper_doc",
+            checkpoint_shared=True,
+        )
+        rewritten.write.mode("overwrite").parquet(f"{base}/docs/epoch={physical}")
+        new_chunks.write.mode("overwrite").parquet(f"{base}/chunks/epoch={physical}")
+        _write_marker(spark, base, bound, offset, physical)
+
+    return apply_batch
+
+
+def chunk_ingest_stream(
+    stream_df: DataFrame,
+    base: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 15,
+):
+    """Drive a document stream through chunk-dedup-rewriting ingestion."""
+    token = checkpoint_run_token(stream_df.sparkSession, checkpoint)
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_chunk_ingest_batch_fn(
+                base, text_col, id_col, chunk_tokens=chunk_tokens, run_token=token
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def _jpath(spark: SparkSession, path: str):
@@ -578,8 +673,12 @@ def purge_ids(
 ) -> dict[str, int]:
     """Tombstone deletion ("right to be forgotten") propagated through the
     ingest base AND its derived indexes: the given ids are removed from
-    ``docs/``, their band rows from ``bands/``, and (for vector bases)
-    their rows from ``vectors/``.
+    ``docs/``, their band rows from ``bands/``, (for vector bases) their
+    rows from ``vectors/``, and (for chunk-dedup bases) the chunk-state
+    rows they CLAIMED from ``chunks/`` — keeper-chunk state stores the
+    claimed chunk TEXT, which is the purged doc's content; forgetting the
+    doc must forget those texts too (a later re-arrival of the same text
+    simply re-claims it).
 
     Cost scales with the AFFECTED epoch partitions, not the corpus: one
     pass finds which ``epoch=N`` directories contain a tombstoned id
@@ -619,7 +718,12 @@ def purge_ids(
     try:
         recover_base(spark, base, ignore_lock=True)
         rewritten: dict[str, int] = {}
-        for sub, col in (("docs", id_col), ("bands", "doc"), ("vectors", vec_id_col)):
+        for sub, col in (
+            ("docs", id_col),
+            ("bands", "doc"),
+            ("vectors", vec_id_col),
+            ("chunks", "keeper_doc"),
+        ):
             root = f"{base}/{sub}"
             if not sinks.path_exists(spark, root):
                 continue
