@@ -35,6 +35,22 @@ from healthcare_rcm_etl_pipeline_spark.session import get_spark
 # described deltas between rounds no longer being compared).
 DELTA_NOTES: dict[str, str] = {}
 
+# round-10 methodology change, affecting EVERY per-query number at once
+# (so it is emitted as a single top-level note, not per-query): timed runs
+# now materialize through the noop sink instead of count() — see the
+# comment at the timed loop. Queries whose count() Catalyst could prune
+# (final unique-keyed left joins, computed output columns, global aggs)
+# read HIGHER this round; that is the honest cost, not a regression.
+MATERIALIZE_NOTE = (
+    "r10+: timed runs use df.write.format('noop') (full-output "
+    "materialization); count()-based rounds <= r9 under-measured "
+    "Catalyst-prunable queries"
+)
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
 
 def _recover_from_tail(tail: str) -> tuple[dict[str, float], float | None]:
     """The driver keeps only the LAST 2000 chars of bench stdout; if the
@@ -339,7 +355,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             try:
-                QUERIES[name](spark, warm_dir).count()
+                _materialize(QUERIES[name](spark, warm_dir))
             except Exception as e:  # warm-up must never fail the bench
                 print(f"  warmup {name} failed: {e}", file=sys.stderr)
 
@@ -354,13 +370,21 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs: list[float] = []
-        n = 0
+        # row count reported untimed (and doubles as the per-SF first-read
+        # warm); the TIMED materialization is a noop-sink write — count()
+        # under-measured through round 9: Catalyst prunes whatever a count
+        # doesn't need (a unique-keyed final left join, expensive computed
+        # columns, even the sums under a 1-row global agg), so e.g.
+        # dedup_chunks_rewrite "ran" without ever building clean_text and
+        # q01 without computing its ratio. The noop write computes every
+        # output column at full cardinality with no driver transfer
+        # (measured ~= collect cost, minus the transfer).
+        n = QUERIES[name](spark, sf_dir).count()
         for i in range(iters + extra):
             if i >= iters and min(runs) >= 1.0:
                 break
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count()
+            _materialize(QUERIES[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         spread[name] = [
@@ -425,6 +449,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "sentinel": sentinel,
         "detail": "BENCH_DETAIL.json",
+        "materialize": "noop-write",
     }
     detail = {
         "spread": spread,  # per-query [min, median, max] over timed iters
@@ -434,6 +459,7 @@ def main() -> None:
         "sentinel": sentinel,
         "queries": timings,
         "sf": out["sf"],
+        "materialize_note": MATERIALIZE_NOTE,
     }
     prev_name, prev, prev_sentinel = _prev_round()
     if prev_sentinel:

@@ -996,23 +996,32 @@ def chunk_dedup_rewrite(
     table is ONE map-side-combinable ``min(doc)`` groupBy keyed on the
     chunk TEXT; survivors come from one equi-join back on the text.
 
-    ``key_mode="hash"`` is the 100 TB shuffle-width trade, implemented
-    COLLISION-CORRECT (a naive hash key would silently DELETE innocent
-    text on a collision — unacceptable for a destructive op): the keeper
-    aggregate keys on an 8-byte xxhash64 (the wide text column never
-    enters the combinable agg's shuffle), the keeper's actual chunk text
-    is fetched hash-keyed (one row per distinct hash), and a RECHECK
-    compares each occurrence's text to its hash's keeper text — matches
-    follow the fast path; mismatches (collision victims, ~0 rows in
-    practice) fall back to a text-keyed keeper pass over just that set.
-    The output is EQUAL to the text-keyed mode for ANY hash function —
-    every occurrence of a colliding text fails the recheck, so its
-    fallback min(doc) is its true global keeper (pinned by a forced-
-    collision test with a degenerate 1-bit hash,
-    tests/test_corpus.py::test_chunk_rewrite_hash_mode*). ``hash_expr``
-    overrides the hash column for such tests. Both modes are measured at
-    1x and 10x (wall time + shuffle-write bytes) by
-    scripts/probe_scale_r10.py; results in SCALE.md's round-10 section.
+    ``key_mode="hash"`` keys the keeper aggregate on an 8-byte xxhash64
+    (the wide text column never enters the combinable agg's shuffle),
+    implemented COLLISION-CORRECT (a naive hash key would silently DELETE
+    innocent text on a collision — unacceptable for a destructive op):
+    the keeper's actual chunk text is fetched hash-keyed (one row per
+    distinct hash) and a RECHECK compares each occurrence's text to its
+    hash's keeper text — matches follow the fast path; mismatches
+    (collision victims, ~0 rows in practice) fall back to a text-keyed
+    keeper pass over just that set. The output is EQUAL to the text-keyed
+    mode for ANY hash function — every occurrence of a colliding text
+    fails the recheck, so its fallback min(doc) is its true global keeper
+    (pinned by a forced-collision test with a degenerate 1-bit hash,
+    tests/test_corpus.py::test_chunk_rewrite_hash_mode*, and end-to-end
+    by the ``dedup_chunks_rewrite_hashed`` oracle — text-mode SQL
+    verbatim). ``hash_expr`` overrides the hash column for such tests.
+
+    MEASURED (scripts/probe_scale_r10.py, SCALE.md round-10): hash mode
+    does NOT reduce total shuffle at probed chunk widths — the recheck
+    moves the chunk text through extra occurrence-sized joins, and at
+    100x sf0.1 it shuffles 2.09x the bytes and takes 2.5x the wall time
+    of text mode (wider 45-token chunks: still ~2x). Text mode is the
+    default and the measured-better plan; hash mode is retained as the
+    collision-proofed narrow-AGGREGATE variant for regimes where the
+    keeper aggregate dominates total shuffle (heavy within-partition
+    chunk repetition collapsing the map-side combine), not as a general
+    100 TB recommendation.
 
     Reassembly sorts each doc's surviving chunks by original position
     inside an array aggregate — per-doc bounded, no window.

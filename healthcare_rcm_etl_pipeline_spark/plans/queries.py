@@ -6444,7 +6444,7 @@ def dedup_chunks_rewrite_q(spark, sf_dir):
 
 @query("dedup_chunks_rewrite_hashed", ORACLES["dedup_chunks_rewrite"])
 def dedup_chunks_rewrite_hashed_q(spark, sf_dir):
-    """The PRODUCTION (100 TB) twin of ``dedup_chunks_rewrite``:
+    """The collision-proofed hash-keyed twin of ``dedup_chunks_rewrite``:
     ``key_mode="hash"`` keys the combinable keeper aggregate on an 8-byte
     xxhash64 so the wide chunk text never enters that shuffle, then
     rechecks each occurrence's text against its hash's keeper text with a
@@ -6452,8 +6452,12 @@ def dedup_chunks_rewrite_hashed_q(spark, sf_dir):
     text mode for ANY hash (forced-collision pytest with a 1-bit hash).
     The oracle is therefore the text-mode SQL verbatim: an oracle-green
     run IS the end-to-end equality proof on real data, the same device as
-    ``dedup_containment_capped``. Shuffle-width trade measured at 1x/10x
-    in scripts/probe_scale_r10.py (SCALE.md round-10)."""
+    ``dedup_containment_capped``. NOTE the measured trade
+    (scripts/probe_scale_r10.py, SCALE.md round-10): the recheck's extra
+    occurrence-sized text joins make this mode shuffle ~2x the bytes of
+    text mode at probed widths — text mode stays the default; this
+    registration proves the variant's correctness end-to-end, not its
+    superiority."""
     from healthcare_rcm_etl_pipeline_spark.operators.corpus import chunk_dedup_rewrite
 
     d = _t(spark, sf_dir, "documents")

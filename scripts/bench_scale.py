@@ -147,10 +147,19 @@ def main() -> None:
     )
     books1 = similarity.pq_fit(emb1, m=16, k_cb=16, iters=2)
     books10 = similarity.pq_fit(emb10, m=16, k_cb=16, iters=2)
+    # noop-write, NOT count(): pq_encode is one output row per input row,
+    # so count() lets Catalyst prune the code computation entirely — the
+    # noop sink forces every code array to be built (bench.py r10 lesson)
     run(
         "pq_encode",
-        lambda: similarity.pq_encode(emb1, books1).count(),
-        lambda: similarity.pq_encode(emb10, books10).count(),
+        lambda: similarity.pq_encode(emb1, books1)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        lambda: similarity.pq_encode(emb10, books10)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
     )
     # probe the MATERIALIZED code relation (the persisted-index usage);
     # fixed query set, so probe cost is corpus-linear by construction

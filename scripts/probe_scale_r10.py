@@ -1,7 +1,7 @@
-"""Round-10 scale probes: the three empirical claims SCALE.md still owed.
+"""Round-10 scale probes: the empirical claims SCALE.md still owed.
 
 1. chunk_rewrite — `chunk_dedup_rewrite` text-keyed vs hash-keyed keeper
-   aggregation at 1x (sf0.1 documents) and 10x: wall time AND total
+   aggregation at 10x and 100x of sf0.1 (50k / 500k docs): wall time AND
    shuffle-write bytes per run (the whole point of `key_mode="hash"` is
    that the wide chunk-text column stays out of the combinable keeper
    agg's shuffle; this measures how many bytes that actually saves and
@@ -15,15 +15,17 @@
    (Zipf-ish log-uniform word draw, SAME total token count) — replacing
    SCALE.md's Heaps-law argument for "per-merge cost is O(vocab), not
    O(corpus)" with data at a realistic vocabulary size.
+4. chunk_ingest — per-batch cost slope of the chunk-dedup-rewriting
+   streaming ingestion as the keeper state accumulates (must be ~flat).
 
-Shuffle bytes come from the JVM AppStatusStore (sum of shuffleWriteBytes
-over completed stages, delta'd around each run) — the same numbers the
-Spark UI stage table shows.
+Shuffle bytes come from the JVM AppStatusStore's cumulative per-executor
+totals (never evicted), delta'd around one run of each measured op.
 
 Usage: python scripts/probe_scale_r10.py [probe ...]
-  probe in {chunk_rewrite, triangles, bpe_vocab}; default: all three.
-Prints one JSON line per probe plus a trailing summary line; results are
-transcribed into SCALE.md's round-10 section. Writes nothing outside /tmp.
+  probe in {chunk_rewrite, triangles, bpe_vocab, chunk_ingest};
+  default: all. Prints one JSON line per probe plus a trailing summary
+  line; results are transcribed into SCALE.md's round-10 section. Writes
+  nothing outside /tmp.
 """
 
 from __future__ import annotations
@@ -49,17 +51,17 @@ SF01 = "/root/testdata/sf0.1"
 
 
 def shuffle_write_bytes(spark) -> int:
-    """Total shuffle-write bytes over all completed stages of this app,
-    read from the AppStatusStore (what the UI's stage table reports)."""
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    empty = jvm.java.util.ArrayList()
-    quantiles = sc._gateway.new_array(jvm.double, 0)
-    stages = sc._jsc.sc().statusStore().stageList(empty, False, False, quantiles, empty)
+    """Cumulative shuffle-write bytes across all executors of this app,
+    from the AppStatusStore's executor summaries. Executor totals are
+    monotone counters that never get evicted — unlike per-stage rows,
+    which spark.ui.retainedStages caps (a stage-list delta silently
+    UNDERCOUNTS once old stages age out mid-probe; observed on the first
+    run of this script)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
     total = 0
-    it = stages.iterator()
+    it = store.executorList(False).iterator()
     while it.hasNext():
-        total += it.next().shuffleWriteBytes()
+        total += it.next().totalShuffleWrite()
     return total
 
 
@@ -79,27 +81,47 @@ def run_measured(spark, fn, iters: int = 2) -> dict:
 
 
 def probe_chunk_rewrite(spark) -> dict:
+    """Scales are 10x and 100x of sf0.1 (50k / 500k docs): at raw sf0.1
+    (5k docs, ~1.5 MB text) fixed job costs dominate and the two scales
+    time identically — the 10-vs-100 pair is the smallest spread where
+    the data term is visible on local[32]."""
     import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="hrcm_r10_chunks_")
     try:
-        d1 = spark.read.parquet(f"{SF01}/documents.parquet")
-        scaled_documents(spark, 10).repartition(32).write.parquet(f"{tmp}/docs10")
-        d10 = spark.read.parquet(f"{tmp}/docs10")
         out = {}
-        for scale, d in [("1x", d1), ("10x", d10)]:
+        frames = {}
+        for scale, replicas in [("10x", 10), ("100x", 100)]:
+            p = f"{tmp}/docs_{scale}"
+            scaled_documents(spark, replicas).repartition(32).write.parquet(p)
+            frames[scale] = spark.read.parquet(p)
+        def materialize(d, mode):
+            # NOT .count(): the rewrite ends in a unique-keyed left join,
+            # so count() lets Catalyst prune the entire dedup pipeline
+            # (measured: per-stage shuffle showed ~0 bytes downstream of
+            # the scan). The checksum forces every clean_text to be built.
+            chunk_dedup_rewrite(d, key_mode=mode).agg(
+                F.sum(F.length("clean_text")), F.sum("n_kept")
+            ).collect()
+
+        for scale in ["10x", "100x"]:
+            d = frames[scale]
             for mode in ["text", "hash"]:
                 out[f"{scale}_{mode}"] = run_measured(
-                    spark, lambda: chunk_dedup_rewrite(d, key_mode=mode).count()
+                    spark, lambda: materialize(d, mode)
                 )
-        for scale in ["1x", "10x"]:
+        for scale in ["10x", "100x"]:
             t, h = out[f"{scale}_text"], out[f"{scale}_hash"]
             out[f"{scale}_hash_vs_text_shuffle"] = (
                 round(h["shuffle_mb"] / t["shuffle_mb"], 3) if t["shuffle_mb"] else None
             )
-        out["text_ratio_10x"] = round(out["10x_text"]["sec"] / out["1x_text"]["sec"], 2)
-        out["hash_ratio_10x"] = round(out["10x_hash"]["sec"] / out["1x_hash"]["sec"], 2)
+        out["text_ratio_10x"] = round(
+            out["100x_text"]["sec"] / out["10x_text"]["sec"], 2
+        )
+        out["hash_ratio_10x"] = round(
+            out["100x_hash"]["sec"] / out["10x_hash"]["sec"], 2
+        )
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -196,10 +218,56 @@ def probe_bpe_vocab(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_chunk_ingest(spark, n_batches: int = 8) -> dict:
+    """Per-batch wall time of the chunk-dedup-rewriting ingestion
+    (streaming/ingest.py:make_chunk_ingest_batch_fn) as the keeper-chunk
+    state accumulates: sf0.1 documents split into ``n_batches`` ascending
+    micro-batches. The pass condition is the SLOPE, not the level — each
+    batch pays one anti-join probe against the accumulated state plus
+    batch-local work, so per-batch cost must stay flat while the state
+    grows (the same contract the LSH ingest bench enforces)."""
+    import shutil
+    import tempfile
+
+    from healthcare_rcm_etl_pipeline_spark.streaming.ingest import (
+        make_chunk_ingest_batch_fn,
+        read_chunk_state,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="hrcm_r10_cingest_")
+    try:
+        d = spark.read.parquet(f"{SF01}/documents.parquet")
+        hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        width = (hi + n_batches - 1) // n_batches
+        fn = make_chunk_ingest_batch_fn(f"{tmp}/base")
+        per_batch, state_rows = [], []
+        for b in range(n_batches):
+            batch = d.filter(
+                (F.col("doc_id") >= b * width) & (F.col("doc_id") < (b + 1) * width)
+            )
+            t0 = time.perf_counter()
+            fn(batch, b)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+            state_rows.append(read_chunk_state(spark, f"{tmp}/base").count())
+        n = len(per_batch)
+        xbar, ybar = (n - 1) / 2.0, sum(per_batch) / n
+        slope = sum((i - xbar) * (y - ybar) for i, y in enumerate(per_batch)) / sum(
+            (i - xbar) ** 2 for i in range(n)
+        )
+        return {
+            "per_batch_sec": per_batch,
+            "state_rows": state_rows,
+            "slope_sec_per_batch": round(slope, 4),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 PROBES = {
     "chunk_rewrite": probe_chunk_rewrite,
     "triangles": probe_triangles,
     "bpe_vocab": probe_bpe_vocab,
+    "chunk_ingest": probe_chunk_ingest,
 }
 
 
