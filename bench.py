@@ -174,6 +174,7 @@ HEADLINE = [
     # round-10 surface additions
     "dedup_chunks_rewrite_hashed",
     "retrieval_quality_bm25",
+    "split_leakage_safe",
 ]
 
 

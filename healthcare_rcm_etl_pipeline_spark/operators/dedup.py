@@ -67,6 +67,42 @@ def deterministic_split(
     return df.withColumn(out_col, expr.otherwise(F.lit("rest")))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a near-dup
+    CLUSTER receives the SAME assignment — the split buckets on the
+    cluster's connected-component label (min member id), never the doc's
+    own id, so a test document's near-duplicate cannot land in train.
+    Plain per-doc splitting leaks evaluation data through duplicates (the
+    classic contamination bug ``deterministic_split`` alone cannot
+    prevent: two near-identical docs hash to independent buckets);
+    keying on the component makes the leak structurally impossible, and
+    unpaired docs fall back to their own id, so the assignment reduces to
+    ``deterministic_split`` exactly on duplicate-free data.
+
+    ``pairs`` is any near-dup pair relation (doc_a, doc_b) — Jaccard,
+    MinHash-LSH, SimHash, embedding near-dup all emit it. Scale shape:
+    one connected-components pass over the PAIR graph (pairs-sized, not
+    corpus-sized), one left join back to the corpus keyed on ids, then
+    the same pure-expression md5 bucketing as ``deterministic_split``.
+
+    Returns ``df``'s rows as (key_col, component, out_col).
+    """
+    from healthcare_rcm_etl_pipeline_spark.operators import graph
+
+    comp = graph.connected_components(pairs).withColumnRenamed("doc", key_col)
+    keyed = df.select(key_col).join(comp, key_col, "left").select(
+        key_col, F.coalesce("component", F.col(key_col)).alias("component")
+    )
+    return deterministic_split(keyed, "component", fractions, salt, out_col)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

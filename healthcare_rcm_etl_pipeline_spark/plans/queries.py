@@ -1026,6 +1026,8 @@ def det_split_q(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+
+
 _ANN_BF_ORACLE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 40 = 0),
@@ -1351,6 +1353,59 @@ def dedup_survivors_q(spark, sf_dir):
         F.col("doc").alias("doc_id")
     )
     return d.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM jp
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM jp
+    ),
+    walk(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT w.s, e.t FROM walk w JOIN e ON w.t = e.s
+    ),
+    comp AS (SELECT s AS doc, LEAST(s, MIN(t)) AS component FROM walk GROUP BY s),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    ),
+    b AS (
+      SELECT doc_id, component,
+             ('0x' || substr(md5('split-v1' || CAST(component AS VARCHAR)), 1, 12))::BIGINT % 10000 AS bucket
+      FROM keyed
+    )
+    SELECT doc_id, component,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+
+@query("split_leakage_safe", _LEAKAGE_SPLIT_ORACLE)
+def split_leakage_safe_q(spark, sf_dir):
+    """Near-dup-aware 80/10/10 split (``dedup.leakage_safe_split``): the
+    md5 bucket keys on the doc's near-dup CONNECTED-COMPONENT label (min
+    member id), so near-duplicates always land in the SAME split — plain
+    per-doc bucketing (``deterministic_split``) leaks eval data through
+    duplicates because two near-identical docs hash independently. Pairs =
+    the capped exact-Jaccard relation (same spine as
+    ``dedup_keep_survivors``); unpaired docs key on themselves, so the
+    assignment reduces to the plain split exactly on duplicate-free data.
+    The oracle recomputes components via the recursive-CTE walk and the
+    identical md5 literal — assignments match string-for-string."""
+    from healthcare_rcm_etl_pipeline_spark.operators import dedup as dd
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_df=20
+    )
+    return dd.leakage_safe_split(
+        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
 
 
 @query("doc_winnow_fingerprint", _WINNOW_ORACLE)

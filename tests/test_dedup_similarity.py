@@ -347,3 +347,34 @@ def test_mmr_over_ivf_partial_probe(spark, sf_dir):
     aset = {(r["query_id"], r["neighbor_id"]) for r in out}
     recall = len(eset & aset) / len(eset)
     assert recall >= 0.5, f"MMR-over-IVF recall {recall:.2f} vs exact pool"
+
+
+def test_leakage_safe_split_keys_on_component(spark):
+    """Cluster members must share one split (keyed on the component's
+    min id), a doc whose per-doc bucket differs is actually MOVED, and a
+    singleton reduces to plain deterministic_split exactly."""
+    import hashlib
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(f"split-v1{i}".encode()).hexdigest()[:12], 16) % 10000
+
+    def split_of(i: int) -> str:
+        b = bucket(i)
+        return "train" if b < 8000 else ("val" if b < 9000 else "test")
+
+    a = next(i for i in range(1000) if split_of(i) == "train")
+    b = next(i for i in range(1000) if split_of(i) == "test" and i != a)
+    c = next(i for i in range(1000) if split_of(i) == "val" and i not in (a, b))
+    docs = spark.createDataFrame([(a,), (b,), (c,)], "doc_id long")
+    pairs = spark.createDataFrame([(min(a, b), max(a, b))], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in dedup.leakage_safe_split(
+            docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    comp = min(a, b)
+    assert out[a] == (comp, split_of(comp))
+    assert out[b] == (comp, split_of(comp))  # moved out of its per-doc 'test'
+    assert split_of(b) != out[b][1]          # the move actually happened
+    assert out[c] == (c, split_of(c))        # singleton == plain split
