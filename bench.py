@@ -67,10 +67,41 @@ def _recover_from_tail(tail: str) -> tuple[dict[str, float], float | None]:
     return queries, float(sent.group(1)) if sent else None
 
 
+def _round_detail_from_git(here: str, n: int) -> tuple[dict, dict]:
+    """Per-query numbers for round N recovered from git history: the
+    driver commit that added BENCH_r{N}.json sits on a tree whose
+    committed BENCH_DETAIL.json is that round's close-out numbers (the
+    close-out contract commits it each round). This is the fallback for
+    rounds whose compact stdout line outgrew the driver's 2000-char
+    window and had per-query timings popped (r9 onward: 60+ HEADLINE
+    entries no longer fit), which otherwise silently pins every delta
+    comparison to the last small-enough round. Returns
+    (queries, sentinel) or ({}, {})."""
+    import subprocess
+
+    try:
+        commits = subprocess.run(
+            ["git", "-C", here, "log", "--diff-filter=A", "--format=%H",
+             "--", f"BENCH_r{n:02d}.json"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.split()
+        if not commits:
+            return {}, {}
+        blob = subprocess.run(
+            ["git", "-C", here, "show", f"{commits[0]}:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+        doc = json.loads(blob)
+        return doc.get("queries") or {}, doc.get("sentinel") or {}
+    except Exception:
+        return {}, {}
+
+
 def _prev_round() -> tuple[str | None, dict[str, float], float | None]:
     """Newest BENCH_r{N}.json with recoverable per-query numbers:
-    (name, per-query secs, sentinel). Walks older rounds if the newest is
-    unparseable even via tail recovery."""
+    (name, per-query secs, sentinel). Recovery order per round: parsed
+    stdout JSON -> tail regex -> that round's committed BENCH_DETAIL.json
+    from git history; walks older rounds only if all three fail."""
     here = os.path.dirname(__file__) or "."
     rounds = sorted(
         (
@@ -100,6 +131,10 @@ def _prev_round() -> tuple[str | None, dict[str, float], float | None]:
             queries, prev_sent = _recover_from_tail(doc["tail"])
         if queries:
             return f"r{n:02d}", queries, prev_sent
+        gq, gs = _round_detail_from_git(here, n)
+        if gq:
+            cands = [v for v in (gs.get("before_sec"), gs.get("after_sec")) if v]
+            return f"r{n:02d}", gq, (min(cands) if cands else prev_sent)
     return None, {}, None
 
 HEADLINE = [

@@ -1167,13 +1167,18 @@ def chunk_dedup_rewrite_incremental(
     doc's id under that name — the provenance the streaming ingest path's
     GDPR purge needs (a purged doc's claimed chunk TEXTS must leave the
     state too; a later re-arrival of the same text then re-claims it).
-    ``checkpoint_shared=True`` localCheckpoints the post-anti-join
-    occurrence set — the node BOTH returned frames derive from — so a
-    caller running two separate actions over them (the ingest batch fn
-    writes docs and chunk state as two parquet writes) executes the
-    chunking + state probe once, not twice.
+    ``checkpoint_shared=True`` localCheckpoints BOTH shared roots — the
+    chunk-occurrence relation ``occ`` (consumed by the anti-join AND
+    directly as the reassembly base) and the post-anti-join set ``fresh``
+    (consumed by the keeper aggregate and the state output) — so a caller
+    running two separate actions over the returned frames (the ingest
+    batch fn writes docs and chunk state as two parquet writes) executes
+    the chunking once and the state probe once, not twice each. Both
+    checkpoints are batch-sized, not corpus-sized.
     """
     occ = _chunk_occurrences(batch, text_col, id_col, chunk_tokens)
+    if checkpoint_shared:
+        occ = occ.localCheckpoint(eager=True)
     fresh = occ.filter(F.col("__chunk").isNotNull())
     if seen_chunks is not None:
         fresh = fresh.join(

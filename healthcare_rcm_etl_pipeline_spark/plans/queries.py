@@ -6572,14 +6572,11 @@ def _retrieval_metric_tail(k: int = 10) -> str:
 
 def _retrieval_eval_oracle(k: int = 10) -> str:
     """Twin of operators/evaluation.py:retrieval_eval over the truncated-
-    dim retrieval setup. The nDCG discount table is computed ONCE here in
-    Python (9 dp) and the SAME literals are injected into the Spark plan
-    (evaluation.ndcg_discounts) and this SQL — no engine's log2 is on the
-    value path. Sums fold in ascending rank order on both sides
-    (list(term ORDER BY rank) + list_sum vs F.aggregate over array_sort),
-    so the float DCGs are bit-identical, not merely close."""
-    from healthcare_rcm_etl_pipeline_spark.operators.evaluation import ndcg_discounts
-
+    dim retrieval setup: this builds only the results/qrels CTEs (exact
+    full-dim top-k as graded truth, prefix-dim top-k as the judged run);
+    the discount-literal injection and fixed-order summation live in the
+    shared ``_retrieval_metric_tail`` (see its docstring — float metrics
+    bit-identical, not merely close)."""
     cos = (
         "round(list_dot_product({q}, {v}) / (sqrt(list_dot_product({q}, {q}))"
         " * sqrt(list_dot_product({v}, {v}))), 6)"

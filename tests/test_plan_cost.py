@@ -1,4 +1,4 @@
-"""Plan-construction cost guard (round-9 advice): queries.py holds 167
+"""Plan-construction cost guard (round-9 advice): queries.py holds 160+
 registrations and the heaviest ones build large unrolled plans (k MMR
 stages, BFS rounds, BPE merge rounds, PageRank iterations) — the repo has
 already been bitten once by quadratic plan construction
