@@ -33,7 +33,27 @@ from healthcare_rcm_etl_pipeline_spark.session import get_spark
 # entries are purged each round once the delta they explain is no longer
 # live in the prev-round comparison (r1-r6 notes removed in r10 — they
 # described deltas between rounds no longer being compared).
-DELTA_NOTES: dict[str, str] = {}
+DELTA_NOTES: dict[str, str] = {
+    "ann_topk_pq": (
+        "r11: benched at the registered oracle config (m=32 128-bit "
+        "codes, rerank=200, %40 queries, k=5) instead of r10's "
+        "m=16/rerank=50/limit(20)/k=10 — the bench row now measures the "
+        "query the sweep hash-checks"
+    ),
+    "streaming_ingest_batch": (
+        "r11: state writes are now range-sorted on their probe keys "
+        "(docs by id, bands by bh) — one sampled range exchange per "
+        "epoch write, buying literal-pushdown point lookups "
+        "(probe_near_dups) whose scan cost tracks the probe, not the "
+        "corpus"
+    ),
+    "semantic_ingest_batch": (
+        "r11: vectors state range-sorted on cell + the cross-corpus "
+        "probe now filters the scan with COLLECTED literal cells "
+        "(PushedFilters) instead of a broadcast join that scanned the "
+        "whole index every batch"
+    ),
+}
 
 # round-10 methodology change, affecting EVERY per-query number at once
 # (so it is emitted as a single top-level note, not per-query): timed runs
@@ -92,9 +112,37 @@ def _round_detail_from_git(here: str, n: int) -> tuple[dict, dict]:
             capture_output=True, text=True, timeout=10,
         ).stdout
         doc = json.loads(blob)
+        # Round-stamp validation: the detail file written since r11 carries
+        # the round it measured. If the commit that added BENCH_r{N}.json
+        # carries a BENCH_DETAIL.json stamped with a DIFFERENT round (the
+        # two files committed separately, or the detail amended later), the
+        # recovered numbers belong to some other round — reject them so
+        # _prev_round walks on instead of silently keying deltas against
+        # the wrong round. Legacy (pre-r11) details have no stamp and are
+        # trusted as before.
+        stamped = doc.get("round")
+        if stamped is not None and stamped != n:
+            return {}, {}
         return doc.get("queries") or {}, doc.get("sentinel") or {}
     except Exception:
         return {}, {}
+
+
+def _current_round() -> int | None:
+    """The round this bench run measures: one past the newest recorded
+    BENCH_r{N}.json (the driver records round N's artifact after the
+    round's bench runs, so during round N only rounds < N exist on disk).
+    Overridable via SPARK_GRAFT_ROUND for out-of-band runs."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    here = os.path.dirname(__file__) or "."
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(ns) + 1) if ns else None
 
 
 def _prev_round() -> tuple[str | None, dict[str, float], float | None]:
@@ -327,18 +375,22 @@ def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 8) -> dict:
 
 
 def _bench_pq(spark, sf_dir: str) -> dict:
-    """PQ ANN path (operators/similarity.py): fit + encode once (ingestion-
-    time costs, reported separately), then the ADC probe with exact top-50
-    rerank — the query-time number that rides the delta machinery. The
-    probe scans the CODE relation (m logical bytes/vector), not the float
-    vectors; recall for this config is pinned in tests/test_pq.py."""
+    """PQ ANN path (operators/similarity.py) at the REGISTERED oracle
+    config (plans/queries.py ann_topk_pq / ann_topk_ivf_pq): fit + encode
+    once (ingestion-time costs, reported separately — a production corpus
+    is encoded at write time, not per query), then the ADC probe with
+    exact top-200 rerank, and the IVF×PQ composed probe — the query-time
+    numbers that ride the delta machinery. The probes scan the CODE
+    relation (m logical bytes/vector), not the float vectors; exactness
+    for this config is hash-checked by the oracle sweep and the
+    recall/compression trades pinned in tests/test_pq.py."""
     from healthcare_rcm_etl_pipeline_spark.operators import similarity
     from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.limit(20)
+    q = emb.filter(emb.vec_id % 40 == 0)
     t0 = time.perf_counter()
-    books = similarity.pq_fit(emb, m=16, k_cb=16, iters=2)
+    books = similarity.pq_fit(emb, m=32, k_cb=16, iters=1)
     fit_sec = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     codes = similarity.pq_encode(emb, books)
@@ -347,10 +399,29 @@ def _bench_pq(spark, sf_dir: str) -> dict:
     probe_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        similarity.pq_topk(codes, q, books, k=10, rerank=50, corpus=emb).count()
+        _materialize(
+            similarity.pq_topk(codes, q, books, k=5, rerank=200, corpus=emb)
+        )
         probe_runs.append(round(time.perf_counter() - t0, 3))
+    cents = similarity.ivf_fit(emb, n_cells=8, iters=0)
+    index = similarity.ivf_index(emb, cents)
+    ivf_pq_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(
+            similarity.ivf_pq_topk(
+                index, codes, q, cents, books, k=5, n_probe=8, rerank=200,
+                corpus=emb,
+            )
+        )
+        ivf_pq_runs.append(round(time.perf_counter() - t0, 3))
     codes.unpersist()
-    return {"fit_sec": fit_sec, "encode_sec": encode_sec, "probe_runs": probe_runs}
+    return {
+        "fit_sec": fit_sec,
+        "encode_sec": encode_sec,
+        "probe_runs": probe_runs,
+        "ivf_pq_probe_runs": ivf_pq_runs,
+    }
 
 
 def _sentinel_sec(spark, max_iters: int = 30, patience: int = 5) -> float:
@@ -452,12 +523,16 @@ def main() -> None:
     ]
     print(f"  semantic_ingest: {sem_stats}", file=sys.stderr)
     pq_stats = _bench_pq(spark, sf_dir)
-    timings["ann_topk_pq"] = min(pq_stats["probe_runs"])
-    spread["ann_topk_pq"] = [
-        min(pq_stats["probe_runs"]),
-        round(statistics.median(pq_stats["probe_runs"]), 3),
-        max(pq_stats["probe_runs"]),
-    ]
+    for nm, runs in (
+        ("ann_topk_pq", pq_stats["probe_runs"]),
+        ("ann_topk_ivf_pq", pq_stats["ivf_pq_probe_runs"]),
+    ):
+        timings[nm] = min(runs)
+        spread[nm] = [
+            min(runs),
+            round(statistics.median(runs), 3),
+            max(runs),
+        ]
     print(f"  ann_topk_pq: {pq_stats}", file=sys.stderr)
     sentinel_after = _sentinel_sec(spark)
 
@@ -488,6 +563,7 @@ def main() -> None:
         "materialize": "noop-write",
     }
     detail = {
+        "round": _current_round(),  # validated by _round_detail_from_git
         "spread": spread,  # per-query [min, median, max] over timed iters
         "streaming_ingest": ingest_stats,  # per-batch trend must stay flat
         "semantic_ingest": sem_stats,  # same flatness contract, vector path

@@ -97,6 +97,33 @@ def leakage_safe_split(
     from healthcare_rcm_etl_pipeline_spark.operators import graph
 
     comp = graph.connected_components(pairs).withColumnRenamed("doc", key_col)
+    return leakage_safe_split_from_components(
+        df, comp, key_col, fractions, salt, out_col
+    )
+
+
+def leakage_safe_split_from_components(
+    df: DataFrame,
+    components: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """``leakage_safe_split`` served from a PRECOMPUTED component labeling
+    (key_col/``component`` rows — e.g. the persisted ``components/epoch=N``
+    state a component-labeling ingestion stream maintains,
+    ``streaming/ingest.py:make_component_ingest_batch_fn``): the split is
+    one left join + pure-expression bucketing, no pair generation and no
+    CC iteration per call — the production shape when splits/survivors are
+    served repeatedly over a growing corpus. Docs absent from
+    ``components`` fall back to their own id (same contract as
+    ``leakage_safe_split``: unpaired docs reduce to deterministic_split).
+    """
+    comp = components.select(
+        F.col(key_col) if key_col in components.columns else F.col("doc").alias(key_col),
+        "component",
+    )
     keyed = df.select(key_col).join(comp, key_col, "left").select(
         key_col, F.coalesce("component", F.col(key_col)).alias("component")
     )
@@ -837,7 +864,7 @@ def prune_bands_to_probe(base_bands: DataFrame, new_bands: DataFrame) -> DataFra
 
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
-    base_df: DataFrame,
+    base_df: DataFrame | None,
     text_col: str,
     id_col: str,
     k: int = 64,
@@ -846,6 +873,7 @@ def minhash_lsh_pairs_incremental(
     verify_threshold: float = 0.5,
     max_bucket: int | None = 1024,
     base_bands: DataFrame | None = None,
+    base_lookup=None,
 ) -> DataFrame:
     """CROSS-side near-dup: (base doc, new doc) pairs only — base-vs-base
     pairs are never emitted or verified, which is what makes incremental
@@ -864,11 +892,24 @@ def minhash_lsh_pairs_incremental(
     scale with the new batch by construction — bucket pairs are cross-side
     only and ``max_bucket``-capped — so the broadcast stays bounded.)
 
+    ``base_lookup``: optional point-lookup seam replacing the semi-join
+    text fetch — a callable taking the COLLECTED candidate base ids (a
+    bounded Python list, see above) and returning their (id_col, text_col)
+    rows, e.g. a literal ``isin`` filter over a range-sorted parquet
+    corpus that parquet row-group stats prune to the matching files
+    (streaming/ingest.py:probe_near_dups). With it, ``base_df`` may be
+    None (it is otherwise only the text source); requires ``base_bands``
+    and ``max_bucket`` (the bound that makes collecting the ids safe).
+
     Same banded-LSH machinery as minhash_lsh_pairs; the bucket pair emission
     keeps a side tag and drops same-side combinations BEFORE the d²/2
     explosion, so a bucket of b base docs and m new docs emits b·m cross
     pairs, not (b+m)²/2. Verification melts only cross candidates.
     Returns (doc_base, doc_new, n_common, jaccard)."""
+    if base_lookup is not None and (base_bands is None or max_bucket is None):
+        raise ValueError("base_lookup requires base_bands and max_bucket")
+    if base_df is None and (base_bands is None or base_lookup is None):
+        raise ValueError("base_df=None requires base_bands and base_lookup")
     new_bands = minhash_band_table(new_df, text_col, id_col, k=k, bands=bands, n=n)
     if base_bands is None:
         base_bands = minhash_band_table(base_df, text_col, id_col, k=k, bands=bands, n=n)
@@ -879,9 +920,6 @@ def minhash_lsh_pairs_incremental(
     base_bands = prune_bands_to_probe(base_bands, new_bands)
     banded = new_bands.withColumn("__is_new", F.lit(True)).unionByName(
         base_bands.withColumn("__is_new", F.lit(False))
-    )
-    tagged = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
-        base_df.select(F.col(id_col), F.col(text_col))
     )
     grouped = bounded_bucket_collect(
         banded, ["band", "bh"], F.struct("doc", "__is_new"), max_bucket
@@ -909,9 +947,25 @@ def minhash_lsh_pairs_incremental(
     # degenerate collision pattern could exceed broadcast memory, so leave
     # the strategy to AQE in that case.
     cand_ids = melt.select(F.col("doc").alias(id_col)).distinct()
-    if max_bucket is not None:
-        cand_ids = F.broadcast(cand_ids)
-    relevant = tagged.join(cand_ids, id_col, "left_semi")
+    if base_lookup is not None:
+        # point-lookup path: candidate BASE ids are collected (bounded by
+        # max_bucket, asserted above) and handed to the caller's pruned
+        # fetch; the new side stays the semi-join. Extra rows a loose
+        # lookup might return are harmless — the melt join below is inner
+        # on the candidate ids.
+        base_ids = [r[0] for r in cand.select("doc_base").distinct().collect()]
+        relevant = (
+            new_df.select(F.col(id_col), F.col(text_col))
+            .join(F.broadcast(cand_ids), id_col, "left_semi")
+            .unionByName(base_lookup(base_ids).select(F.col(id_col), F.col(text_col)))
+        )
+    else:
+        tagged = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+            base_df.select(F.col(id_col), F.col(text_col))
+        )
+        if max_bucket is not None:
+            cand_ids = F.broadcast(cand_ids)
+        relevant = tagged.join(cand_ids, id_col, "left_semi")
     sh = _shingle_arrays(relevant, text_col, id_col, n).select(
         "doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )

@@ -561,6 +561,41 @@ def _pq_unroll(codebooks: list[list[list[float]]]) -> bool:
     return m * k_cb * sub_dim <= _UNROLL_MAX_TERMS
 
 
+# Seed-candidate oversampling factor: the hash-threshold prefilter in
+# pq_fit keeps an expected _SEED_OVERSAMPLE × k_cb rows per subspace before
+# the exact take-k window. xxhash64 is uniform over int64, so with 8×
+# oversampling the probability a subspace keeps fewer than k_cb survivors
+# is a Chernoff tail below e^-40 for any k_cb >= 4; the escalation loop
+# widens the threshold 16× (at most ~5 times, then full scan) on the
+# astronomically-rare miss, so the selected seeds are ALWAYS exactly the
+# k_cb smallest hashes — identical to a full sort.
+_SEED_OVERSAMPLE = 8
+
+
+def _pq_seed_frame(exploded: DataFrame, k_cb: int, n: int, frac: float) -> DataFrame:
+    """The bounded seed-selection plan: hash-threshold prefilter (keep
+    ``h`` below the ``frac`` quantile of uniform int64) THEN the exact
+    per-subspace take-k window. The window's input is ~OVERSAMPLE × k_cb
+    rows per subspace — independent of corpus size — so no corpus-wide
+    single-partition sort exists in the fit plan (the round-10 audit's one
+    scale flag: ``row_number() OVER (PARTITION BY j)`` previously sorted
+    the FULL corpus inside each of m partitions). Because the k_cb
+    smallest hashes are each below any threshold that keeps >= k_cb rows,
+    the filtered selection is bit-identical to the unfiltered one
+    (pinned in tests/test_pq.py::test_pq_seed_prefilter_matches_full_sort).
+    """
+    cand = exploded
+    if frac < 1.0:
+        thresh = int(frac * 2**64) - 2**63
+        cand = exploded.filter(F.col("h") < F.lit(thresh))
+    w = Window.partitionBy("j").orderBy("h")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_cb)
+        .select("j", "rn", "s")
+    )
+
+
 def pq_fit(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -571,16 +606,22 @@ def pq_fit(
     seed: int = 42,
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebook fit: ``m`` independent k-means-lite runs,
-    one per subspace, batched into 1 + ``iters`` Spark jobs TOTAL via a
+    one per subspace, batched into 2 + ``iters`` Spark jobs TOTAL via a
     subspace explode (not m × iters jobs).
 
     Seeding mirrors ``ivf_fit``: per subspace j, the ``k_cb`` subvectors
     with the smallest ``xxhash64(id, seed + 31 j)`` — a deterministic
-    uniform sample on the data manifold, ranked by a bounded per-subspace
-    window (m × k_cb rows survive). Each Lloyd step assigns every exploded
-    (j, subvector) row to its nearest centroid (a CASE over the m per-
-    subspace argmin expressions) and recomputes per-(j, cell) means with
-    one partial-aggregated groupBy; only the m × k_cb × (dim/m) centroid
+    uniform sample on the data manifold. Selection is a take-k-smallest,
+    NOT a sort: a hash-threshold prefilter keeps an expected
+    ``_SEED_OVERSAMPLE × k_cb`` rows per subspace (uniform hash ⇒ the
+    threshold is a quantile), then an exact window ranks only the
+    survivors; an escalation loop widens the threshold on the
+    ~e^-40-probability undershoot, so the result is always identical to
+    the full sort while the window's input stays O(k_cb) at ANY corpus
+    size. Each Lloyd step assigns every exploded (j, subvector) row to
+    its nearest centroid (a CASE over the m per-subspace argmin
+    expressions) and recomputes per-(j, cell) means with one
+    partial-aggregated groupBy; only the m × k_cb × (dim/m) centroid
     floats ever reach the driver. Means are rounded to 9 dp so avg()'s
     summation order cannot leak downstream.
 
@@ -589,6 +630,7 @@ def pq_fit(
     first = corpus.select(F.col(vec_col)).first()
     if first is None:
         raise ValueError("empty corpus")
+    n = corpus.count()
     dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -609,13 +651,16 @@ def pq_fit(
             )
         ).alias("e")
     ).select("e.*")
-    w = Window.partitionBy("j").orderBy("h")
-    seeds = (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k_cb)
-        .select("j", "rn", "s")
-        .collect()
-    )
+    frac = min(1.0, (_SEED_OVERSAMPLE * k_cb) / max(n, 1))
+    need = min(k_cb, n)
+    while True:
+        seeds = _pq_seed_frame(exploded, k_cb, n, frac).collect()
+        per_j = [0] * m
+        for r in seeds:
+            per_j[r["j"]] += 1
+        if frac >= 1.0 or all(c >= need for c in per_j):
+            break
+        frac = min(1.0, frac * 16)
     books: list[list[list[float]]] = [[] for _ in range(m)]
     for r in sorted(seeds, key=lambda r: (r["j"], r["rn"])):
         books[r["j"]].append([float(x) for x in r["s"]])

@@ -246,13 +246,31 @@ def hq9(star: dict[str, DataFrame]) -> DataFrame:
     lk = p.filter(F.col("is_current")).select(
         "patient_sk", "FirstName", "LastName", "source_hospital"
     )  # scales; is_current — see hq2
-    return (
+    # aggregate-then-join: facts reduce to one NARROW row per patient_sk
+    # BEFORE touching the name columns, so the groupBy shuffle never
+    # carries strings and the dim join sees |patients| pre-aggregated rows
+    # instead of |claims| facts (measured 7x-superlinear at 100x star
+    # scale in the joined-first shape, SCALE.md round 11). Join placement
+    # preserves the SQL's inner-join orphan semantics — aggregated rows
+    # for sks absent from the current dim are dropped BEFORE the limit,
+    # exactly as the pre-agg join dropped their facts.
+    agg = (
         fc.select("patient_sk", "ClaimAmount", "ClaimID")
-        .join(lk, "patient_sk")
-        .groupBy("patient_sk", "FirstName", "LastName", "source_hospital")
+        .groupBy("patient_sk")
         .agg(
             money_sum("ClaimAmount").alias("TotalBilledToPatient"),
             F.countDistinct("ClaimID").alias("NumberOfClaims"),
+        )
+    )
+    return (
+        agg.join(lk, "patient_sk")
+        .select(
+            "patient_sk",
+            "FirstName",
+            "LastName",
+            "source_hospital",
+            "TotalBilledToPatient",
+            "NumberOfClaims",
         )
         .orderBy(F.desc("TotalBilledToPatient"), F.asc("patient_sk"))
         .limit(20)

@@ -1084,6 +1084,54 @@ def ann_ivf_q(spark, sf_dir):
     return similarity.ivf_topk(e, q, cents, k=5, n_probe=8)
 
 
+@query("ann_topk_pq", _ANN_BF_ORACLE)
+def ann_pq_q(spark, sf_dir):
+    """Approximate top-5 via product quantization + exact rerank — the
+    bytes-per-candidate ANN scale path (FAISS PQ shape): fit 32×16
+    codebooks (128-bit codes, 16× compression of 64-d float32), encode
+    the corpus into the code relation, rank by asymmetric distance (m
+    array lookups per candidate, no dot product), then exact-cosine
+    rerank of each query's top-200 ADC shortlist down to 5. Oracle = the
+    exact brute-force top-k, via the family's rerank-monotonicity device:
+    the rerank output improves monotonically in the shortlist budget
+    (a superset of candidates can only add better exact-cosine rows), and
+    the measured exact-match minimum on this corpus is rerank<=100 at
+    BOTH sweep SFs — registered at 200 for 2x headroom. Fit/encode/probe
+    are deterministic by construction (hash-seeded fit, fixed fold
+    order), so the match is stable — same device as ann_topk_lsh's
+    n_tables=16 registration. Production-shaped recall/compression
+    trades are pinned in tests/test_pq.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    books = similarity.pq_fit(e, m=32, k_cb=16, iters=1)
+    codes = similarity.pq_encode(e, books)
+    return similarity.pq_topk(codes, q, books, k=5, rerank=200, corpus=e)
+
+
+@query("ann_topk_ivf_pq", _ANN_BF_ORACLE)
+def ann_ivf_pq_q(spark, sf_dir):
+    """IVF × PQ composition (the FAISS IVF-PQ shape as two relational
+    ops): IVF cells bound the candidates per query, PQ codes bound the
+    bytes per candidate, exact rerank restores order on the shortlist.
+    Registered with BOTH invariance devices stacked: n_probe == n_cells
+    (every cell probed ⇒ the candidate set IS the corpus, the
+    ann_topk_ivf device) composed with the rerank-monotonicity device of
+    ann_topk_pq (top-200 ADC shortlist ⊇ the true top-5 at both sweep
+    SFs, measured minimum <=100) — so the full
+    fit ∘ encode ∘ cell-probe ∘ ADC ∘ rerank pipeline must equal brute
+    force exactly. Partial-probe production shape is pinned in
+    tests/test_pq.py::test_ivf_pq_composition."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    books = similarity.pq_fit(e, m=32, k_cb=16, iters=1)
+    codes = similarity.pq_encode(e, books)
+    cents = similarity.ivf_fit(e, n_cells=8, iters=0)
+    index = similarity.ivf_index(e, cents)
+    return similarity.ivf_pq_topk(
+        index, codes, q, cents, books, k=5, n_probe=8, rerank=200, corpus=e
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: text analysis (documents table)
 # ---------------------------------------------------------------------------

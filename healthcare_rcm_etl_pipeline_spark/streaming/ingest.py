@@ -126,6 +126,87 @@ def read_band_index(
     return _read_epoched(spark, f"{base}/bands", max_epoch)
 
 
+def _range_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Range-partition + sort a state relation on its probe key before the
+    epoch write, so every parquet file covers a NARROW key range and a
+    later literal point probe (``isin`` over collected keys —
+    ``read_band_index_for`` / ``read_chunk_state_for``) is pruned to the
+    matching files/row groups by footer min/max stats instead of scanning
+    the whole accumulated state. Costs one sampled range exchange per
+    epoch write; buys state-size-independent point lookups."""
+    return df.repartitionByRange(*[F.col(c) for c in cols]).sortWithinPartitions(
+        *cols
+    )
+
+
+def read_band_index_for(
+    spark: SparkSession,
+    base: str,
+    probe_bands: DataFrame,
+    max_epoch: int | None = None,
+) -> DataFrame | None:
+    """Point-lookup view of the band index: only rows whose band-hash
+    matches one of the probe's keys. The keys are COLLECTED (bounded:
+    probe docs × bands values) and applied as a literal ``In(bh, ...)``
+    predicate, which reaches the parquet scan (PushedFilters) and — the
+    state being range-sorted on ``bh`` at write time — prunes to the
+    matching files/row groups. Keeping a same-bh row from a different
+    band is harmless (the bucket key downstream is (band, bh)); dropping
+    any row with a non-probe bh is exact (it can never share a bucket
+    with the probe). Scan cost tracks the PROBE's key count, not the
+    corpus."""
+    keys = [r[0] for r in probe_bands.select("bh").distinct().collect()]
+    idx = read_band_index(spark, base, max_epoch)
+    return None if idx is None else idx.filter(F.col("bh").isin(keys))
+
+
+def probe_near_dups(
+    spark: SparkSession,
+    base: str,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame | None:
+    """Serve "what are this document's near-dups in the corpus?" as a
+    POINT LOOKUP: the probe's band keys prune the persisted index scan
+    (``read_band_index_for``), and candidate base TEXT is fetched by a
+    literal id filter over the range-sorted docs state (the
+    ``base_lookup`` seam) — so a few-doc probe touches a few files of
+    each state dataset, never the corpus. Output ≡
+    ``minhash_lsh_pairs_incremental(probe, full corpus)`` exactly (pinned
+    in tests/test_streaming_component_ingest.py). Returns None before the
+    first commit; does not mutate state."""
+    last = _read_epoch(spark, base)
+    probe_bands = dedup.minhash_band_table(
+        probe_df, text_col, id_col, k=k, bands=bands, n=n
+    )
+    idx = read_band_index_for(spark, base, probe_bands, max_epoch=last)
+    if idx is None:
+        return None
+
+    def fetch(ids: list) -> DataFrame:
+        return read_corpus(spark, base, max_epoch=last).filter(
+            F.col(id_col).isin(list(ids))
+        )
+
+    return dedup.minhash_lsh_pairs_incremental(
+        probe_df,
+        None,
+        text_col,
+        id_col,
+        k=k,
+        bands=bands,
+        n=n,
+        verify_threshold=verify_threshold,
+        base_bands=idx,
+        base_lookup=fetch,
+    )
+
+
 def _resolve_epoch(
     spark: SparkSession, base: str, epoch_id: int, run_token: str | None
 ) -> tuple[str, int, int, int] | None:
@@ -215,9 +296,14 @@ def make_dedup_ingest_batch_fn(
         # without it the whole dedup graph executes twice per epoch.
         batch = batch.persist()
         try:
-            batch.write.mode("overwrite").parquet(f"{base}/docs/epoch={physical}")
-            dedup.minhash_band_table(
-                batch, text_col, id_col, k=k, bands=bands, n=n
+            _range_sorted(batch, id_col).write.mode("overwrite").parquet(
+                f"{base}/docs/epoch={physical}"
+            )
+            _range_sorted(
+                dedup.minhash_band_table(
+                    batch, text_col, id_col, k=k, bands=bands, n=n
+                ),
+                "bh",
             ).write.mode("overwrite").parquet(f"{base}/bands/epoch={physical}")
         finally:
             batch.unpersist()
@@ -317,8 +403,13 @@ def make_semantic_ingest_batch_fn(
         # replay, same rationale as the text path)
         index = read_vectors(spark, base, max_epoch=last)
         if index is not None:
-            cells = batch.select("cell").distinct()
-            cand = index.join(F.broadcast(cells), "cell").select(
+            # LITERAL cell filter (collected — bounded by the batch's
+            # distinct cells), not a broadcast join: only a literal
+            # predicate reaches the parquet scan as a PushedFilter, where
+            # the range-sorted state's footer stats actually prune files —
+            # a broadcast join would scan the whole index every batch
+            cells = [r[0] for r in batch.select("cell").distinct().collect()]
+            cand = index.filter(F.col("cell").isin(cells)).select(
                 "cell", F.col(vec_col).alias("__base_vec")
             )
             hit = (
@@ -329,9 +420,9 @@ def make_semantic_ingest_batch_fn(
             )
             batch = batch.join(hit, id_col, "left_anti")
 
-        batch.select(id_col, "cell", vec_col).write.mode("overwrite").parquet(
-            f"{base}/vectors/epoch={physical}"
-        )
+        _range_sorted(batch.select(id_col, "cell", vec_col), "cell").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/vectors/epoch={physical}")
         _write_marker(spark, base, bound, offset, physical)
 
     return apply_batch
@@ -359,7 +450,7 @@ def semantic_ingest_stream(
     )
 
 
-_DATASETS = ("docs", "bands", "vectors", "chunks")
+_DATASETS = ("docs", "bands", "vectors", "chunks", "components")
 _MAINT_LOCK = "_MAINT_LOCK"
 
 
@@ -369,6 +460,57 @@ def read_chunk_state(
     """The accumulated keeper-chunk state (chunk, keeper_doc) across
     committed epochs — the chunk-dedup twin of ``read_band_index``."""
     return _read_epoched(spark, f"{base}/chunks", max_epoch)
+
+
+def read_chunk_state_for(
+    spark: SparkSession,
+    base: str,
+    chunk_keys: list,
+    max_epoch: int | None = None,
+) -> DataFrame | None:
+    """Point-lookup view of the keeper-chunk state: only rows whose chunk
+    text matches one of the given keys, via a literal ``In(chunk, ...)``
+    predicate the range-sorted state files prune against (same device as
+    ``read_band_index_for``). ``chunk_keys`` must be a BOUNDED list — a
+    few probe docs' chunks, not a large batch's."""
+    st = read_chunk_state(spark, base, max_epoch)
+    return None if st is None else st.filter(F.col("chunk").isin(list(chunk_keys)))
+
+
+def probe_chunk_rewrite(
+    spark: SparkSession,
+    base: str,
+    docs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 15,
+) -> DataFrame:
+    """Serve "how would these documents be rewritten against the corpus?"
+    as a POINT LOOKUP: the probe docs' chunk keys (collected — bounded by
+    docs × chunks/doc) prune the persisted keeper-chunk state scan, then
+    the standard incremental rewrite runs against that pruned slice.
+    Output ≡ ``chunk_dedup_rewrite_incremental(docs, full state)`` exactly
+    (a state row whose chunk is not among the probe's keys cannot affect
+    the anti-join). Read-only: state is NOT mutated — the serving twin of
+    ``make_chunk_ingest_batch_fn`` step 1."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import (
+        _chunk_occurrences,
+        chunk_dedup_rewrite_incremental,
+    )
+
+    occ = _chunk_occurrences(docs_df, text_col, id_col, chunk_tokens)
+    keys = [
+        r[0]
+        for r in occ.filter(F.col("__chunk").isNotNull())
+        .select("__chunk")
+        .distinct()
+        .collect()
+    ]
+    state = read_chunk_state_for(spark, base, keys, max_epoch=_read_epoch(spark, base))
+    rewritten, _ = chunk_dedup_rewrite_incremental(
+        docs_df, state, text_col, id_col, chunk_tokens=chunk_tokens
+    )
+    return rewritten
 
 
 def make_chunk_ingest_batch_fn(
@@ -429,8 +571,12 @@ def make_chunk_ingest_batch_fn(
             keeper_col="keeper_doc",
             checkpoint_shared=True,
         )
-        rewritten.write.mode("overwrite").parquet(f"{base}/docs/epoch={physical}")
-        new_chunks.write.mode("overwrite").parquet(f"{base}/chunks/epoch={physical}")
+        _range_sorted(rewritten, id_col).write.mode("overwrite").parquet(
+            f"{base}/docs/epoch={physical}"
+        )
+        _range_sorted(new_chunks, "chunk").write.mode("overwrite").parquet(
+            f"{base}/chunks/epoch={physical}"
+        )
         _write_marker(spark, base, bound, offset, physical)
 
     return apply_batch
@@ -450,6 +596,169 @@ def chunk_ingest_stream(
         stream_df.writeStream.foreachBatch(
             make_chunk_ingest_batch_fn(
                 base, text_col, id_col, chunk_tokens=chunk_tokens, run_token=token
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_components(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """The LIVE component label per doc from the accumulated state: each
+    epoch writes only the labels the batch created or changed, so the
+    serving view is latest-epoch-wins (``max_by(component, epoch)``). Only
+    docs that appear in at least one near-dup pair carry a row — the state
+    is pair-graph-sized, never corpus-sized; consumers coalesce absent
+    docs to their own id (``leakage_safe_split_from_components``)."""
+    path = f"{base}/components"
+    if not sinks.path_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
+    if max_epoch is not None:
+        df = df.filter(F.col("epoch") <= max_epoch)
+    return df.groupBy("doc").agg(F.max_by("component", "epoch").alias("component"))
+
+
+def make_component_ingest_batch_fn(
+    base: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+    run_token: str | None = None,
+):
+    """foreachBatch body maintaining a NEAR-DUP COMPONENT LABELING of the
+    full corpus — the state the survivor policies (``dedup_keep_*``),
+    ``leakage_safe_split``, and contamination blast-radius all key on,
+    which they otherwise recompute (pairs + connected components) per
+    call. Unlike ``make_dedup_ingest_batch_fn`` this stream RETAINS every
+    document: near-dups are labeled, not dropped, so downstream policy
+    (keep-best, co-assign splits, purge a whole cluster) stays a cheap
+    join against the served labels.
+
+    Per micro-batch:
+
+    1. PAIRS: within-batch minhash-LSH pairs plus cross-corpus pairs from
+       the persisted band index (``minhash_lsh_pairs_incremental`` — the
+       index is probed, never rebuilt).
+    2. INCREMENTAL CC: the batch's pairs merge into the accumulated
+       labeling via star contraction (``connected_components_incremental``)
+       — but fed only the AFFECTED slice of the state: live labels of the
+       pair nodes (latest-epoch-wins, pruned to the pair-node set before
+       the reduction), then every state row in those components. Stale
+       label VALUES cannot collide with live ones (labels are min-ids and
+       only decrease; when a component merges away, its label value
+       disappears from every live row at that same epoch), so the
+       component-keyed affected scan is exact. Cost per batch: two pruned
+       scans of the label state + CC over (affected stars ∪ new pairs) —
+       batch-and-neighborhood-sized, never corpus-sized.
+    3. APPEND: the full batch lands as ``docs/epoch=N``, its band rows as
+       ``bands/epoch=N`` (future probes must see every doc), and the
+       created/changed labels as ``components/epoch=N``; marker last.
+       Same run-token / rebind / per-epoch-overwrite exactly-once recipe
+       as the other ingest paths.
+
+    Fold invariant (pinned in tests/test_streaming_component_ingest.py):
+    after any prefix of batches, ``read_components`` equals
+    ``connected_components(minhash_lsh_pairs(everything ingested))``
+    exactly, and the served leakage-safe split equals the one-shot
+    ``leakage_safe_split``.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        resolved = _resolve_epoch(spark, base, epoch_id, run_token)
+        if resolved is None:
+            return
+        bound, offset, physical, last = resolved
+        recover_base(spark, base)
+
+        within = dedup.minhash_lsh_pairs(
+            batch_df, text_col, id_col, k=k, bands=bands, n=n,
+            verify_threshold=verify_threshold,
+        ).select("doc_a", "doc_b")
+        corpus = read_corpus(spark, base, max_epoch=last)
+        index = read_band_index(spark, base, max_epoch=last)
+        if corpus is not None and index is not None:
+            cross = dedup.minhash_lsh_pairs_incremental(
+                batch_df, corpus, text_col, id_col,
+                k=k, bands=bands, n=n, verify_threshold=verify_threshold,
+                base_bands=index,
+            ).select(
+                F.col("doc_base").alias("doc_a"), F.col("doc_new").alias("doc_b")
+            )
+            pairs = within.unionByName(cross)
+        else:
+            pairs = within
+        # the pair set is re-read several times below (nodes, CC edges);
+        # pin it once — it is batch-neighborhood-sized by construction
+        pairs = pairs.localCheckpoint(eager=True)
+
+        state_path = f"{base}/components"
+        prev_affected = None
+        if sinks.path_exists(spark, state_path):
+            state = spark.read.parquet(state_path).filter(F.col("epoch") <= last)
+            nodes = (
+                pairs.select(F.col("doc_a").alias("doc"))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+                .distinct()
+            )
+            live_mine = (
+                state.join(F.broadcast(nodes), "doc", "left_semi")
+                .groupBy("doc")
+                .agg(F.max_by("component", "epoch").alias("component"))
+            )
+            touched = live_mine.select("component").distinct()
+            prev_affected = (
+                state.join(F.broadcast(touched), "component", "left_semi")
+                .select("doc", "component")
+                .distinct()
+            )
+        if prev_affected is not None:
+            delta = graph.connected_components_incremental(prev_affected, pairs)
+        else:
+            delta = graph.connected_components(pairs)
+
+        batch = batch_df.persist()
+        try:
+            _range_sorted(batch, id_col).write.mode("overwrite").parquet(
+                f"{base}/docs/epoch={physical}"
+            )
+            _range_sorted(
+                dedup.minhash_band_table(
+                    batch, text_col, id_col, k=k, bands=bands, n=n
+                ),
+                "bh",
+            ).write.mode("overwrite").parquet(f"{base}/bands/epoch={physical}")
+            _range_sorted(delta, "doc").write.mode("overwrite").parquet(
+                f"{base}/components/epoch={physical}"
+            )
+        finally:
+            batch.unpersist()
+        _write_marker(spark, base, bound, offset, physical)
+
+    return apply_batch
+
+
+def component_ingest_stream(
+    stream_df: DataFrame,
+    base: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+):
+    """Drive a document stream through component-labeling ingestion."""
+    token = checkpoint_run_token(stream_df.sparkSession, checkpoint)
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_component_ingest_batch_fn(
+                base, text_col, id_col, run_token=token, **lsh_kwargs
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -718,11 +1027,19 @@ def purge_ids(
     try:
         recover_base(spark, base, ignore_lock=True)
         rewritten: dict[str, int] = {}
+        # components: the purged doc's MEMBERSHIP rows go; surviving
+        # cluster members keep their label value (a min-member id is an
+        # opaque group key — the purged doc's content lives in docs/bands,
+        # which this purge removes). The labeling never splits on purge
+        # (conservative: a bridge doc's removal could disconnect a cluster,
+        # but the surviving pair evidence isn't stored); future batches
+        # touching the cluster refresh it through incremental CC.
         for sub, col in (
             ("docs", id_col),
             ("bands", "doc"),
             ("vectors", vec_id_col),
             ("chunks", "keeper_doc"),
+            ("components", "doc"),
         ):
             root = f"{base}/{sub}"
             if not sinks.path_exists(spark, root):
@@ -813,6 +1130,16 @@ def compact_epochs(
             root = f"{base}/{sub}"
             if not sinks.path_exists(spark, root):
                 continue
+            if sub == "components" and small_bytes is not None:
+                # label rows SUPERSEDE each other across epochs
+                # (latest-epoch-wins), so a fold is only correct over a
+                # gap-free epoch interval — a tiered selection can skip a
+                # big middle epoch and would hoist stale labels past it.
+                # The state is pair-graph-sized (≪ corpus), so the FULL
+                # fold below stays cheap at any corpus size; tiered runs
+                # skip it.
+                folded[sub] = 0
+                continue
             listing = fs.listStatus(_jpath(spark, root))
             epoch_dirs = [
                 st.getPath().getName()
@@ -834,11 +1161,17 @@ def compact_epochs(
             target = epochs[-1]
             tmp = f"{root}/.compact_tmp"
             trash = f"{root}/.compact_trash"
-            df = (
-                spark.read.parquet(root)
-                .filter(F.col("epoch").isin(epochs))
-                .drop("epoch")
-            )
+            df = spark.read.parquet(root).filter(F.col("epoch").isin(epochs))
+            if sub == "components":
+                # resolve latest-per-doc BEFORE the fold: folded rows all
+                # land at epoch=target, so superseded labels must not
+                # survive into the merged partition (and the fold doubles
+                # as garbage collection of superseded label rows)
+                df = df.groupBy("doc").agg(
+                    F.max_by("component", "epoch").alias("component")
+                )
+            else:
+                df = df.drop("epoch")
             df.write.mode("overwrite").parquet(tmp)
             if not fs.exists(_jpath(spark, tmp)):
                 raise IOError(f"compact tmp vanished before swap: {tmp}")

@@ -237,13 +237,19 @@ def probe_chunk_ingest(spark, n_batches: int = 8) -> dict:
     tmp = tempfile.mkdtemp(prefix="hrcm_r10_cingest_")
     try:
         d = spark.read.parquet(f"{SF01}/documents.parquet")
-        hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
-        width = (hi + n_batches - 1) // n_batches
+        # batch over the OBSERVED [lo, hi] id range, not [0, max]: on data
+        # whose ids don't start near 0 the 0-based width collapses every
+        # doc into one non-empty batch and the slope silently stops
+        # exercising the accumulated-state anti-join (same offset-id trap
+        # dedup_chunks_incremental_q fixed in queries.py)
+        lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        width = (hi - lo + n_batches) // n_batches
         fn = make_chunk_ingest_batch_fn(f"{tmp}/base")
         per_batch, state_rows = [], []
         for b in range(n_batches):
             batch = d.filter(
-                (F.col("doc_id") >= b * width) & (F.col("doc_id") < (b + 1) * width)
+                (F.col("doc_id") >= lo + b * width)
+                & (F.col("doc_id") < lo + (b + 1) * width)
             )
             t0 = time.perf_counter()
             fn(batch, b)

@@ -28,6 +28,13 @@ def main() -> int:
     pats = [
         (re.compile(r"\d+ registered queries"), f"{n} registered queries"),
         (re.compile(r"query surface is \d+ queries"), f"query surface is {n} queries"),
+        # the sweep-contract SFs (round-10 nit: COVERAGE claimed
+        # "sf0.001 and sf0.01" while the sweep contract and artifacts are
+        # sf0.01 + sf0.1); pinned against the artifact by test_closeout
+        (
+            re.compile(r"validated at sf[\d.]+ and sf[\d.]+"),
+            "validated at sf0.01 and sf0.1",
+        ),
     ]
     status = 0
     for path in ("COVERAGE.md", "README.md"):

@@ -1,4 +1,4 @@
-"""Plan-construction cost guard (round-9 advice): queries.py holds 160+
+"""Plan-construction cost guard (round-9 advice): queries.py holds 170+
 registrations and the heaviest ones build large unrolled plans (k MMR
 stages, BFS rounds, BPE merge rounds, PageRank iterations) — the repo has
 already been bitten once by quadratic plan construction
@@ -6,14 +6,21 @@ already been bitten once by quadratic plan construction
 This test times CONSTRUCTION (the QUERIES[name] call, which includes the
 eager localCheckpoints those plans pin their stages with, at sf0.001 where
 data cost is negligible) plus one analyzer pass for the five largest
-plans, against committed budgets — so the next 6x plan-cost surprise fails
-CI instead of surfacing as a bench regression.
+plans.
 
-Budgets are ~4x a warm uncontended local[32] measurement (2026-08, round
-10, min of 3: mmr_ivf 2.66s, blast_radius 2.22s, bpe_train 1.55s,
-pagerank 1.57s, chunks_incremental 3.80s) — loose enough for CI noise and
-contention, tight enough that a structural blowup (the observed failure
-mode was 6x+) still trips.
+Budgets are RELATIVE (round-10 advice): each run first times a fixed
+synthetic plan-construction sentinel (60 chained selectExpr/drop hops —
+py4j round-trips + analyzer passes, the same cost profile as the guarded
+plans, with no IO and no engine code), and every budget is a multiple of
+that sentinel. A slower or contended machine slows the sentinel and the
+plans alike, so the guard measures plan STRUCTURE, not machine speed.
+Multiples are ~4x the warm uncontended ratio (2026-08, round 11, min of 3
+vs min-of-6 sentinel: mmr_ivf 9.5x, blast_radius 7.2x, bpe_train 4.3x,
+pagerank 4.7x, chunks_incremental 8.2x) — loose enough for residual
+jitter, tight enough that a structural blowup (the observed failure mode
+was 6x+) still trips. Analysis is forced via the public ``df.schema``
+(which materializes the analyzed plan), not the private
+``_jdf.queryExecution()`` API a Spark upgrade can break.
 """
 
 from __future__ import annotations
@@ -26,27 +33,49 @@ from healthcare_rcm_etl_pipeline_spark.plans.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-PLAN_BUDGETS_SEC = {
-    "mmr_diverse_topk_ivf": 11.0,
-    "decontaminate_blast_radius": 9.0,
-    "corpus_bpe_train": 6.5,
-    "q49_copurchase_pagerank": 6.5,
-    "dedup_chunks_incremental": 15.0,
+PLAN_BUDGET_MULTIPLES = {
+    "mmr_diverse_topk_ivf": 38.0,
+    "decontaminate_blast_radius": 29.0,
+    "corpus_bpe_train": 17.0,
+    "q49_copurchase_pagerank": 19.0,
+    "dedup_chunks_incremental": 33.0,
 }
 
+_sentinel_cache: list[float] = []
 
-@pytest.mark.parametrize("name", sorted(PLAN_BUDGETS_SEC))
+
+def _sentinel_sec(spark) -> float:
+    """Warm min of the fixed construction sentinel, measured once per
+    session (first run pays py4j/analyzer warm-up and is discarded by the
+    min, same as the guarded plans' warm pass)."""
+    if _sentinel_cache:
+        return _sentinel_cache[0]
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        df = spark.range(1)
+        for i in range(60):
+            df = df.selectExpr("id", f"id + {i} as c{i}").drop(f"c{i}")
+        df.schema
+        best = min(best, time.perf_counter() - t0)
+    _sentinel_cache.append(best)
+    return best
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGET_MULTIPLES))
 def test_plan_construction_within_budget(spark, name):
+    base = _sentinel_sec(spark)
     # warm pass: JVM/codegen/analyzer caches and the first parquet-footer
     # reads are session startup cost, not plan-construction cost
-    QUERIES[name](spark, SF)._jdf.queryExecution().analyzed()
+    QUERIES[name](spark, SF).schema
     t0 = time.perf_counter()
     df = QUERIES[name](spark, SF)
-    df._jdf.queryExecution().analyzed()
+    df.schema
     dt = time.perf_counter() - t0
-    assert dt < PLAN_BUDGETS_SEC[name], (
-        f"{name}: plan construction took {dt:.2f}s (budget "
-        f"{PLAN_BUDGETS_SEC[name]}s) — a structural plan-cost regression "
-        "(unrolled stages re-deriving lineage?); see operators/similarity.py "
-        "plan-construction notes"
+    budget = PLAN_BUDGET_MULTIPLES[name] * base
+    assert dt < budget, (
+        f"{name}: plan construction took {dt:.2f}s = {dt / base:.1f}x the "
+        f"{base:.2f}s sentinel (budget {PLAN_BUDGET_MULTIPLES[name]}x) — a "
+        "structural plan-cost regression (unrolled stages re-deriving "
+        "lineage?); see operators/similarity.py plan-construction notes"
     )

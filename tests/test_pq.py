@@ -103,6 +103,79 @@ def test_pq_encode_shuffle_free_and_probe_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in probe_plan or "BroadcastExchange" in probe_plan
 
 
+def test_pq_seed_prefilter_matches_full_sort(spark):
+    """The hash-threshold seed prefilter must select EXACTLY the same rows
+    as the corpus-wide sort it replaced (r10 audit flag: the old
+    row_number-over-partitionBy(j) window sorted the full corpus inside
+    each of m partitions). The k_cb smallest hashes are each below any
+    threshold that keeps >= k_cb rows, so a sufficient prefilter is
+    selection-invariant — pinned here by comparing against frac=1.0 (the
+    old full-window behavior) on the same exploded frame."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(EMB)
+    n = emb.count()
+    m, k_cb, sub_dim = 4, 8, 16
+    exploded = emb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col("embedding"), j * sub_dim + 1, sub_dim).alias("s"),
+                        F.xxhash64(F.col("vec_id").cast("string"), F.lit(42 + 31 * j)).alias("h"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    frac = min(1.0, similarity._SEED_OVERSAMPLE * k_cb / n)
+    assert frac < 1.0  # the prefilter is actually exercised on this corpus
+    fast = similarity._pq_seed_frame(exploded, k_cb, n, frac).collect()
+    full = similarity._pq_seed_frame(exploded, k_cb, n, 1.0).collect()
+    keyf = lambda r: (r["j"], r["rn"], tuple(r["s"]))
+    assert sorted(map(keyf, fast)) == sorted(map(keyf, full))
+
+
+def test_pq_seed_plan_filters_before_window(spark):
+    """Plan guard for the fit path: the seed-selection window must consume
+    the hash-threshold Filter, not the corpus — i.e. no corpus-sized
+    single-partition sort anywhere in the fit plan. (The registry-wide
+    no-unpartitioned-window sweep in test_plans.py can't catch this shape:
+    the window IS partitioned, just by a key with cardinality m.) The
+    guard is structural — a Filter on h sits BELOW the Window in the
+    optimized plan — plus a live check that the window's input is
+    O(oversample × k_cb × m), independent of corpus size."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(EMB)
+    n = emb.count()
+    m, k_cb = 4, 8
+    exploded = emb.select(
+        F.lit(0).alias("j"),
+        F.col("embedding").alias("s"),
+        F.xxhash64(F.col("vec_id").cast("string")).alias("h"),
+    )
+    frac = min(1.0, similarity._SEED_OVERSAMPLE * k_cb / n)
+    plan = (
+        similarity._pq_seed_frame(exploded, k_cb, n, frac)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    win_at = plan.find("Window")
+    filt_at = plan.find("h#", win_at)
+    assert win_at >= 0 and filt_at > win_at, plan
+    assert "Filter" in plan[win_at:], plan
+    # survivor bound: expected oversample × k_cb per subspace; assert a
+    # generous 8× ceiling so the test pins "bounded", not the exact draw
+    survivors = exploded.filter(
+        F.col("h") < F.lit(int(frac * 2**64) - 2**63)
+    ).count()
+    assert survivors <= 8 * similarity._SEED_OVERSAMPLE * k_cb
+
+
 def test_pq_small_corpus_pads_codebook(spark):
     emb = spark.read.parquet(EMB).limit(5)
     books = similarity.pq_fit(emb, m=4, k_cb=16, iters=1)

@@ -1,0 +1,81 @@
+"""Point-lookup serving over the persisted ingest state (round-10 verdict
+item 6): the band index and keeper-chunk state are range-sorted on their
+probe keys at write time, and the probe readers apply the collected keys as
+LITERAL predicates — so the scan is pruned by parquet pushdown + footer
+stats instead of reading the whole state. Pinned here: (a) the pruned
+probes are output-EXACT vs the full-scan paths, (b) the literal predicate
+actually reaches the scan (PushedFilters in the executed plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from healthcare_rcm_etl_pipeline_spark.operators import dedup
+from healthcare_rcm_etl_pipeline_spark.operators.corpus import (
+    chunk_dedup_rewrite_incremental,
+)
+from healthcare_rcm_etl_pipeline_spark.streaming import ingest
+
+_T = [f"t{i}" for i in range(40)]
+A = " ".join(_T)
+A2 = " ".join(_T[:39] + ["zz"])
+LONER = " ".join(f"q{i}" for i in range(40))
+C1 = " ".join(f"a{i}" for i in range(15))
+C2 = " ".join(f"b{i}" for i in range(15))
+C3 = " ".join(f"c{i}" for i in range(15))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def _ingest_base(spark, tmp_path, rows):
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_component_ingest_batch_fn(base)
+    fn(_df(spark, rows), 0)
+    return base
+
+
+def test_probe_near_dups_equals_full_scan(spark, tmp_path):
+    base = _ingest_base(spark, tmp_path, [(1, A), (5, LONER)])
+    probe = _df(spark, [(100, A2), (101, " ".join(f"x{i}" for i in range(40)))])
+
+    got = ingest.probe_near_dups(spark, base, probe)
+    full = dedup.minhash_lsh_pairs_incremental(
+        probe, ingest.read_corpus(spark, base), "text", "doc_id"
+    )
+    keyf = lambda r: (r["doc_base"], r["doc_new"], r["n_common"], r["jaccard"])
+    assert sorted(map(keyf, got.collect())) == sorted(map(keyf, full.collect()))
+    assert {(r["doc_base"], r["doc_new"]) for r in got.collect()} == {(1, 100)}
+
+
+def test_probe_band_index_scan_is_pushed_down(spark, tmp_path):
+    base = _ingest_base(spark, tmp_path, [(1, A), (5, LONER)])
+    probe = _df(spark, [(100, A2)])
+    pb = dedup.minhash_band_table(probe, "text", "doc_id")
+    idx = ingest.read_band_index_for(spark, base, pb)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(bh" in plan, plan
+
+
+def test_probe_chunk_rewrite_equals_full_state(spark, tmp_path):
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_chunk_ingest_batch_fn(base)
+    fn(_df(spark, [(1, f"{C1} {C2}"), (2, f"{C2} {C3}")]), 0)
+
+    probe = _df(spark, [(100, f"{C1} {C3} {' '.join(f'z{i}' for i in range(15))}")])
+    got = ingest.probe_chunk_rewrite(spark, base, probe)
+    full, _ = chunk_dedup_rewrite_incremental(
+        probe, ingest.read_chunk_state(spark, base), "text", "doc_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+    row = got.collect()[0]
+    # C1 and C3 are claimed by the corpus; only the fresh z-chunk survives
+    assert (row["n_chunks"], row["n_kept"]) == (3, 1)
+
+    st = ingest.read_chunk_state_for(spark, base, [C1, C2])
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    # Catalyst folds a 1-key isin to EqualTo; either way it must be PUSHED
+    assert "PushedFilters" in plan and (
+        "In(chunk" in plan or "EqualTo(chunk" in plan
+    ), plan

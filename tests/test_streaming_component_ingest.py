@@ -1,0 +1,160 @@
+"""Component-labeling streaming ingestion (streaming/ingest.py:
+make_component_ingest_batch_fn): every micro-batch's near-dup pairs merge
+into a persisted component labeling via incremental CC, and the stream
+RETAINS all docs (labels, not drops). The invariant under test: after any
+prefix of batches, ``read_components`` equals one-shot
+``connected_components(minhash_lsh_pairs(everything ingested))`` exactly —
+including the two-existing-components merge case star contraction must get
+right — and the leakage-safe split served from the state equals the
+recompute-everything ``leakage_safe_split``.
+
+Pair geometry: families share token prefixes so a later BRIDGE doc is a
+near-dup (jaccard >= 0.5) of BOTH families while the families themselves
+stay below threshold (A∩B 3-shingles: 18/58 = 0.31) — so the bridge batch
+must merge two committed components. bands=32 (rows=2) keeps the LSH
+collision probability ~1 at these jaccards, so the pair set is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, graph
+from healthcare_rcm_etl_pipeline_spark.streaming import ingest
+
+LSH = dict(k=64, bands=32, n=3, verify_threshold=0.5)
+
+_T = [f"t{i}" for i in range(40)]
+_U = [f"u{i}" for i in range(21, 41)]
+A = " ".join(_T)                                   # t0..t39
+A2 = " ".join(_T[:39] + ["zz"])                    # near-dup of A
+B = " ".join(_T[:20] + _U)                         # shares t0..t19 with A
+B2 = " ".join(_T[:20] + _U[:19] + ["yy"])          # near-dup of B
+BRIDGE = " ".join(_T[:30] + _U[:10])               # near-dup of BOTH A and B
+LONER = " ".join(f"q{i}" for i in range(40))
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _run_once(spark, src, base, ckpt):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = ingest.component_ingest_stream(stream, base, ckpt, **LSH)
+    q.awaitTermination(120)
+
+
+def _served(spark, base):
+    return sorted(tuple(r) for r in ingest.read_components(spark, base).collect())
+
+
+def _oneshot(spark, rows):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", **LSH)
+    return sorted(tuple(r) for r in graph.connected_components(pairs).collect())
+
+
+def test_component_ingest_equals_oneshot_cc(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # day 1: one within-batch pair (A family), one loner
+    day1 = [(1, A), (2, A2), (5, LONER)]
+    _write_docs(spark, src, day1)
+    _run_once(spark, src, base, ckpt)
+    assert _served(spark, base) == _oneshot(spark, day1)
+    # loner has no pair -> no state row (pair-graph-sized state)
+    assert all(doc in (1, 2) for doc, _ in _served(spark, base))
+
+    # day 2: B family arrives as a cross-batch pair (3 then nothing else
+    # pairs with it yet), plus a cross-corpus near-dup of A
+    day2 = [(3, B), (4, B2), (10, A)]
+    _write_docs(spark, src, day2)
+    _run_once(spark, src, base, ckpt)
+    assert _served(spark, base) == _oneshot(spark, day1 + day2)
+
+    # day 3: the bridge merges the TWO committed components {1,2,10} and
+    # {3,4} into one — the star-contraction path with real prior state
+    day3 = [(20, BRIDGE)]
+    _write_docs(spark, src, day3)
+    _run_once(spark, src, base, ckpt)
+    served = _served(spark, base)
+    assert served == _oneshot(spark, day1 + day2 + day3)
+    labels = {c for _, c in served}
+    assert labels == {1}, labels  # everything paired collapsed to min id 1
+
+    # re-run with nothing new: no change (replay gate)
+    _run_once(spark, src, base, ckpt)
+    assert served == _served(spark, base)
+
+    # all docs retained (labeling, not dropping)
+    corpus_ids = sorted(
+        r["doc_id"] for r in ingest.read_corpus(spark, base).collect()
+    )
+    assert corpus_ids == [1, 2, 3, 4, 5, 10, 20]
+
+
+def test_component_state_purge_and_compact(spark, tmp_path):
+    """Maintenance over the label state: purge removes the doc's
+    MEMBERSHIP rows (surviving members keep their label as an opaque group
+    key — conservative, never splits); full compaction folds the
+    multi-epoch state into one resolved latest-per-doc partition without
+    changing the served view; tiered compaction skips components (a
+    non-contiguous fold could hoist stale labels past a skipped epoch)."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, [(1, A), (2, A2), (5, LONER)])
+    _run_once(spark, src, base, ckpt)
+    _write_docs(spark, src, [(3, B), (4, B2), (10, A)])
+    _run_once(spark, src, base, ckpt)
+
+    rewritten = ingest.purge_ids(spark, base, [2])
+    assert rewritten["components"] >= 1
+    served = _served(spark, base)
+    assert all(doc != 2 for doc, _ in served)
+    # survivors keep their cluster (1, 10 still co-labeled)
+    labels = dict(served)
+    assert labels[10] == labels[1]
+
+    before = _served(spark, base)
+    folded = ingest.compact_epochs(spark, base)
+    assert folded["components"] >= 2
+    assert _served(spark, base) == before
+    # folded state is fully resolved: one row per doc
+    raw = spark.read.parquet(f"{base}/components")
+    assert raw.count() == raw.select("doc").distinct().count()
+
+    # tiered mode must not touch components
+    assert ingest.compact_epochs(spark, base, small_bytes=1 << 30)["components"] == 0
+
+
+def test_served_split_equals_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    day1 = [(1, A), (2, A2), (5, LONER)]
+    day2 = [(3, B), (4, B2), (10, A), (20, BRIDGE)]
+    _write_docs(spark, src, day1)
+    _run_once(spark, src, base, ckpt)
+    _write_docs(spark, src, day2)
+    _run_once(spark, src, base, ckpt)
+
+    rows = day1 + day2
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    recomputed = dedup.leakage_safe_split(
+        df, dedup.minhash_lsh_pairs(df, "text", "doc_id", **LSH), "doc_id", fr
+    )
+    served = dedup.leakage_safe_split_from_components(
+        df, ingest.read_components(spark, base), "doc_id", fr
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
+    # near-dups land in the SAME split, always
+    by_doc = {r["doc_id"]: r["split"] for r in served.collect()}
+    assert len({by_doc[d] for d in (1, 2, 3, 4, 10, 20)}) == 1
