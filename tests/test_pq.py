@@ -176,6 +176,20 @@ def test_pq_seed_plan_filters_before_window(spark):
     assert survivors <= 8 * similarity._SEED_OVERSAMPLE * k_cb
 
 
+def test_pq_seed_escalation_matches(spark, monkeypatch):
+    """The undershoot escalation path: with a pathologically small
+    oversample factor the prefilter keeps too few rows and pq_fit must
+    widen the threshold until every subspace has its k_cb seeds — and the
+    selection it converges to is the SAME k_cb-smallest-hash set the
+    normal path picks (the assertion holds whichever branch runs: the
+    selection rule is threshold-invariant once enough rows survive)."""
+    emb = spark.read.parquet(EMB).limit(200)
+    normal = similarity.pq_fit(emb, m=4, k_cb=8, iters=0)
+    monkeypatch.setattr(similarity, "_SEED_OVERSAMPLE", 0.05)
+    escalated = similarity.pq_fit(emb, m=4, k_cb=8, iters=0)
+    assert escalated == normal
+
+
 def test_pq_small_corpus_pads_codebook(spark):
     emb = spark.read.parquet(EMB).limit(5)
     books = similarity.pq_fit(emb, m=4, k_cb=16, iters=1)

@@ -58,6 +58,19 @@ def test_probe_band_index_scan_is_pushed_down(spark, tmp_path):
     assert "PushedFilters" in plan and "In(bh" in plan, plan
 
 
+def test_probes_on_empty_base(spark, tmp_path):
+    """Serving before the first commit: the near-dup probe reports the
+    no-index state as None; the chunk probe degrades to the batch-local
+    rewrite (nothing claimed yet)."""
+    base = str(tmp_path / "never_written")
+    probe = _df(spark, [(1, A)])
+    assert ingest.probe_near_dups(spark, base, probe) is None
+    row = ingest.probe_chunk_rewrite(
+        spark, base, _df(spark, [(1, f"{C1} {C2}")])
+    ).collect()[0]
+    assert (row["n_chunks"], row["n_kept"]) == (2, 2)
+
+
 def test_probe_chunk_rewrite_equals_full_state(spark, tmp_path):
     base = str(tmp_path / "corpus")
     fn = ingest.make_chunk_ingest_batch_fn(base)
