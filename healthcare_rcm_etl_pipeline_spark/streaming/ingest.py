@@ -139,6 +139,30 @@ def _range_sorted(df: DataFrame, *cols: str) -> DataFrame:
     )
 
 
+# Batch-path literal-prune bound: an ingest batch whose distinct band-hash
+# count is at or below this inlines its keys as an In(bh, ...) predicate on
+# the index scan (the point-lookup device); above it, the join-based
+# prune_bands_to_probe inside minhash_lsh_pairs_incremental takes over —
+# a 4k-literal predicate is where driver-side plan cost and per-row-group
+# filter evaluation start to cost more than the scan they save.
+_PROBE_LITERAL_MAX = 4096
+
+
+def _literal_pruned_index(
+    index: DataFrame, probe_bands: DataFrame, limit: int = _PROBE_LITERAL_MAX
+) -> DataFrame:
+    """Prune an index scan to the probe's band-hash keys when the key set
+    is small enough to inline as literals (exactness argument in
+    ``read_band_index_for``); otherwise return the index unchanged and let
+    the join-based prune handle it."""
+    keys = [
+        r[0] for r in probe_bands.select("bh").distinct().limit(limit + 1).collect()
+    ]
+    if len(keys) > limit:
+        return index
+    return index.filter(F.col("bh").isin(keys))
+
+
 def read_band_index_for(
     spark: SparkSession,
     base: str,
@@ -279,6 +303,17 @@ def make_dedup_ingest_batch_fn(
         corpus = read_corpus(spark, base, max_epoch=last)
         index = read_band_index(spark, base, max_epoch=last)
         if corpus is not None and index is not None:
+            # small batches inline their band keys as a pushed-down literal
+            # predicate on the index scan (the point-lookup device) —
+            # per-batch cost then tracks the batch even when the
+            # accumulated index is corpus-sized; big batches fall back to
+            # the join-based prune inside the incremental probe
+            index = _literal_pruned_index(
+                index,
+                dedup.minhash_band_table(
+                    batch, text_col, id_col, k=k, bands=bands, n=n
+                ),
+            )
             dup_new = (
                 dedup.minhash_lsh_pairs_incremental(
                     batch, corpus, text_col, id_col,
@@ -685,6 +720,13 @@ def make_component_ingest_batch_fn(
         corpus = read_corpus(spark, base, max_epoch=last)
         index = read_band_index(spark, base, max_epoch=last)
         if corpus is not None and index is not None:
+            # same literal-prune device as the dedup path — see there
+            index = _literal_pruned_index(
+                index,
+                dedup.minhash_band_table(
+                    batch_df, text_col, id_col, k=k, bands=bands, n=n
+                ),
+            )
             cross = dedup.minhash_lsh_pairs_incremental(
                 batch_df, corpus, text_col, id_col,
                 k=k, bands=bands, n=n, verify_threshold=verify_threshold,
