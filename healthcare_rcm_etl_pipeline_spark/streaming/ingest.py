@@ -149,12 +149,16 @@ _PROBE_LITERAL_MAX = 4096
 
 
 def _literal_pruned_index(
-    index: DataFrame, probe_bands: DataFrame, limit: int = _PROBE_LITERAL_MAX
+    index: DataFrame, probe_bands: DataFrame, limit: int | None = None
 ) -> DataFrame:
     """Prune an index scan to the probe's band-hash keys when the key set
     is small enough to inline as literals (exactness argument in
     ``read_band_index_for``); otherwise return the index unchanged and let
-    the join-based prune handle it."""
+    the join-based prune handle it. ``limit`` defaults to the module's
+    ``_PROBE_LITERAL_MAX`` at CALL time (tests pin the fallback branch by
+    patching it)."""
+    if limit is None:
+        limit = _PROBE_LITERAL_MAX
     keys = [
         r[0] for r in probe_bands.select("bh").distinct().limit(limit + 1).collect()
     ]

@@ -71,6 +71,30 @@ def test_probes_on_empty_base(spark, tmp_path):
     assert (row["n_chunks"], row["n_kept"]) == (2, 2)
 
 
+def test_ingest_literal_prune_fallback_is_equivalent(spark, tmp_path, monkeypatch):
+    """Both branches of the batch-path index prune must ingest identically:
+    with the literal bound forced to 0 every batch takes the join-based
+    fallback, and the resulting corpus must equal the literal-pruned run's
+    (the prune is a scan optimization, never a semantics change)."""
+    rows1 = [(1, A), (5, LONER)]
+    rows2 = [(100, A2), (101, " ".join(f"y{i}" for i in range(40)))]
+
+    def run(base):
+        fn = ingest.make_dedup_ingest_batch_fn(base)
+        fn(_df(spark, rows1), 0)
+        fn(_df(spark, rows2), 1)
+        return sorted(
+            tuple(r) for r in ingest.read_corpus(spark, base).collect()
+        )
+
+    literal = run(str(tmp_path / "lit"))
+    monkeypatch.setattr(ingest, "_PROBE_LITERAL_MAX", 0)
+    fallback = run(str(tmp_path / "fb"))
+    assert literal == fallback
+    # the cross-corpus near-dup (100 vs 1) was dropped either way
+    assert all(r[0] != 100 for r in literal)
+
+
 def test_probe_chunk_rewrite_equals_full_state(spark, tmp_path):
     base = str(tmp_path / "corpus")
     fn = ingest.make_chunk_ingest_batch_fn(base)
