@@ -564,6 +564,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     verify_threshold: float | None = 0.5,
     max_bucket: int | None = 1024,
+    prebuilt_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from minhash signatures.
 
@@ -584,8 +585,18 @@ def minhash_lsh_pairs(
     value (e.g. empty/boilerplate docs) otherwise turns the linear LSH
     pass quadratic. Near-dup clusters are tiny relative to 1024; set None
     to disable.
+
+    ``prebuilt_bands``: a ``minhash_band_table(df, ...)`` the caller
+    already materialized (the streaming ingest paths build one per batch
+    for the index probe AND the state write) — passing it through avoids
+    re-minhashing the batch here; it must be the band table of THIS df at
+    the same k/bands/n (caller contract).
     """
-    banded = minhash_band_table(df, text_col, id_col, k=k, bands=bands, n=n)
+    banded = (
+        prebuilt_bands
+        if prebuilt_bands is not None
+        else minhash_band_table(df, text_col, id_col, k=k, bands=bands, n=n)
+    )
     grouped = bounded_bucket_collect(banded, ["band", "bh"], F.col("doc"), max_bucket)
     cand = (
         grouped.select(F.explode(_pairs_in_array(F.col("ds"))).alias("p"))
@@ -874,6 +885,7 @@ def minhash_lsh_pairs_incremental(
     max_bucket: int | None = 1024,
     base_bands: DataFrame | None = None,
     base_lookup=None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-side near-dup: (base doc, new doc) pairs only — base-vs-base
     pairs are never emitted or verified, which is what makes incremental
@@ -910,7 +922,15 @@ def minhash_lsh_pairs_incremental(
         raise ValueError("base_lookup requires base_bands and max_bucket")
     if base_df is None and (base_bands is None or base_lookup is None):
         raise ValueError("base_df=None requires base_bands and base_lookup")
-    new_bands = minhash_band_table(new_df, text_col, id_col, k=k, bands=bands, n=n)
+    # new_bands: like base_bands but for the NEW side — the ingest batch
+    # fns already build (and persist) the batch's band table for the index
+    # probe and the state write; passing it here keeps the batch from
+    # being min-hashed twice per epoch (caller contract: it is the band
+    # table of new_df at the same k/bands/n).
+    if new_bands is None:
+        new_bands = minhash_band_table(
+            new_df, text_col, id_col, k=k, bands=bands, n=n
+        )
     if base_bands is None:
         base_bands = minhash_band_table(base_df, text_col, id_col, k=k, bands=bands, n=n)
     # flat-cost invariant: only base index rows in buckets the new batch
@@ -937,6 +957,14 @@ def minhash_lsh_pairs_incremental(
         )
         .dropDuplicates()
     )
+    if base_lookup is not None:
+        # the candidate pipeline feeds BOTH the collected base-id fetch
+        # below and the returned plan's melt join; materialize it once so
+        # the two reads cannot diverge under any future nondeterministic
+        # truncation (and the probe lineage does not execute twice). The
+        # frame is bounded by max_bucket (asserted above), so the pin is
+        # batch-neighborhood-sized.
+        cand = cand.localCheckpoint(eager=True)
     melt = cand.select(
         "doc_base", "doc_new", F.explode(F.array("doc_base", "doc_new")).alias("doc")
     )
@@ -1110,7 +1138,25 @@ def best_survivors(
     from healthcare_rcm_etl_pipeline_spark.operators.graph import connected_components
 
     clusters = connected_components(pairs, src_col=src_col, dst_col=dst_col)
-    members = clusters.join(
+    return best_survivors_from_components(docs, clusters, id_col, order_col)
+
+
+def best_survivors_from_components(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    order_col: str,
+) -> DataFrame:
+    """``best_survivors`` served from a PRECOMPUTED component labeling
+    ((doc, component) rows — e.g. the persisted state a component-labeling
+    ingestion stream maintains, ``streaming/ingest.py:
+    make_component_ingest_batch_fn`` + ``read_components``): one join +
+    one map-side-combinable ``max_by`` per call, no pair generation and no
+    CC iteration — the production shape when the survivor policy is
+    applied repeatedly over a growing corpus. Docs absent from the
+    labeling are unpaired and always survive (the state is
+    pair-graph-sized by contract)."""
+    members = components.select("doc", "component").join(
         docs.select(F.col(id_col).alias("doc"), F.col(order_col)), "doc"
     )
     best = members.groupBy("component").agg(

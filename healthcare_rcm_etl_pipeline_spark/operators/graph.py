@@ -129,6 +129,63 @@ def _cc_labels(
     )
 
 
+def connected_components_bounded(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 20,
+    out_node: str = "doc",
+    out_component: str = "component",
+    collect_limit: int | None = 4096,
+) -> DataFrame:
+    """``connected_components`` with a DRIVER-SIDE union-find fast path for
+    SMALL pair sets — the streaming micro-batch case, where the pair set is
+    batch-neighborhood-sized by construction but the distributed iteration
+    still costs ~2 localCheckpoint jobs per round plus a changed-count job
+    (the round-11 per-batch fixed-cost floor: job scheduling, not data,
+    dominates a 12 s batch). Up to ``collect_limit`` edges are collected
+    (one bounded job, the same device as the 4096-literal index prune);
+    if they fit, min-id labels come from a driver union-find and return as
+    a local relation (downstream joins against it broadcast for free).
+    Above the bound, falls back to the distributed iteration untouched.
+    Output ≡ ``connected_components`` exactly — the min-label fixed point
+    is unique and order-independent (pinned in tests/test_graph.py)."""
+    if collect_limit is not None:
+        rows = pairs.select(src_col, dst_col).limit(collect_limit + 1).collect()
+        if len(rows) <= collect_limit:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id so every root is its component's min
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out = [(n, find(n)) for n in parent]
+            schema = pairs.select(
+                F.col(src_col).alias(out_node), F.col(src_col).alias(out_component)
+            ).schema
+            return pairs.sparkSession.createDataFrame(out, schema)
+    return connected_components(
+        pairs,
+        src_col=src_col,
+        dst_col=dst_col,
+        max_iters=max_iters,
+        out_node=out_node,
+        out_component=out_component,
+    )
+
+
 def connected_components_incremental(
     prev_labels: DataFrame,
     new_pairs: DataFrame,
@@ -137,6 +194,7 @@ def connected_components_incremental(
     max_iters: int = 20,
     out_node: str = "doc",
     out_component: str = "component",
+    collect_limit: int | None = None,
 ) -> DataFrame:
     """Merge a NEW batch of pairs into an existing component labeling
     without re-running CC over the full graph — the incremental-ingestion
@@ -161,6 +219,12 @@ def connected_components_incremental(
     Equals the full recompute exactly (min-id labels; pinned in tests).
     Returns (out_node, out_component) for every node in prev_labels or
     new_pairs.
+
+    ``collect_limit``: when set, the merge CC over (affected stars ∪ new
+    pairs) — batch-and-neighborhood-sized in the streaming ingest paths —
+    runs through ``connected_components_bounded``'s driver union-find
+    fast path instead of the iterative jobs (falls back above the bound;
+    output identical either way).
     """
     prev = prev_labels.select(
         F.col(out_node).alias("node"), F.col(out_component).alias("label")
@@ -178,13 +242,14 @@ def connected_components_incremental(
     star = affected.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias(src_col), F.col("label").alias(dst_col)
     )
-    merged = connected_components(
+    merged = connected_components_bounded(
         star.unionByName(new_pairs.select(src_col, dst_col)),
         src_col=src_col,
         dst_col=dst_col,
         max_iters=max_iters,
         out_node=out_node,
         out_component=out_component,
+        collect_limit=collect_limit,
     )
     # an affected single-member component whose node appears in new_pairs
     # is already in merged (via its new edges); one that does NOT appear in

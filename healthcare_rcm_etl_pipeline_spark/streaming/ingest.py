@@ -148,23 +148,36 @@ def _range_sorted(df: DataFrame, *cols: str) -> DataFrame:
 _PROBE_LITERAL_MAX = 4096
 
 
-def _literal_pruned_index(
-    index: DataFrame, probe_bands: DataFrame, limit: int | None = None
+def _literal_pruned(
+    state: DataFrame, probe: DataFrame, col: str, limit: int | None = None
 ) -> DataFrame:
-    """Prune an index scan to the probe's band-hash keys when the key set
-    is small enough to inline as literals (exactness argument in
-    ``read_band_index_for``); otherwise return the index unchanged and let
-    the join-based prune handle it. ``limit`` defaults to the module's
-    ``_PROBE_LITERAL_MAX`` at CALL time (tests pin the fallback branch by
-    patching it)."""
+    """Prune a state scan to the probe's keys in ``col`` when the key set
+    is small enough to inline as literals — the ``In(col, ...)`` predicate
+    reaches the parquet scan as a PushedFilter, and the state being
+    range-sorted on ``col`` at write time, footer min/max stats prune to
+    the matching files/row groups. Otherwise return the state unchanged
+    and let the caller's join-based prune handle it (a multi-thousand
+    literal predicate costs more in driver plan construction and
+    per-row-group filter evaluation than the scan it saves). ``limit``
+    defaults to the module's ``_PROBE_LITERAL_MAX`` at CALL time (tests
+    pin the fallback branch by patching it)."""
     if limit is None:
         limit = _PROBE_LITERAL_MAX
     keys = [
-        r[0] for r in probe_bands.select("bh").distinct().limit(limit + 1).collect()
+        r[0] for r in probe.select(col).distinct().limit(limit + 1).collect()
     ]
     if len(keys) > limit:
-        return index
-    return index.filter(F.col("bh").isin(keys))
+        return state
+    return state.filter(F.col(col).isin(keys))
+
+
+def _literal_pruned_index(
+    index: DataFrame, probe_bands: DataFrame, limit: int | None = None
+) -> DataFrame:
+    """Band-index specialization of ``_literal_pruned`` (exactness argument
+    in ``read_band_index_for``: dropping non-probe band hashes is exact,
+    keeping same-bh rows from other bands is harmless)."""
+    return _literal_pruned(index, probe_bands, "bh", limit)
 
 
 def read_band_index_for(
@@ -292,8 +305,14 @@ def make_dedup_ingest_batch_fn(
             batch, text_col, id_col, k=k, bands=bands, n=n,
             verify_threshold=verify_threshold,
         )
+        # bounded CC: a micro-batch's pair set is batch-sized, so the
+        # driver union-find fast path replaces ~6 iteration jobs with one
+        # bounded collect (distributed fallback above the bound) — part of
+        # the round-12 per-batch fixed-cost-floor cut
         losers = (
-            graph.connected_components(pairs)
+            graph.connected_components_bounded(
+                pairs, collect_limit=_PROBE_LITERAL_MAX
+            )
             .filter(F.col("doc") != F.col("component"))
             .select(F.col("doc").alias(id_col))
         )
@@ -306,23 +325,26 @@ def make_dedup_ingest_batch_fn(
         # itself and the anti-join would silently drop the whole batch.
         corpus = read_corpus(spark, base, max_epoch=last)
         index = read_band_index(spark, base, max_epoch=last)
+        batch_bands = None
         if corpus is not None and index is not None:
-            # small batches inline their band keys as a pushed-down literal
-            # predicate on the index scan (the point-lookup device) —
-            # per-batch cost then tracks the batch even when the
-            # accumulated index is corpus-sized; big batches fall back to
-            # the join-based prune inside the incremental probe
-            index = _literal_pruned_index(
-                index,
-                dedup.minhash_band_table(
-                    batch, text_col, id_col, k=k, bands=bands, n=n
-                ),
-            )
+            # the batch's band table feeds the index prune, the incremental
+            # probe's new side AND (filtered to survivors) the state write —
+            # build it ONCE and pin it; three separate constructions
+            # min-hashed the batch three times per epoch. Small batches
+            # inline their band keys as a pushed-down literal predicate on
+            # the index scan (the point-lookup device) — per-batch cost then
+            # tracks the batch even when the accumulated index is
+            # corpus-sized; big batches fall back to the join-based prune
+            # inside the incremental probe.
+            batch_bands = dedup.minhash_band_table(
+                batch, text_col, id_col, k=k, bands=bands, n=n
+            ).localCheckpoint(eager=True)
+            index = _literal_pruned_index(index, batch_bands)
             dup_new = (
                 dedup.minhash_lsh_pairs_incremental(
                     batch, corpus, text_col, id_col,
                     k=k, bands=bands, n=n, verify_threshold=verify_threshold,
-                    base_bands=index,
+                    base_bands=index, new_bands=batch_bands,
                 )
                 .select(F.col("doc_new").alias(id_col))
                 .distinct()
@@ -338,12 +360,23 @@ def make_dedup_ingest_batch_fn(
             _range_sorted(batch, id_col).write.mode("overwrite").parquet(
                 f"{base}/docs/epoch={physical}"
             )
-            _range_sorted(
-                dedup.minhash_band_table(
+            # survivors' band rows: restrict the pinned batch band table
+            # instead of min-hashing the survivors again (first batch has
+            # no pinned table — no cross probe happened — so build one)
+            out_bands = (
+                batch_bands.join(
+                    F.broadcast(batch.select(F.col(id_col).alias("doc"))),
+                    "doc",
+                    "left_semi",
+                )
+                if batch_bands is not None
+                else dedup.minhash_band_table(
                     batch, text_col, id_col, k=k, bands=bands, n=n
-                ),
-                "bh",
-            ).write.mode("overwrite").parquet(f"{base}/bands/epoch={physical}")
+                )
+            )
+            _range_sorted(out_bands, "bh").write.mode("overwrite").parquet(
+                f"{base}/bands/epoch={physical}"
+            )
         finally:
             batch.unpersist()
         _write_marker(spark, base, bound, offset, physical)
@@ -442,15 +475,48 @@ def make_semantic_ingest_batch_fn(
         # replay, same rationale as the text path)
         index = read_vectors(spark, base, max_epoch=last)
         if index is not None:
-            # LITERAL cell filter (collected — bounded by the batch's
-            # distinct cells), not a broadcast join: only a literal
-            # predicate reaches the parquet scan as a PushedFilter, where
-            # the range-sorted state's footer stats actually prune files —
-            # a broadcast join would scan the whole index every batch
-            cells = [r[0] for r in batch.select("cell").distinct().collect()]
-            cand = index.filter(F.col("cell").isin(cells)).select(
-                "cell", F.col(vec_col).alias("__base_vec")
-            )
+            # LITERAL cell filter when the batch's distinct-cell count fits
+            # the literal bound: only a literal predicate reaches the
+            # parquet scan as a PushedFilter, where the range-sorted
+            # state's footer stats actually prune files — a broadcast join
+            # scans the whole index every batch. Above the bound
+            # (_PROBE_LITERAL_MAX — a huge micro-batch over a fine cell
+            # space) fall back to the broadcast semi-join: a many-thousand
+            # literal In() is the known driver plan-construction/codegen
+            # blowup, and at that width it prunes little anyway.
+            # SELECTIVITY: the prune only helps when the cell space is
+            # sized for the corpus (2^n_planes ≫ batch cells —
+            # adaptive_n_planes semantics); at the 64-cell default a
+            # corpus-scale batch touches every cell and the probe scans
+            # the whole index (the round-11 upward-trend finding). The
+            # per-batch probe stats land on ``apply_batch.last_probe`` so
+            # harnesses can verify which regime they measured.
+            cells = [
+                r[0]
+                for r in batch.select("cell")
+                .distinct()
+                .limit(_PROBE_LITERAL_MAX + 1)
+                .collect()
+            ]
+            if len(cells) <= _PROBE_LITERAL_MAX:
+                cand = index.filter(F.col("cell").isin(cells))
+                apply_batch.last_probe = {
+                    "cells_probed": len(cells),
+                    "cells_space": 2 ** n_planes,
+                    "path": "literal",
+                }
+            else:
+                cand = index.join(
+                    F.broadcast(batch.select("cell").distinct()),
+                    "cell",
+                    "left_semi",
+                )
+                apply_batch.last_probe = {
+                    "cells_probed": None,
+                    "cells_space": 2 ** n_planes,
+                    "path": "join",
+                }
+            cand = cand.select("cell", F.col(vec_col).alias("__base_vec"))
             hit = (
                 batch.join(cand, "cell")
                 .filter(F.round(cosine(vec_col, "__base_vec"), 6) >= threshold)
@@ -464,6 +530,7 @@ def make_semantic_ingest_batch_fn(
         ).parquet(f"{base}/vectors/epoch={physical}")
         _write_marker(spark, base, bound, offset, physical)
 
+    apply_batch.last_probe = None  # no index probed yet
     return apply_batch
 
 
@@ -661,6 +728,31 @@ def read_components(
     return df.groupBy("doc").agg(F.max_by("component", "epoch").alias("component"))
 
 
+def _affected_component_slice(state: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Every state row of every component touched by ``nodes`` — the slice
+    incremental CC needs. Scan ONE (live labels of the node set) is a
+    point lookup: the node ids inline as a pushed-down ``In(doc, ...)``
+    literal over the doc-range-sorted state (``_literal_pruned`` — file/
+    row-group pruning via footer stats; semi-join fallback above the
+    literal bound keeps the plan bounded for huge batches). Scan TWO
+    (rows of the touched components) is a broadcast semi-join on
+    ``component`` — rows prune after the scan, file reads do not (the
+    state is sorted on doc, not component; a component-sorted twin would
+    buy that at double the write cost)."""
+    live_mine = (
+        _literal_pruned(state, nodes, "doc")
+        .join(F.broadcast(nodes), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.max_by("component", "epoch").alias("component"))
+    )
+    touched = live_mine.select("component").distinct()
+    return (
+        state.join(F.broadcast(touched), "component", "left_semi")
+        .select("doc", "component")
+        .distinct()
+    )
+
+
 def make_component_ingest_batch_fn(
     base: str,
     text_col: str = "text",
@@ -693,9 +785,16 @@ def make_component_ingest_batch_fn(
        label VALUES cannot collide with live ones (labels are min-ids and
        only decrease; when a component merges away, its label value
        disappears from every live row at that same epoch), so the
-       component-keyed affected scan is exact. Cost per batch: two pruned
-       scans of the label state + CC over (affected stars ∪ new pairs) —
-       batch-and-neighborhood-sized, never corpus-sized.
+       component-keyed affected scan is exact. Scan ONE (doc-keyed) is a
+       point lookup: the pair-node set is bounded, so its ids inline as a
+       pushed-down ``In(doc, ...)`` literal over the doc-range-sorted
+       state (file/row-group pruning; join-prune fallback above the
+       literal bound). Scan TWO (component-keyed) is a broadcast semi-join
+       — ROWS are pruned after the scan, file reads are not, because the
+       state is sorted on doc, not component; a component-sorted state
+       twin would buy that at double the write cost. CC itself runs over
+       (affected stars ∪ new pairs) — batch-and-neighborhood-sized, never
+       corpus-sized.
     3. APPEND: the full batch lands as ``docs/epoch=N``, its band rows as
        ``bands/epoch=N`` (future probes must see every doc), and the
        created/changed labels as ``components/epoch=N``; marker last.
@@ -717,24 +816,26 @@ def make_component_ingest_batch_fn(
         bound, offset, physical, last = resolved
         recover_base(spark, base)
 
+        # ONE band table per batch: it feeds the within-batch LSH, the
+        # index prune, the incremental probe's new side and the bands
+        # state write — four separate constructions would min-hash the
+        # batch four times per epoch
+        batch_bands = dedup.minhash_band_table(
+            batch_df, text_col, id_col, k=k, bands=bands, n=n
+        ).localCheckpoint(eager=True)
         within = dedup.minhash_lsh_pairs(
             batch_df, text_col, id_col, k=k, bands=bands, n=n,
-            verify_threshold=verify_threshold,
+            verify_threshold=verify_threshold, prebuilt_bands=batch_bands,
         ).select("doc_a", "doc_b")
         corpus = read_corpus(spark, base, max_epoch=last)
         index = read_band_index(spark, base, max_epoch=last)
         if corpus is not None and index is not None:
             # same literal-prune device as the dedup path — see there
-            index = _literal_pruned_index(
-                index,
-                dedup.minhash_band_table(
-                    batch_df, text_col, id_col, k=k, bands=bands, n=n
-                ),
-            )
+            index = _literal_pruned_index(index, batch_bands)
             cross = dedup.minhash_lsh_pairs_incremental(
                 batch_df, corpus, text_col, id_col,
                 k=k, bands=bands, n=n, verify_threshold=verify_threshold,
-                base_bands=index,
+                base_bands=index, new_bands=batch_bands,
             ).select(
                 F.col("doc_base").alias("doc_a"), F.col("doc_new").alias("doc_b")
             )
@@ -747,40 +848,50 @@ def make_component_ingest_batch_fn(
 
         state_path = f"{base}/components"
         prev_affected = None
+        nodes = (
+            pairs.select(F.col("doc_a").alias("doc"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
         if sinks.path_exists(spark, state_path):
             state = spark.read.parquet(state_path).filter(F.col("epoch") <= last)
-            nodes = (
-                pairs.select(F.col("doc_a").alias("doc"))
-                .unionByName(pairs.select(F.col("doc_b").alias("doc")))
-                .distinct()
-            )
-            live_mine = (
-                state.join(F.broadcast(nodes), "doc", "left_semi")
-                .groupBy("doc")
-                .agg(F.max_by("component", "epoch").alias("component"))
-            )
-            touched = live_mine.select("component").distinct()
-            prev_affected = (
-                state.join(F.broadcast(touched), "component", "left_semi")
-                .select("doc", "component")
-                .distinct()
-            )
+            prev_affected = _affected_component_slice(state, nodes)
         if prev_affected is not None:
-            delta = graph.connected_components_incremental(prev_affected, pairs)
+            # collect_limit: the merge CC input is batch-and-neighborhood-
+            # sized — the driver union-find fast path cuts the per-batch
+            # job floor (distributed fallback above the bound)
+            delta = graph.connected_components_incremental(
+                prev_affected, pairs, collect_limit=_PROBE_LITERAL_MAX
+            )
+            # A purged doc's id can survive as other members' component
+            # VALUE (purge removes membership rows, labels are opaque
+            # group keys); star contraction treats label values as graph
+            # nodes, so without this guard the merge would emit a
+            # (doc=<purged id>, component) row and the served state would
+            # resurrect the purged doc. Keep only rows for docs known to
+            # exist: state members of the affected components plus this
+            # batch's pair nodes (a LIVE label node always has its own
+            # state row, so normal runs lose nothing). Both sides are
+            # batch-neighborhood-sized — broadcast.
+            known = (
+                prev_affected.select("doc").unionByName(nodes).distinct()
+            )
+            delta = delta.join(F.broadcast(known), "doc", "left_semi")
         else:
-            delta = graph.connected_components(pairs)
+            delta = graph.connected_components_bounded(
+                pairs, collect_limit=_PROBE_LITERAL_MAX
+            )
 
         batch = batch_df.persist()
         try:
             _range_sorted(batch, id_col).write.mode("overwrite").parquet(
                 f"{base}/docs/epoch={physical}"
             )
-            _range_sorted(
-                dedup.minhash_band_table(
-                    batch, text_col, id_col, k=k, bands=bands, n=n
-                ),
-                "bh",
-            ).write.mode("overwrite").parquet(f"{base}/bands/epoch={physical}")
+            # all docs are retained on this path, so the pinned batch band
+            # table IS the bands state delta — no re-minhash, no filter
+            _range_sorted(batch_bands, "bh").write.mode("overwrite").parquet(
+                f"{base}/bands/epoch={physical}"
+            )
             _range_sorted(delta, "doc").write.mode("overwrite").parquet(
                 f"{base}/components/epoch={physical}"
             )

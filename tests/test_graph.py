@@ -151,3 +151,29 @@ def test_pagerank_fixed_point_deterministic_and_sane(spark):
     assert hub > leaves[0] * 3  # the hub dominates
     total = sum(r1.values())
     assert 0.9 * 10**12 < total <= 10**12  # floors leak mass, never add
+
+
+def test_bounded_cc_equals_distributed_both_branches(spark):
+    """connected_components_bounded (round-12 per-batch job-floor cut):
+    the driver union-find fast path and the collect_limit=0 distributed
+    fallback must both equal connected_components exactly — the min-label
+    fixed point is unique, so the device is a cost choice, never a
+    semantics choice."""
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import (
+        connected_components_bounded,
+    )
+
+    edges = [(2, 1), (2, 3), (10, 11), (7, 5), (5, 6), (6, 7), (20, 21), (21, 22),
+             (22, 23), (23, 20), (40, 41)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = sorted(map(tuple, connected_components(df).collect()))
+    fast = sorted(map(tuple, connected_components_bounded(df).collect()))
+    fallback = sorted(
+        map(tuple, connected_components_bounded(df, collect_limit=0).collect())
+    )
+    assert fast == want == fallback
+    # schema parity: downstream unions require identical field names/types
+    assert connected_components_bounded(df).schema == connected_components(df).schema
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_bounded(empty).collect() == []

@@ -116,3 +116,26 @@ def test_probe_chunk_rewrite_equals_full_state(spark, tmp_path):
     assert "PushedFilters" in plan and (
         "In(chunk" in plan or "EqualTo(chunk" in plan
     ), plan
+
+
+def test_component_state_scan_one_is_pushed_down(spark, tmp_path):
+    """The incremental-CC state read's scan ONE (live labels of the batch's
+    pair nodes) is a point lookup: node ids inline as a pushed-down literal
+    over the doc-range-sorted components state. Scan TWO stays a
+    component-keyed semi-join (rows pruned post-scan — the state is sorted
+    on doc, not component; documented in _affected_component_slice)."""
+    from pyspark.sql import Row, functions as F
+
+    base = _ingest_base(spark, tmp_path, [(1, A), (2, A2)])
+    state = spark.read.parquet(f"{base}/components")
+    nodes = spark.createDataFrame([Row(doc=1)])
+    pruned = ingest._literal_pruned(state, nodes, "doc")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and (
+        "In(doc" in plan or "EqualTo(doc" in plan
+    ), plan
+    # the slice itself is exact: node 1's component {1, 2} comes back whole
+    got = sorted(
+        map(tuple, ingest._affected_component_slice(state, nodes).collect())
+    )
+    assert got == [(1, 1), (2, 1)]

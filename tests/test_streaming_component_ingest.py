@@ -158,3 +158,39 @@ def test_served_split_equals_recompute(spark, tmp_path):
     # near-dups land in the SAME split, always
     by_doc = {r["doc_id"]: r["split"] for r in served.collect()}
     assert len({by_doc[d] for d in (1, 2, 3, 4, 10, 20)}) == 1
+
+
+def test_purged_label_id_not_resurrected(spark, tmp_path):
+    """Purge deletes a doc's membership rows, but its id can survive as
+    other members' component VALUE (labels are opaque group keys).
+    Incremental CC treats label values as graph nodes — the next batch
+    touching the cluster must NOT write a (doc=<purged id>, ...) row back
+    into the state, or read_components would serve the purged doc again
+    (round-11 ADVICE)."""
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_component_ingest_batch_fn(base, **LSH)
+    fn(
+        _mkdf(spark, [(1, A), (2, A2), (10, A)]), 0
+    )  # component {1, 2, 10}, label = min id 1
+    assert dict(_served(spark, base)) == {1: 1, 2: 1, 10: 1}
+
+    ingest.purge_ids(spark, base, [1])
+    assert 1 not in dict(_served(spark, base))
+
+    # next batch touches the cluster: 11 near-dups the survivors
+    fn(_mkdf(spark, [(11, A)]), 1)
+    served = dict(_served(spark, base))
+    assert 1 not in served, served  # the purged doc must stay forgotten
+    # survivors and the newcomer stay co-labeled (label value may remain
+    # the purged id — an opaque group key, documented in purge_ids)
+    assert served[2] == served[10] == served[11]
+    # and the corpus itself still excludes the purged doc
+    assert sorted(
+        r["doc_id"] for r in ingest.read_corpus(spark, base).collect()
+    ) == [2, 10, 11]
+
+
+def _mkdf(spark, rows):
+    from pyspark.sql import Row as _Row
+
+    return spark.createDataFrame([_Row(doc_id=i, text=t) for i, t in rows])

@@ -111,3 +111,31 @@ def test_semantic_fresh_checkpoint_rebinds(spark, tmp_path):
     q = ingest.semantic_ingest_stream(stream, base, str(tmp_path / "vckpt2"), threshold=0.9)
     q.awaitTermination(120)
     assert _ids(spark, base) == [1, 31]
+
+
+def test_semantic_literal_prune_fallback_is_equivalent(spark, tmp_path, monkeypatch):
+    """Both branches of the vector-index cell prune must ingest
+    identically: with the literal bound forced to 0 every batch takes the
+    broadcast-semi-join fallback (the guard against a huge micro-batch
+    inlining thousands of cell literals — round-11 ADVICE), and the
+    resulting survivor set must equal the literal-pruned run's."""
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    rows1 = [(1, _vec(0)), (4, _vec(7))]
+    rows2 = [(10, _vec(0)), (11, _vec(20)), (12, _vec(20, jitter=0.05, jitter_axis=21))]
+
+    def run(base):
+        fn = ingest.make_semantic_ingest_batch_fn(base, threshold=0.9)
+        fn(_df(rows1), 0)
+        fn(_df(rows2), 1)
+        return _ids(spark, base)
+
+    literal = run(str(tmp_path / "lit"))
+    monkeypatch.setattr(ingest, "_PROBE_LITERAL_MAX", 0)
+    fallback = run(str(tmp_path / "fb"))
+    assert literal == fallback == [1, 4, 11]
