@@ -34,24 +34,20 @@ from healthcare_rcm_etl_pipeline_spark.session import get_spark
 # live in the prev-round comparison (r1-r6 notes removed in r10 — they
 # described deltas between rounds no longer being compared).
 DELTA_NOTES: dict[str, str] = {
-    "ann_topk_pq": (
-        "r11: benched at the registered oracle config (m=32 128-bit "
-        "codes, rerank=200, %40 queries, k=5) instead of r10's "
-        "m=16/rerank=50/limit(20)/k=10 — the bench row now measures the "
-        "query the sweep hash-checks"
-    ),
     "streaming_ingest_batch": (
-        "r11: state writes are now range-sorted on their probe keys "
-        "(docs by id, bands by bh) — one sampled range exchange per "
-        "epoch write, buying literal-pushdown point lookups "
-        "(probe_near_dups) whose scan cost tracks the probe, not the "
-        "corpus"
+        "r12: per-batch fixed-cost-floor cut — the batch band table is "
+        "built ONCE per epoch (was 3 minhash passes) and the within-batch "
+        "CC runs a bounded driver union-find instead of ~6 iteration jobs "
+        "(distributed fallback above the 4096-pair bound, output "
+        "identical; tests/test_graph.py)"
     ),
     "semantic_ingest_batch": (
-        "r11: vectors state range-sorted on cell + the cross-corpus "
-        "probe now filters the scan with COLLECTED literal cells "
-        "(PushedFilters) instead of a broadcast join that scanned the "
-        "whole index every batch"
+        "r12: benched in the SELECTIVE regime — n_planes sized so the "
+        "cell space is >=16x the batch (production adaptive_n_planes "
+        "semantics) instead of r11's 64-cell default where every batch "
+        "touched every cell and the probe scanned the whole index (the "
+        "r11 steady_trend 1.27 finding); per-batch cells_probed/"
+        "cells_space stats in the ingest detail prove the regime measured"
     ),
 }
 
@@ -334,7 +330,19 @@ def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 8) -> dict:
     table in n_batches micro-batches, the persisted (cell, id, vector)
     index growing across batches. Same flatness contract as the text
     path: the probe reads only the batch's cells, so per-batch cost must
-    not grow with the accumulated corpus."""
+    not grow with the accumulated corpus.
+
+    Benched in the SELECTIVE regime (round-11 verdict #2): the cell space
+    is sized ≥16x the expected batch (production adaptive_n_planes
+    semantics — cells track the corpus, batches are a sliver of it), so
+    the literal cell probe actually prunes the index scan. The committed
+    round-11 evidence ran the 64-cell default, where a 250-vector batch
+    touches every cell, the probe prunes nothing, and per-batch cost
+    tracked the index (steady_trend 1.27) — that non-selective fallback
+    regime is documented in the batch fn's docstring; per-batch
+    ``cells_probed``/``cells_space`` stats are emitted so the artifact
+    proves which regime was measured."""
+    import math
     import shutil
     import tempfile
 
@@ -349,19 +357,38 @@ def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 8) -> dict:
 
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         n_vecs = emb.count()
-        fn = make_semantic_ingest_batch_fn(base, threshold=0.9)
+        n_planes = max(
+            6, min(24, math.ceil(math.log2(max(16 * n_vecs / n_batches, 64))))
+        )
+        fn = make_semantic_ingest_batch_fn(base, threshold=0.9, n_planes=n_planes)
         per_batch: list[float] = []
         index_rows: list[int] = []
+        cells_probed: list[int | None] = []
         for b in range(n_batches):
             batch = emb.filter((emb.vec_id % n_batches) == b)
             t0 = time.perf_counter()
             fn(batch, b)
             per_batch.append(round(time.perf_counter() - t0, 3))
             index_rows.append(read_vectors(spark, base).count())
+            probe = fn.last_probe
+            cells_probed.append(probe["cells_probed"] if probe else None)
         total = round(sum(per_batch), 3)
+        steady = per_batch[1:]
+        slope = None
+        if len(steady) >= 2:
+            nm = len(steady)
+            xbar = (nm - 1) / 2
+            ybar = sum(steady) / nm
+            num = sum((i - xbar) * (y - ybar) for i, y in enumerate(steady))
+            den = sum((i - xbar) ** 2 for i in range(nm))
+            med = statistics.median(steady)
+            slope = round((num / den) / med, 3) if med else None
         return {
             "batches": n_batches,
             "vectors": n_vecs,
+            "n_planes": n_planes,
+            "cells_space": 2 ** n_planes,
+            "cells_probed": cells_probed,
             "per_batch_sec": per_batch,
             "index_rows": index_rows,
             "total_sec": total,
@@ -369,6 +396,7 @@ def _bench_semantic_ingest(spark, sf_dir: str, n_batches: int = 8) -> dict:
             "steady_trend": round(per_batch[-1] / per_batch[1], 2)
             if len(per_batch) > 1 and per_batch[1]
             else None,
+            "per_batch_slope": slope,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -236,3 +236,31 @@ def test_ivf_pq_composition(spark):
     # candidate generator's recall (ADC ordering loses little once the
     # exact rerank sees 5x candidates)
     assert r_ivfpq >= r_ivf - 0.15, (r_ivfpq, r_ivf)
+
+
+def test_registered_rerank_margin_self_defending(spark):
+    """Round-11 VERDICT #4: the ann_topk_pq / ann_topk_ivf_pq oracle
+    registrations rest on rerank monotonicity with a measured exact-match
+    minimum <= 100 and a registered budget of 200 (2x headroom). Growth or
+    densification of /root/testdata could silently erode that margin while
+    the sweep stays green at 200 — so this guard re-measures the margin on
+    the CURRENT testdata at the registered config (m=32, k_cb=16, iters=1,
+    queries vec_id % 40 == 0, k=5): at HALF the registered budget the
+    reranked output must already equal the exact brute force, value for
+    value. If this reds, re-measure the minimum and raise the registered
+    rerank (and this bound) before trusting the sweep."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        q = emb.filter(F.col("vec_id") % 40 == 0)
+        books = similarity.pq_fit(emb, m=32, k_cb=16, iters=1)
+        codes = similarity.pq_encode(emb, books)
+        half = sorted(
+            map(tuple, similarity.pq_topk(
+                codes, q, books, k=5, rerank=100, corpus=emb
+            ).collect())
+        )
+        exact = sorted(
+            map(tuple, similarity.brute_force_topk(emb, q, k=5).collect())
+        )
+        assert half == exact, f"rerank=100 no longer exact at {sf_dir}"
+        emb.unpersist()
