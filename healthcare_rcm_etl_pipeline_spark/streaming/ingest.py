@@ -301,10 +301,15 @@ def make_dedup_ingest_batch_fn(
             F.col("keep_id").alias(id_col)
         )
         batch = batch_df.join(keep, id_col, "left_semi")
+        # pin the pair set: the bounded-CC probe below collects from it,
+        # and on fallback the distributed CC would otherwise re-execute
+        # the whole LSH lineage a second time (it is batch-sized either
+        # way — the checkpoint replaces the edges checkpoint CC used to
+        # pay internally, so the common-path job count is unchanged)
         pairs = dedup.minhash_lsh_pairs(
             batch, text_col, id_col, k=k, bands=bands, n=n,
             verify_threshold=verify_threshold,
-        )
+        ).localCheckpoint(eager=True)
         # bounded CC: a micro-batch's pair set is batch-sized, so the
         # driver union-find fast path replaces ~6 iteration jobs with one
         # bounded collect (distributed fallback above the bound) — part of
@@ -726,6 +731,37 @@ def read_components(
     if max_epoch is not None:
         df = df.filter(F.col("epoch") <= max_epoch)
     return df.groupBy("doc").agg(F.max_by("component", "epoch").alias("component"))
+
+
+def read_components_for(
+    spark: SparkSession,
+    base: str,
+    ids: list,
+    max_epoch: int | None = None,
+) -> DataFrame | None:
+    """Point-lookup view of the served labels: the LIVE component of each
+    given doc id only. The ids apply as a literal ``In(doc, ...)``
+    predicate that reaches the parquet scan as a PushedFilter; the state
+    being range-sorted on ``doc`` at write time, footer min/max stats
+    prune to the matching files — serving "which cluster is this doc in?"
+    costs the probe's key count, never the state size (same device as
+    ``read_band_index_for``). Latest-epoch-wins AFTER the prune is exact:
+    the reduction is per-doc, and every epoch row of a probed doc
+    survives the doc filter. Docs without a state row are unpaired —
+    consumers coalesce to the doc's own id, exactly as
+    ``leakage_safe_split_from_components`` does. Returns None before the
+    first commit."""
+    path = f"{base}/components"
+    if not sinks.path_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
+    if max_epoch is not None:
+        df = df.filter(F.col("epoch") <= max_epoch)
+    return (
+        df.filter(F.col("doc").isin(list(ids)))
+        .groupBy("doc")
+        .agg(F.max_by("component", "epoch").alias("component"))
+    )
 
 
 def _affected_component_slice(state: DataFrame, nodes: DataFrame) -> DataFrame:

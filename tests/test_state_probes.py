@@ -139,3 +139,30 @@ def test_component_state_scan_one_is_pushed_down(spark, tmp_path):
         map(tuple, ingest._affected_component_slice(state, nodes).collect())
     )
     assert got == [(1, 1), (2, 1)]
+
+
+def test_read_components_for_point_lookup(spark, tmp_path):
+    """Label serving as a point lookup: read_components_for returns the
+    LIVE label of exactly the probed ids via a pushed-down literal over
+    the doc-range-sorted state, and equals the full-scan read_components
+    restricted to those ids — including after a label-changing merge
+    (latest-epoch-wins must survive the prune)."""
+    from pyspark.sql import Row
+
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_component_ingest_batch_fn(base)
+    fn(_df(spark, [(1, A), (2, A2), (5, LONER)]), 0)
+    fn(_df(spark, [(10, A)]), 1)  # merges into {1, 2}: doc 10 labeled 1
+
+    got = ingest.read_components_for(spark, base, [2, 10, 5])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(doc" in plan, plan
+    rows = {r["doc"]: r["component"] for r in got.collect()}
+    assert rows == {2: 1, 10: 1}  # 5 is unpaired: no state row
+    full = {
+        r["doc"]: r["component"]
+        for r in ingest.read_components(spark, base).collect()
+        if r["doc"] in (2, 10, 5)
+    }
+    assert rows == full
+    assert ingest.read_components_for(spark, str(tmp_path / "never"), [1]) is None
