@@ -129,6 +129,32 @@ def _cc_labels(
     )
 
 
+def _union_find_min_labels(edges) -> dict:
+    """Union-find with path compression and union-by-MIN-id over an
+    iterable of (a, b) edges: returns {node: min id of its component}.
+    The min-root invariant (a merged set's root is the smaller of the two
+    roots, inductively the set minimum) makes the output identical to the
+    distributed min-label fixed point — property-tested against an
+    independent BFS labeling in tests/test_graph.py."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
 def connected_components_bounded(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -153,25 +179,7 @@ def connected_components_bounded(
     if collect_limit is not None:
         rows = pairs.select(src_col, dst_col).limit(collect_limit + 1).collect()
         if len(rows) <= collect_limit:
-            parent: dict = {}
-
-            def find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for r in rows:
-                a, b = r[0], r[1]
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # union by MIN id so every root is its component's min
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            out = [(n, find(n)) for n in parent]
+            out = sorted(_union_find_min_labels((r[0], r[1]) for r in rows).items())
             schema = pairs.select(
                 F.col(src_col).alias(out_node), F.col(src_col).alias(out_component)
             ).schema

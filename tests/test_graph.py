@@ -177,3 +177,54 @@ def test_bounded_cc_equals_distributed_both_branches(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components_bounded(empty).collect() == []
+
+
+def test_bounded_cc_union_find_matches_bfs_reference():
+    """Property check of the driver union-find inside
+    connected_components_bounded (no Spark in the loop): against an
+    independent BFS labeling over random edge lists, every node's label
+    must be its component's MINIMUM id — the contract the distributed
+    min-label iteration guarantees, and the reason the fast path can
+    substitute for it. Exercises the path-compression + union-by-min
+    invariant (the root of a merged set is always the min of the two
+    roots) across many shapes: chains, cliques, stars, self-loops,
+    duplicates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ids = st.integers(min_value=0, max_value=60)
+    edge_lists = st.lists(st.tuples(ids, ids), min_size=0, max_size=120)
+
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import (
+        _union_find_min_labels as union_find,
+    )
+
+    def bfs_min_labels(rows):
+        adj = {}
+        for a, b in rows:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels, seen = {}, set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, frontier = [], [start]
+            seen.add(start)
+            while frontier:
+                n = frontier.pop()
+                comp.append(n)
+                for m in adj[n]:
+                    if m not in seen:
+                        seen.add(m)
+                        frontier.append(m)
+            lab = min(comp)
+            for n in comp:
+                labels[n] = lab
+        return labels
+
+    @settings(max_examples=300, deadline=None)
+    @given(edge_lists)
+    def check(rows):
+        assert union_find(rows) == bfs_min_labels(rows)
+
+    check()
