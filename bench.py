@@ -49,6 +49,18 @@ DELTA_NOTES: dict[str, str] = {
         "r11 steady_trend 1.27 finding); per-batch cells_probed/"
         "cells_space stats in the ingest detail prove the regime measured"
     ),
+    "mmr_diverse_topk": (
+        "r12: pool-bounded driver-side greedy — under max_driver_rows the "
+        "integer MMR selection runs on ONE collect of the localCheckpointed "
+        "candidate/pair sets instead of k unrolled join/agg stages; "
+        "bit-equal by construction (driver≡distributed pinned in "
+        "tests/test_dedup_similarity.py), distributed fallback above the "
+        "bound"
+    ),
+    "mmr_diverse_topk_ivf": (
+        "r12: same pool-bounded driver greedy as mmr_diverse_topk; the "
+        "remaining cost is the IVF candidate stage"
+    ),
 }
 
 # round-10 methodology change, affecting EVERY per-query number at once
@@ -254,6 +266,11 @@ HEADLINE = [
     "dedup_chunks_rewrite_hashed",
     "retrieval_quality_bm25",
     "split_leakage_safe",
+    # round-12 surface additions (drift monitoring, record linkage,
+    # filtered ANN / hard-negative mining)
+    "drift_psi_events",
+    "entity_resolution_golden",
+    "ann_hard_negatives",
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -152,3 +152,110 @@ def expectations_report(df: DataFrame, expectations: list[tuple[str, str, dict]]
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift report between a REFERENCE slice and a CURRENT
+    slice of the same numeric column: PSI (population stability index,
+    the standard model/data-monitoring drift score) and the binned KS
+    statistic (max CDF gap), per group — the check a training-data
+    pipeline runs between corpus snapshots before re-training, and a
+    warehouse runs between loads before publishing.
+
+    Binning: ``n_bins`` fixed-width bins over the REFERENCE min/max (the
+    reference defines the ruler — standard PSI practice); out-of-range
+    current values clamp into the edge bins, so novel mass is visible,
+    never dropped. Proportions are Laplace-smoothed
+    ((count + 0.5) / (total + n_bins/2)) so empty bins contribute finite
+    PSI terms. NULL values are excluded on both sides (they are a
+    missing-rate question, not a distribution question — see
+    ``profile_table``).
+
+    Shape at 100 TB: one 1-row aggregate for the edges (broadcast), one
+    hash aggregation per side on (group, bin) — map-side combinable, the
+    shuffle carries |groups|·n_bins rows — then spine-join + window over
+    n_bins rows per group. The corpus is scanned exactly twice (once per
+    side) and nothing larger than the bin grid moves.
+
+    Determinism / oracle-exactness: bin assignment, smoothing and the
+    PSI/KS arithmetic are fixed-shape IEEE double expressions (identical
+    in the DuckDB oracle); psi/ks round at 6 dp. Returns
+    (*group_cols, psi, ks, n_ref, n_cur).
+    """
+    group_cols = list(group_cols or [])
+    edges = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("__mn"),
+        F.max(F.col(value_col).cast("double")).alias("__mx"),
+    )
+
+    def _binned(df: DataFrame, cnt_name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        width_num = (v - F.col("__mn")) * F.lit(float(n_bins))
+        raw = F.floor(width_num / (F.col("__mx") - F.col("__mn")))
+        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        # degenerate ruler (constant reference): everything is bin 0
+        bin_ = (
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+            .otherwise(clamped)
+            .cast("int")
+        )
+        return (
+            df.filter(v.isNotNull())
+            .join(F.broadcast(edges))
+            .select(*group_cols, bin_.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    rc = _binned(ref, "__rc")
+    cc = _binned(cur, "__cc")
+    groups = (
+        rc.select(*group_cols).union(cc.select(*group_cols)).distinct()
+        if group_cols
+        else rc.sparkSession.range(1).select()
+    )
+    spine = groups.select(
+        *group_cols, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    j = (
+        spine.join(rc, [*group_cols, "bin"], "left")
+        .join(cc, [*group_cols, "bin"], "left")
+        .fillna(0, subset=["__rc", "__cc"])
+    )
+    w_tot = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols else Window.partitionBy()
+    w_cum = w_tot.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    half = float(n_bins) / 2.0
+    j = (
+        j.withColumn("__rt", F.sum("__rc").over(w_tot))
+        .withColumn("__ct", F.sum("__cc").over(w_tot))
+        .withColumn("__pr", (F.col("__rc") + F.lit(0.5)) / (F.col("__rt") + F.lit(half)))
+        .withColumn("__pc", (F.col("__cc") + F.lit(0.5)) / (F.col("__ct") + F.lit(half)))
+        .withColumn("__crc", F.sum("__rc").over(w_cum))
+        .withColumn("__ccc", F.sum("__cc").over(w_cum))
+    )
+    return (
+        j.groupBy(*group_cols)
+        .agg(
+            F.round(
+                F.sum((F.col("__pc") - F.col("__pr")) * F.log(F.col("__pc") / F.col("__pr"))),
+                6,
+            ).alias("psi"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__crc").cast("double") / F.col("__rt")
+                        - F.col("__ccc").cast("double") / F.col("__ct")
+                    )
+                ),
+                6,
+            ).alias("ks"),
+            F.max("__rt").cast("bigint").alias("n_ref"),
+            F.max("__ct").cast("bigint").alias("n_cur"),
+        )
+    )

@@ -240,17 +240,21 @@ def ivf_index(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    attr_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """The IVF index RELATION: (id, vec, cell) with every corpus vector
-    assigned to its single nearest centroid. Persist it once per corpus —
-    ``df.write.partitionBy("cell").parquet(path)`` — and probes then read
-    only the probed cells' partitions (mirrors the persisted minhash band
-    table: fit/assign is paid at ingestion, probe cost is per-query)."""
+    """The IVF index RELATION: (id, vec, cell[, *attr_cols]) with every
+    corpus vector assigned to its single nearest centroid. Persist it once
+    per corpus — ``df.write.partitionBy("cell").parquet(path)`` — and
+    probes then read only the probed cells' partitions (mirrors the
+    persisted minhash band table: fit/assign is paid at ingestion, probe
+    cost is per-query). ``attr_cols`` embeds filter metadata in the index
+    rows so filtered probes never join back to the corpus."""
     cv = as_double_vec(vec_col)
     return corpus.select(
         F.col(id_col),
         cv.alias(vec_col),
         F.array_max(F.array(*_cell_scores(cv, centroids)))["cell"].alias("cell"),
+        *attr_cols,
     )
 
 
@@ -262,6 +266,8 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     k: int = 5,
     n_probe: int = 4,
+    attr_cols: tuple[str, ...] = (),
+    pair_predicate: F.Column | None = None,
 ) -> DataFrame:
     """Probe a prebuilt ``ivf_index`` relation (in-memory or read back from
     a cell-partitioned parquet layout): each query expands to its
@@ -269,16 +275,25 @@ def ivf_topk_indexed(
     broadcast — a cell-partitioned on-disk index is then pruned to the
     probed cells via dynamic partition pruning), per-query window top-k.
     Candidate cost ≈ n_probe/n_cells of the corpus per query; the corpus is
-    never re-assigned at probe time."""
+    never re-assigned at probe time.
+
+    ``attr_cols`` / ``pair_predicate``: filtered (pre-filter) search — see
+    ``brute_force_topk``. The predicate lands on the cell-join output, so
+    Catalyst pushes any neighbor-only conjunct (``n_<attr>`` refs) below
+    the join into the index scan, where it prunes files of a
+    metadata-sorted index; query-dependent conjuncts filter the bounded
+    candidate set before the window."""
     c = index.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("__cvec"),
         F.col("cell"),
+        *[F.col(a).alias(f"n_{a}") for a in attr_cols],
     )
     qv = as_double_vec(vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         qv.alias("__qvec"),
+        *[F.col(a).alias(f"q_{a}") for a in attr_cols],
         F.explode(
             F.transform(
                 F.slice(
@@ -295,6 +310,8 @@ def ivf_topk_indexed(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine("__qvec", "__cvec"), 6))
     )
+    if pair_predicate is not None:
+        scored = scored.filter(pair_predicate)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -311,6 +328,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     k: int = 5,
     n_probe: int = 4,
+    attr_cols: tuple[str, ...] = (),
+    pair_predicate: F.Column | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: every corpus vector lives in exactly
     ONE cell (nearest centroid); each query probes its ``n_probe``
@@ -330,9 +349,18 @@ def ivf_topk(
         centroids,
         vec_col,
         id_col,
+        attr_cols=attr_cols,
     )
     return ivf_topk_indexed(
-        idx, queries, centroids, vec_col, id_col, k=k, n_probe=n_probe
+        idx,
+        queries,
+        centroids,
+        vec_col,
+        id_col,
+        k=k,
+        n_probe=n_probe,
+        attr_cols=attr_cols,
+        pair_predicate=pair_predicate,
     )
 
 
@@ -343,21 +371,36 @@ def brute_force_topk(
     id_col: str = "vec_id",
     k: int = 5,
     exclude_self: bool = True,
+    attr_cols: tuple[str, ...] = (),
+    pair_predicate: F.Column | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query. Queries are broadcast (small side)."""
+    """Exact cosine top-k per query. Queries are broadcast (small side).
+
+    Filtered (pre-filter) search: ``attr_cols`` carries metadata columns
+    through both sides as ``q_<attr>`` / ``n_<attr>``; ``pair_predicate``
+    (a Column over those names) drops candidates BEFORE ranking, so the
+    top-k is taken over the qualifying set — the filtered-ANN semantics
+    (hard-negative mining, tenant isolation, recency windows), not a
+    post-filter that can return < k rows from a k-sized shortlist."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        *[F.col(a).alias(f"q_{a}") for a in attr_cols],
     )
     # spread the corpus scan across cores even when it arrives as one file
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        *[F.col(a).alias(f"n_{a}") for a in attr_cols],
     )
     scored = c.join(F.broadcast(q)).withColumn(
         "cos", F.round(cosine("__qvec", "__cvec"), 6)
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    if pair_predicate is not None:
+        scored = scored.filter(pair_predicate)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -890,6 +933,67 @@ def ivf_pq_topk(
     )
 
 
+def _mmr_greedy_driver(
+    cand: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    lam_num: int,
+    lam_den: int,
+    scale: float,
+) -> DataFrame:
+    """Driver-side exact MMR greedy over the pool-bounded candidate/pair
+    sets (see the bound check in ``mmr_topk``). Mirrors the distributed
+    unrolled loop operation-for-operation: integer fixed-point scores,
+    (score_i, -cid) argmax tie-break, inner-join penalty semantics (a
+    candidate with no pair row to any selected member is excluded from
+    that round, exactly like the distributed ``cand ⋈ pen`` inner join),
+    and the single exact double division for the reported score."""
+    from pyspark.sql import types as T
+
+    rel: dict = {}
+    for r in cand.collect():
+        rel.setdefault(r[0], []).append((r[1], r[2]))
+    sim: dict = {}
+    for r in pairs.collect():
+        sim.setdefault((r[0], r[1]), {})[r[2]] = r[3]
+    lam_pen = lam_den - lam_num
+    rows = []
+    for qid, cands in rel.items():
+        best = max(cands, key=lambda c: (lam_num * c[1], -c[0]))
+        selected = [best[0]]
+        rows.append((qid, 1, best[0], (lam_num * best[1]) / scale))
+        remaining = {cid: ri for cid, ri in cands if cid != best[0]}
+        for pos in range(2, k + 1):
+            best_entry = None
+            for cid, ri in remaining.items():
+                pens = [
+                    sim.get((qid, cid), {})[b]
+                    for b in selected
+                    if b in sim.get((qid, cid), {})
+                ]
+                if not pens:
+                    continue  # inner-join semantics: no pen row, no score row
+                score_i = lam_num * ri - lam_pen * max(pens)
+                key = (score_i, -cid)
+                if best_entry is None or key > best_entry[0]:
+                    best_entry = (key, cid, score_i)
+            if best_entry is None:
+                break
+            _, cid, score_i = best_entry
+            selected.append(cid)
+            del remaining[cid]
+            rows.append((qid, pos, cid, score_i / scale))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", cand.schema["query_id"].dataType, True),
+            T.StructField("pos", T.IntegerType(), True),
+            T.StructField("neighbor_id", cand.schema["cid"].dataType, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    return cand.sparkSession.createDataFrame(rows, schema)
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -900,6 +1004,7 @@ def mmr_topk(
     lam_num: int = 7,
     lam_den: int = 10,
     candidates: DataFrame | None = None,
+    max_driver_rows: int | None = 200_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein,
     SIGIR'98): greedily pick k results maximizing
@@ -992,6 +1097,24 @@ def mmr_topk(
     )
     cand = cw.select("query_id", "cid", "rel_i")
     scale = float(lam_den * 1_000_000)
+
+    # Bounded driver-side greedy (same contract as graph.py's bounded-CC
+    # union-find): everything past the relevance scan is pool-bounded —
+    # pool candidates and pool^2 pair sims per query, all exact BIGINTs
+    # already pinned by the localCheckpoints above. When that bounded set
+    # fits under ``max_driver_rows``, one collect + a pure-integer Python
+    # greedy replaces k unrolled join/agg stages (~3 Spark jobs each):
+    # identical fixed-point arithmetic, identical (score, -id) tie-break,
+    # identical exact division for the reported score — bit-equal output,
+    # pinned by tests/test_dedup_similarity.py against the distributed
+    # path. Above the bound (or with max_driver_rows=None) the fully
+    # distributed unrolled loop below runs unchanged — at 100 TB the
+    # query-set axis is unbounded and the driver path is never taken.
+    if max_driver_rows is not None:
+        n_pairs = pairs.count()
+        n_cand = cand.count()
+        if n_pairs + n_cand <= max_driver_rows:
+            return _mmr_greedy_driver(cand, pairs, k, lam_num, lam_den, scale)
 
     def _argmax(scored: DataFrame, pos: int) -> DataFrame:
         return (

@@ -1132,6 +1132,50 @@ def ann_ivf_pq_q(spark, sf_dir):
     )
 
 
+_ANN_HARDNEG_ORACLE = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlab, e AS qe FROM v WHERE vec_id % 40 = 0),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos
+      FROM q, v WHERE q.query_id <> v.vec_id AND q.qlab <> v.label
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_hard_negatives", _ANN_HARDNEG_ORACLE)
+def ann_hard_negatives_q(spark, sf_dir):
+    """FILTERED ANN (pre-filter semantics): per query, the top-5 most
+    similar vectors with a DIFFERENT label — hard-negative mining, the
+    contrastive/reranker-training workload (and the same machinery as
+    tenant-isolation or recency-window filtered retrieval). The label
+    rides IN the index rows (``attr_cols``) and the predicate drops
+    candidates BEFORE the per-query window, so the top-k is taken over
+    the qualifying set — a post-filtered top-k shortlist would return
+    fewer than k rows whenever same-label vectors crowd the head.
+    Registered through the IVF full-probe invariance device
+    (n_probe == n_cells ⇒ the candidate set is the corpus, so the
+    filtered result must equal the filtered brute force exactly);
+    production partial-probe recall is pinned in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    cents = similarity.ivf_fit(e, n_cells=8, iters=0)
+    return similarity.ivf_topk(
+        e,
+        q,
+        cents,
+        k=5,
+        n_probe=8,
+        attr_cols=("label",),
+        pair_predicate=F.col("q_label") != F.col("n_label"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -2238,6 +2282,74 @@ def q19_unpivot(spark, sf_dir):
     )
     return m.unpivot(
         ["o_orderpriority"], ["total_price", "n_orders", "avg_price"], "metric", "value"
+    )
+
+
+_DRIFT_ORACLE = """
+    WITH ref AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+                 WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    cur AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+            WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    edges AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM ref),
+    rb AS (
+      SELECT event_type,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(GREATEST(FLOOR(((v - mn) * 10.0) / (mx - mn)), 0), 9)
+                  END AS INTEGER) AS bin
+      FROM ref, edges),
+    cb AS (
+      SELECT event_type,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(GREATEST(FLOOR(((v - mn) * 10.0) / (mx - mn)), 0), 9)
+                  END AS INTEGER) AS bin
+      FROM cur, edges),
+    rc AS (SELECT event_type, bin, COUNT(*) AS rcnt FROM rb GROUP BY 1, 2),
+    cc AS (SELECT event_type, bin, COUNT(*) AS ccnt FROM cb GROUP BY 1, 2),
+    grps AS (SELECT event_type FROM rc UNION SELECT event_type FROM cc),
+    spine AS (SELECT g.event_type, b.bin
+              FROM grps g CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) b),
+    j AS (
+      SELECT s.event_type, s.bin,
+             COALESCE(rcnt, 0) AS rcnt, COALESCE(ccnt, 0) AS ccnt
+      FROM spine s
+      LEFT JOIN rc ON rc.event_type = s.event_type AND rc.bin = s.bin
+      LEFT JOIN cc ON cc.event_type = s.event_type AND cc.bin = s.bin),
+    p AS (
+      SELECT event_type, bin, rcnt, ccnt,
+             SUM(rcnt) OVER (PARTITION BY event_type) AS rt,
+             SUM(ccnt) OVER (PARTITION BY event_type) AS ct,
+             SUM(rcnt) OVER (PARTITION BY event_type ORDER BY bin) AS crc,
+             SUM(ccnt) OVER (PARTITION BY event_type ORDER BY bin) AS ccc
+      FROM j)
+    SELECT event_type,
+           ROUND(SUM(((ccnt + 0.5) / (ct + 5.0) - (rcnt + 0.5) / (rt + 5.0))
+                     * LN(((ccnt + 0.5) / (ct + 5.0)) / ((rcnt + 0.5) / (rt + 5.0)))), 6) AS psi,
+           ROUND(MAX(ABS(CAST(crc AS DOUBLE) / rt - CAST(ccc AS DOUBLE) / ct)), 6) AS ks,
+           CAST(MAX(rt) AS BIGINT) AS n_ref,
+           CAST(MAX(ct) AS BIGINT) AS n_cur
+    FROM p GROUP BY event_type
+    """
+
+
+@query("drift_psi_events", _DRIFT_ORACLE)
+def drift_psi_events_q(spark, sf_dir):
+    """Distribution-drift report (PSI + binned KS per event_type) between
+    two halves of the events table (event_id parity stands in for
+    consecutive corpus snapshots) — the gate a training-data pipeline
+    runs between snapshots before re-training, and the monitoring score
+    every model-serving stack tracks. Reference-defined fixed-width bins,
+    Laplace-smoothed proportions, pure-expression IEEE arithmetic shared
+    verbatim with the oracle; the corpus is scanned once per side and
+    only the |groups| x n_bins grid ever shuffles."""
+    from healthcare_rcm_etl_pipeline_spark.operators import quality
+
+    e = _t(spark, sf_dir, "events")
+    return quality.distribution_drift(
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+        "value",
+        ["event_type"],
+        n_bins=10,
     )
 
 
@@ -4354,6 +4466,63 @@ def fuzzy_match_edit1_q(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
     return fuzzy.edit1_pairs(c, "c_name", "c_custkey")
+
+
+_GOLDEN_ORACLE = """
+    WITH RECURSIVE cust AS (SELECT * FROM customer WHERE c_custkey <= 2000),
+    p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM cust a JOIN cust b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+        AND a.c_nationkey = b.c_nationkey
+        AND a.c_mktsegment = b.c_mktsegment
+    ),
+    e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+    walk(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT w.s, e.t FROM walk w JOIN e ON w.t = e.s
+    ),
+    comp AS (SELECT s AS id, LEAST(s, MIN(t)) AS component FROM walk GROUP BY s),
+    m AS (
+      SELECT c.*, COALESCE(comp.component, c.c_custkey) AS entity
+      FROM cust c LEFT JOIN comp ON comp.id = c.c_custkey
+    )
+    SELECT entity AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           min_by(c_name, c_custkey) AS c_name,
+           min_by(c_mktsegment, c_custkey) AS c_mktsegment,
+           MAX(c_acctbal) AS c_acctbal
+    FROM m GROUP BY entity
+    """
+
+
+@query("entity_resolution_golden", _GOLDEN_ORACLE)
+def entity_resolution_golden_q(spark, sf_dir):
+    """Record linkage end-to-end (master-data management / the patient-
+    matching step a healthcare RCM warehouse runs before SCD2): match =
+    name within one edit AND exact agreement on nation + market segment
+    (``agree_cols`` folds the agreement attributes INTO the deletion-
+    variant blocking key, so the quadratic candidate stage shrinks — a
+    post-filter would pay the full name-collision fanout first), then
+    clusters via min-label connected components, then ONE golden record
+    per entity: anchor-member name/segment (lowest custkey — stable) and
+    max-balance survivorship. Oracle = brute-force O(n²) match scan +
+    recursive-CTE closure + the same survivorship aggregates; c_custkey
+    <= 2000 bounds the oracle's quadratic cost at larger SFs (the engine
+    side never forms the cross join)."""
+    from healthcare_rcm_etl_pipeline_spark.operators import fuzzy
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    pairs = fuzzy.edit1_pairs(
+        c, "c_name", "c_custkey", agree_cols=["c_nationkey", "c_mktsegment"]
+    )
+    return fuzzy.resolve_entities(
+        c,
+        pairs,
+        "c_custkey",
+        {"c_name": "anchor", "c_mktsegment": "anchor", "c_acctbal": "max"},
+    )
 
 
 @query("dedup_clusters_incremental", _CLUSTERS_ORACLE)

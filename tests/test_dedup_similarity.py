@@ -378,3 +378,96 @@ def test_leakage_safe_split_keys_on_component(spark):
     assert out[b] == (comp, split_of(comp))  # moved out of its per-doc 'test'
     assert split_of(b) != out[b][1]          # the move actually happened
     assert out[c] == (c, split_of(c))        # singleton == plain split
+
+
+def test_filtered_ann_prefilter_semantics(spark):
+    """Filtered top-k = brute force over the QUALIFYING set — never a
+    post-filter of the unfiltered shortlist (which can return < k)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    pred = F.col("q_label") != F.col("n_label")
+    got = similarity.brute_force_topk(
+        emb, q, k=5, attr_cols=("label",), pair_predicate=pred
+    )
+    rows = got.collect()
+    # every query returns a full k (cross-label candidates are plentiful)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+    # pre-filter reference: restrict the corpus per query label, brute force
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+    # full-probe IVF with the same predicate must equal the filtered brute force
+    cents = similarity.ivf_fit(emb, n_cells=4, iters=0)
+    ivf = similarity.ivf_topk(
+        emb, q, cents, k=5, n_probe=4, attr_cols=("label",), pair_predicate=pred
+    )
+    assert {tuple(r) for r in ivf.collect()} == {tuple(r) for r in rows}
+
+
+def test_filtered_ann_beats_postfilter_when_head_crowded(spark):
+    """Construct a corpus where the unfiltered top-k head is all same-label:
+    post-filtering the shortlist would starve; pre-filter returns k rows."""
+    import math as _m
+
+    rows = []
+    # query 0 at angle 0, label 0; 6 near-identical label-0 vectors crowd
+    # the head; label-1 vectors sit farther out
+    rows.append((0, [1.0, 0.0], 0))
+    for i in range(1, 7):
+        rows.append((i, [_m.cos(0.01 * i), _m.sin(0.01 * i)], 0))
+    for i in range(7, 12):
+        rows.append((i, [_m.cos(0.5 + 0.1 * i), _m.sin(0.5 + 0.1 * i)], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") == 0)
+    got = similarity.brute_force_topk(
+        df, q, k=5, attr_cols=("label",),
+        pair_predicate=F.col("q_label") != F.col("n_label"),
+    ).collect()
+    assert len(got) == 5
+    assert {r["neighbor_id"] for r in got} == {7, 8, 9, 10, 11}
+
+
+def test_mmr_driver_greedy_equals_distributed(spark):
+    """The bounded driver-side MMR greedy (max_driver_rows) must be
+    bit-equal to the distributed unrolled loop — same device contract as
+    graph.py's bounded-CC union-find. Covers the brute-force candidate
+    path, the external-candidate (IVF) path, and a query with fewer
+    candidates than k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    a = sorted(tuple(r) for r in similarity.mmr_topk(emb, q, k=5, pool=12).collect())
+    b = sorted(
+        tuple(r)
+        for r in similarity.mmr_topk(
+            emb, q, k=5, pool=12, max_driver_rows=None
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    cents = similarity.ivf_fit(emb, n_cells=4, iters=0)
+    ca = similarity.ivf_topk(emb, q, cents, k=12, n_probe=4)
+    cb = similarity.ivf_topk(emb, q, cents, k=12, n_probe=4)
+    a2 = sorted(
+        tuple(r)
+        for r in similarity.mmr_topk(emb, q, k=5, pool=12, candidates=ca).collect()
+    )
+    b2 = sorted(
+        tuple(r)
+        for r in similarity.mmr_topk(
+            emb, q, k=5, pool=12, candidates=cb, max_driver_rows=None
+        ).collect()
+    )
+    assert a2 == b2
+    # fewer candidates than k: a 3-vector corpus, k=5 — both paths stop early
+    tiny = emb.limit(3)
+    tq = tiny.limit(1)
+    a3 = sorted(tuple(r) for r in similarity.mmr_topk(tiny, tq, k=5, pool=10).collect())
+    b3 = sorted(
+        tuple(r)
+        for r in similarity.mmr_topk(
+            tiny, tq, k=5, pool=10, max_driver_rows=None
+        ).collect()
+    )
+    assert a3 == b3 and 0 < len(a3) < 5

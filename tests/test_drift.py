@@ -1,0 +1,135 @@
+"""distribution_drift: PSI + binned KS between two slices (operators.quality).
+
+Pinned against a plain-Python reference implementation of the exact same
+contract (reference-defined fixed-width bins, clamping, Laplace smoothing),
+plus behavioral properties: zero drift on identical slices, shift
+sensitivity, out-of-range clamping, degenerate constant reference."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from healthcare_rcm_etl_pipeline_spark.operators import quality
+
+
+def _py_drift(ref_vals, cur_vals, n_bins=10):
+    mn, mx = min(ref_vals), max(ref_vals)
+
+    def binify(v):
+        if mx == mn:
+            return 0
+        return int(min(max(math.floor(((v - mn) * float(n_bins)) / (mx - mn)), 0), n_bins - 1))
+
+    rc = [0] * n_bins
+    cc = [0] * n_bins
+    for v in ref_vals:
+        rc[binify(v)] += 1
+    for v in cur_vals:
+        cc[binify(v)] += 1
+    rt, ct = sum(rc), sum(cc)
+    half = n_bins / 2.0
+    psi = sum(
+        ((c + 0.5) / (ct + half) - (r + 0.5) / (rt + half))
+        * math.log(((c + 0.5) / (ct + half)) / ((r + 0.5) / (rt + half)))
+        for r, c in zip(rc, cc)
+    )
+    crc = ccc = 0
+    ks = 0.0
+    for r, c in zip(rc, cc):
+        crc += r
+        ccc += c
+        ks = max(ks, abs(crc / rt - ccc / ct))
+    return round(psi, 6), round(ks, 6), rt, ct
+
+
+def _vals(spark, vals, grp="g"):
+    return spark.createDataFrame([(grp, float(v)) for v in vals], "grp string, v double")
+
+
+class TestDistributionDrift:
+    def test_matches_python_reference(self, spark):
+        ref = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 2.5, 3.5]
+        cur = [5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0, 6.5]
+        row = quality.distribution_drift(
+            _vals(spark, ref), _vals(spark, cur), "v", ["grp"]
+        ).first()
+        psi, ks, rt, ct = _py_drift(ref, cur)
+        assert row["psi"] == psi
+        assert row["ks"] == ks
+        assert (row["n_ref"], row["n_cur"]) == (rt, ct)
+
+    def test_identical_slices_zero_drift(self, spark):
+        vals = [float(i) for i in range(50)]
+        row = quality.distribution_drift(
+            _vals(spark, vals), _vals(spark, vals), "v", ["grp"]
+        ).first()
+        assert row["psi"] == 0.0 and row["ks"] == 0.0
+
+    def test_shift_increases_psi(self, spark):
+        ref = [float(i) for i in range(100)]
+        small = [v + 5.0 for v in ref]
+        big = [v + 60.0 for v in ref]
+        d_small = quality.distribution_drift(
+            _vals(spark, ref), _vals(spark, small), "v", ["grp"]
+        ).first()["psi"]
+        d_big = quality.distribution_drift(
+            _vals(spark, ref), _vals(spark, big), "v", ["grp"]
+        ).first()["psi"]
+        assert 0 < d_small < d_big
+
+    def test_out_of_range_mass_clamps_into_edge_bins(self, spark):
+        ref = [float(i) for i in range(10)]
+        cur = [-100.0, 1000.0]  # entirely outside the reference ruler
+        row = quality.distribution_drift(
+            _vals(spark, ref), _vals(spark, cur), "v", ["grp"]
+        ).first()
+        psi, ks, rt, ct = _py_drift(ref, cur)
+        assert row["psi"] == psi and row["n_cur"] == 2
+
+    def test_constant_reference_degenerates_to_one_bin(self, spark):
+        # all mass lands in bin 0 on both sides; the CDFs agree exactly
+        # (ks = 0) while PSI picks up only the smoothing-vs-total residue
+        # (different n -> slightly different smoothed proportions), which
+        # the Python reference reproduces exactly
+        ref = [3.0] * 8
+        cur = [3.0] * 5
+        row = quality.distribution_drift(
+            _vals(spark, ref), _vals(spark, cur), "v", ["grp"]
+        ).first()
+        psi, ks, _, _ = _py_drift(ref, cur)
+        assert row["psi"] == psi and psi < 0.05
+        assert row["ks"] == 0.0 == ks
+
+    def test_per_group_independence(self, spark):
+        ref = _vals(spark, [1.0, 2.0, 3.0], "a").union(
+            _vals(spark, [10.0, 20.0, 30.0], "b")
+        )
+        cur = _vals(spark, [1.0, 2.0, 3.0], "a").union(
+            _vals(spark, [25.0, 28.0, 30.0], "b")
+        )
+        rows = {
+            r["grp"]: r
+            for r in quality.distribution_drift(ref, cur, "v", ["grp"]).collect()
+        }
+        assert rows["a"]["psi"] == 0.0
+        assert rows["b"]["psi"] > 0.0
+
+    def test_nulls_excluded_both_sides(self, spark):
+        ref = spark.createDataFrame(
+            [("g", 1.0), ("g", None), ("g", 2.0)], "grp string, v double"
+        )
+        cur = spark.createDataFrame(
+            [("g", 1.5), ("g", None)], "grp string, v double"
+        )
+        row = quality.distribution_drift(ref, cur, "v", ["grp"]).first()
+        assert (row["n_ref"], row["n_cur"]) == (2, 1)
+
+    def test_ungrouped_global_drift(self, spark):
+        ref = _vals(spark, [1.0, 2.0, 3.0, 4.0])
+        cur = _vals(spark, [1.0, 2.0, 3.0, 4.0])
+        out = quality.distribution_drift(ref, cur, "v")
+        row = out.first()
+        assert out.columns == ["psi", "ks", "n_ref", "n_cur"]
+        assert row["psi"] == 0.0 and row["n_ref"] == 4

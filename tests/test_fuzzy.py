@@ -88,3 +88,90 @@ class TestBestSurvivors:
         clusters = graph.connected_components(pairs)
         losers_minid = clusters.filter(F.col("doc") != F.col("component")).count()
         assert len(best) == d.count() - losers_minid
+
+
+class TestAgreementBlocking:
+    def test_agree_cols_required_to_pair(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "abcdef", 10, "A"),
+                (2, "abcxef", 10, "A"),  # name-close AND agrees -> pair
+                (3, "abcdeg", 10, "B"),  # name-close, segment differs -> no
+                (4, "abcdez", 99, "A"),  # name-close, nation differs -> no
+            ],
+            "id long, key string, nation int, seg string",
+        )
+        got = fuzzy.edit1_pairs(df, "key", "id", agree_cols=["nation", "seg"])
+        assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1, 2)]
+
+    def test_null_agreement_never_matches(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdef", None), (2, "abcxef", None)],
+            "id long, key string, nation string",
+        )
+        assert fuzzy.edit1_pairs(df, "key", "id", agree_cols=["nation"]).count() == 0
+
+    def test_agreement_is_subset_of_plain_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(i, "key" + str(i % 7), i % 3) for i in range(40)],
+            "id long, key string, grp int",
+        )
+        plain = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy.edit1_pairs(df, "key", "id").collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy.edit1_pairs(df, "key", "id", agree_cols=["grp"]).collect()
+        }
+        assert blocked <= plain
+        grp = {r["id"]: r["grp"] for r in df.collect()}
+        assert blocked == {p for p in plain if grp[p[0]] == grp[p[1]]}
+
+
+class TestResolveEntities:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                # entity {1,2,3}: chain 1-2, 2-3
+                (1, "acme corp", "north", 50.0),
+                (2, "acme çorp", "north", 75.0),
+                (3, "acme çorpx", "north", 60.0),
+                # singleton
+                (9, "zzz", "south", 10.0),
+            ],
+            "id long, name string, region string, bal double",
+        )
+
+    def test_golden_records(self, spark):
+        df = self._df(spark)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        got = {
+            r["entity_id"]: r
+            for r in fuzzy.resolve_entities(
+                df, pairs, "id", {"name": "anchor", "region": "anchor", "bal": "max"}
+            ).collect()
+        }
+        assert set(got) == {1, 9}
+        assert got[1]["n_members"] == 3
+        assert got[1]["name"] == "acme corp"  # anchor = min-id member
+        assert got[1]["bal"] == 75.0          # max survivorship
+        assert got[9]["n_members"] == 1 and got[9]["bal"] == 10.0
+
+    def test_covers_every_row_once(self, spark):
+        df = self._df(spark)
+        pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+        out = fuzzy.resolve_entities(df, pairs, "id", {"bal": "min"})
+        assert out.agg(F.sum("n_members")).first()[0] == df.count()
+
+    def test_unknown_policy_raises(self, spark):
+        df = self._df(spark)
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        try:
+            fuzzy.resolve_entities(df, pairs, "id", {"bal": "mode"})
+        except ValueError as e:
+            assert "mode" in str(e)
+        else:
+            raise AssertionError("expected ValueError")

@@ -176,3 +176,27 @@ def test_semantic_dedup_joins_on_cell_only(spark, sf_dir):
     plan = _plan(spark, "semantic_dedup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_entity_resolution_blocking_is_equi_join(spark, sf_dir):
+    """Record linkage candidates come from the (variant-hash, agreement)
+    posting buckets — hash aggregations and equi-joins only; a
+    nested-loop pair scan would mean blocking failed."""
+    plan = _plan(spark, "entity_resolution_golden", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_ann_predicate_applies_before_window(spark, sf_dir):
+    """The hard-negative label predicate must drop candidates BEFORE the
+    per-query ranking window (pre-filter semantics): the plan carries a
+    Filter on the carried labels, and every query still yields k rows."""
+    plan = _plan(spark, "ann_hard_negatives", sf_dir)
+    assert "q_label" in plan and "n_label" in plan
+    # the filter feeds the window, not the other way around: the label
+    # columns appear in a Filter node; rank never appears in any Filter
+    # that ALSO mentions the labels (i.e. labels are not post-rank)
+    for seg in plan.split("Filter")[1:]:
+        head = seg[:300]
+        if "q_label" in head:
+            assert "rank" not in head.split("\n")[0]
