@@ -259,3 +259,69 @@ def distribution_drift(
             F.max("__ct").cast("bigint").alias("n_cur"),
         )
     )
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Vector-drift report between two embedding snapshots: per group, the
+    cosine between the REFERENCE centroid and the CURRENT centroid — the
+    embedding twin of ``distribution_drift`` (embedding-model swaps,
+    encoder regressions, and population shift all show up as centroid
+    rotation long before scalar metrics move).
+
+    Determinism / oracle-exactness: each component is rounded at 6 dp and
+    scaled to an exact BIGINT before summation, so the per-(group, dim)
+    sums are integers — order-insensitive across partitionings and
+    engines. Cosine is scale-invariant, so it is taken directly on the
+    integer sum vectors (no division by n, which would reintroduce float
+    rounding); the fold order of the final 64-term dot product is the
+    array order in both engines. Only groups present on BOTH sides are
+    reported (a one-sided centroid has no drift to measure).
+
+    Shape at 100 TB: one posexplode per side shuffles (group, dim) keyed
+    partial sums — map-side combinable, the shuffle carries
+    |groups| x dim rows — then a |groups|-row join. The corpus is scanned
+    once per side; vectors never move whole.
+
+    Returns (group_col, centroid_cos, n_ref, n_cur).
+    """
+    from healthcare_rcm_etl_pipeline_spark.functions.vector import as_double_vec, cosine
+
+    def _centroid(df: DataFrame, n_name: str, v_name: str) -> DataFrame:
+        exploded = df.select(
+            F.col(group_col),
+            F.posexplode(as_double_vec(vec_col)).alias("__pos", "__v"),
+        )
+        # round AGAIN at 0 dp before the bigint cast: Spark's double->bigint
+        # cast truncates while other engines round — the explicit round
+        # makes the integerization engine-identical (same device as the
+        # MMR fixed-point scaling).
+        sums = exploded.groupBy(group_col, "__pos").agg(
+            F.sum(
+                F.round(F.round(F.col("__v"), 6) * F.lit(1_000_000.0), 0).cast("bigint")
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        return sums.groupBy(group_col).agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__s"))),
+                lambda x: x["__s"].cast("double"),
+            ).alias(v_name),
+            F.max("__n").cast("bigint").alias(n_name),
+        )
+
+    r = _centroid(ref, "n_ref", "__rv")
+    c = _centroid(cur, "n_cur", "__cv")
+    return (
+        r.join(c, group_col)
+        .select(
+            group_col,
+            F.round(cosine("__rv", "__cv"), 6).alias("centroid_cos"),
+            "n_ref",
+            "n_cur",
+        )
+    )

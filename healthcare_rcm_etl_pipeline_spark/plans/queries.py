@@ -2353,6 +2353,55 @@ def drift_psi_events_q(spark, sf_dir):
     )
 
 
+_VDRIFT_ORACLE = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pos AS (SELECT UNNEST(range(1, 65)) AS p),
+    r AS (
+      SELECT label, p,
+             SUM(CAST(round(round(e[p], 6) * 1000000.0, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM v, pos WHERE vec_id % 2 = 0 GROUP BY label, p),
+    c AS (
+      SELECT label, p,
+             SUM(CAST(round(round(e[p], 6) * 1000000.0, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM v, pos WHERE vec_id % 2 = 1 GROUP BY label, p),
+    ra AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY p) AS sv, MAX(n) AS n
+           FROM r GROUP BY label),
+    ca AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY p) AS sv, MAX(n) AS n
+           FROM c GROUP BY label)
+    SELECT ra.label,
+           round(list_dot_product(ra.sv, ca.sv)
+                 / (sqrt(list_dot_product(ra.sv, ra.sv)) * sqrt(list_dot_product(ca.sv, ca.sv))), 6) AS centroid_cos,
+           CAST(ra.n AS BIGINT) AS n_ref,
+           CAST(ca.n AS BIGINT) AS n_cur
+    FROM ra JOIN ca USING (label)
+    """
+
+
+@query("drift_embedding_centroids", _VDRIFT_ORACLE)
+def drift_embedding_centroids_q(spark, sf_dir):
+    """Vector drift between two embedding snapshots (vec_id parity stands
+    in for consecutive corpus builds): per label, the cosine between the
+    reference and current centroids — the embedding twin of
+    drift_psi_events (encoder swaps and population shift rotate
+    centroids before scalar stats move). Components integerize at 6 dp
+    before summation so the per-(label, dim) sums are exact BIGINTs
+    (order-insensitive across engines); cosine is scale-invariant, so it
+    is taken on the sum vectors directly — no division by n, no float
+    reintroduced before the final fold, which runs in array order in
+    both engines."""
+    from healthcare_rcm_etl_pipeline_spark.operators import quality
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quality.embedding_centroid_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        "embedding",
+        "label",
+    )
+
+
 @query(
     "events_exact_dedup",
     """

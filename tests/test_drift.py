@@ -133,3 +133,57 @@ class TestDistributionDrift:
         row = out.first()
         assert out.columns == ["psi", "ks", "n_ref", "n_cur"]
         assert row["psi"] == 0.0 and row["n_ref"] == 4
+
+
+class TestEmbeddingCentroidDrift:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "label int, embedding array<double>")
+
+    def test_identical_snapshots_cos_one(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0]), (0, [0.0, 1.0, 0.0]), (1, [0.5, 0.5, 0.0])]
+        out = quality.embedding_centroid_drift(
+            self._df(spark, rows), self._df(spark, rows), "embedding", "label"
+        ).collect()
+        assert {r["label"]: r["centroid_cos"] for r in out} == {0: 1.0, 1: 1.0}
+
+    def test_orthogonal_rotation_detected(self, spark):
+        ref = self._df(spark, [(0, [1.0, 0.0]), (0, [1.0, 0.0])])
+        cur = self._df(spark, [(0, [0.0, 1.0])])
+        row = quality.embedding_centroid_drift(ref, cur, "embedding", "label").first()
+        assert row["centroid_cos"] == 0.0
+        assert (row["n_ref"], row["n_cur"]) == (2, 1)
+
+    def test_known_angle(self, spark):
+        # ref centroid (1, 0); cur centroid (1, 1)/|..| -> cos = 1/sqrt(2)
+        ref = self._df(spark, [(7, [2.0, 0.0])])
+        cur = self._df(spark, [(7, [0.0, 2.0]), (7, [2.0, 0.0])])
+        row = quality.embedding_centroid_drift(ref, cur, "embedding", "label").first()
+        assert abs(row["centroid_cos"] - round(1 / math.sqrt(2), 6)) < 1e-9
+
+    def test_one_sided_group_excluded(self, spark):
+        ref = self._df(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.0])])
+        cur = self._df(spark, [(0, [1.0, 0.0])])
+        out = quality.embedding_centroid_drift(ref, cur, "embedding", "label").collect()
+        assert [r["label"] for r in out] == [0]
+
+    def test_partitioning_invariant(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            (i % 3, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        a = quality.embedding_centroid_drift(
+            self._df(spark, rows).repartition(1),
+            self._df(spark, rows[::-1]).repartition(1),
+            "embedding",
+            "label",
+        ).collect()
+        b = quality.embedding_centroid_drift(
+            self._df(spark, rows).repartition(13),
+            self._df(spark, rows[::-1]).repartition(7),
+            "embedding",
+            "label",
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert all(r["centroid_cos"] == 1.0 for r in a)  # same multiset both sides
