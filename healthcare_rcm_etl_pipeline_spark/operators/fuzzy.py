@@ -157,6 +157,17 @@ def resolve_entities(
     cost is the match-pair CC (bounded by the blocking) plus a single
     hash aggregation of the corpus.
 
+    Preconditions (callers that derive ``pairs`` from ``df`` itself, like
+    ``entity_resolution_golden``, satisfy both by construction):
+
+    - ``df[id_col]`` is unique — duplicate ids would multi-count
+      ``n_members`` and make "anchor" ambiguous;
+    - every id appearing in ``pairs`` exists in ``df`` — the component
+      label is the MIN member id, so an id known only to ``pairs`` could
+      become an ``entity_id`` that matches no input row, with anchor/
+      min/max survivorship drawn only from the members actually present.
+      Ids in ``df`` but absent from ``pairs`` are fine (singletons).
+
     Returns (entity_id, n_members, *attrs) — entity_id typed like
     ``id_col``.
     """

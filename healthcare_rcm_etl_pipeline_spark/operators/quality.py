@@ -187,6 +187,12 @@ def distribution_drift(
     PSI/KS arithmetic are fixed-shape IEEE double expressions (identical
     in the DuckDB oracle); psi/ks round at 6 dp. Returns
     (*group_cols, psi, ks, n_ref, n_cur).
+
+    One-sided groups: a group present in only one slice (novel or
+    vanished population) reports psi = NULL and ks = NULL — an explicit
+    "not comparable" sentinel, NOT "no drift". n_ref/n_cur show which
+    side is empty; consumers should treat such groups as
+    maximal-severity drift, not skip them.
     """
     group_cols = list(group_cols or [])
     edges = ref.agg(
@@ -239,21 +245,42 @@ def distribution_drift(
         .withColumn("__crc", F.sum("__rc").over(w_cum))
         .withColumn("__ccc", F.sum("__cc").over(w_cum))
     )
+    # One-sided groups (present in only ref or only cur — novel/vanished
+    # populations, the MOST-drifted case) must not read as "no drift": the
+    # smoothing-only pseudo-PSI against a 0.5-per-bin baseline would
+    # underreport them, and the KS ratio's division by a zero total is
+    # engine-dependent noise. Both are guarded to NULL — the explicit
+    # "not comparable" sentinel — with n_ref/n_cur showing WHICH side is
+    # empty, so monitoring consumers can route novel/vanished groups to
+    # their own (maximal-severity) alert path instead of reading a number.
+    both_sided = (F.max("__rt") > 0) & (F.max("__ct") > 0)
     return (
         j.groupBy(*group_cols)
         .agg(
-            F.round(
-                F.sum((F.col("__pc") - F.col("__pr")) * F.log(F.col("__pc") / F.col("__pr"))),
-                6,
-            ).alias("psi"),
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("__crc").cast("double") / F.col("__rt")
-                        - F.col("__ccc").cast("double") / F.col("__ct")
-                    )
+            F.when(
+                both_sided,
+                F.round(
+                    F.sum(
+                        (F.col("__pc") - F.col("__pr"))
+                        * F.log(F.col("__pc") / F.col("__pr"))
+                    ),
+                    6,
                 ),
-                6,
+            ).alias("psi"),
+            F.when(
+                both_sided,
+                F.round(
+                    F.max(
+                        F.abs(
+                            # try_divide: under ANSI mode a one-sided
+                            # group's zero total would otherwise raise
+                            # per-row before the result-level guard runs
+                            F.try_divide(F.col("__crc").cast("double"), F.col("__rt"))
+                            - F.try_divide(F.col("__ccc").cast("double"), F.col("__ct"))
+                        )
+                    ),
+                    6,
+                ),
             ).alias("ks"),
             F.max("__rt").cast("bigint").alias("n_ref"),
             F.max("__ct").cast("bigint").alias("n_cur"),

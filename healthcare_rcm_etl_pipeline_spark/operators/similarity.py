@@ -1111,8 +1111,15 @@ def mmr_topk(
     # distributed unrolled loop below runs unchanged — at 100 TB the
     # query-set axis is unbounded and the driver path is never taken.
     if max_driver_rows is not None:
-        n_pairs = pairs.count()
-        n_cand = cand.count()
+        # Bounded probe (the bounded-CC limit(n+1) idiom): count at most
+        # max_driver_rows+1 rows per side instead of two full-scan jobs
+        # over the pool^2 pair set — on the large path, where the driver
+        # greedy is never taken, the probe cost is capped at the bound.
+        # Under the cap limit().count() is exact, so the decision (and the
+        # driver≡distributed bit-equality it gates) is unchanged.
+        cap = max_driver_rows + 1
+        n_pairs = pairs.limit(cap).count()
+        n_cand = cand.limit(cap).count()
         if n_pairs + n_cand <= max_driver_rows:
             return _mmr_greedy_driver(cand, pairs, k, lam_num, lam_den, scale)
 

@@ -149,6 +149,42 @@ SQL: dict[str, str] = {
 }
 
 
+# ---- size-aware dimension lookups (the broadcast cliff) -------------------
+
+# Row-denominated broadcast bound: ~the 10 MB default threshold at a
+# typical ~100 B/row in-memory dimension row. The axis is ROWS, not bytes,
+# because the broadcast BUILD (driver collect + single-threaded hash-table
+# build of JVM rows) costs per row while Catalyst's static estimate is
+# COMPRESSED parquet bytes: the r12 x100 probe's 1M-row patient dimension
+# estimated 1.1 MB after pruning (dictionary encoding hides ~30x), slid
+# under every static threshold, and the default broadcast plan ran 2.9x
+# slower than sort-merge (scripts/probe_scale_r12.py, SCALE.md r12/r13).
+_BROADCAST_MAX_DIM_ROWS = 100_000
+
+
+def scaled_lookup(dim: DataFrame, cols: list[str], where=None) -> DataFrame:
+    """Project (and optionally filter) a dimension into a join lookup and
+    pick the join strategy from the dimension's ACTUAL row count — the
+    mechanism that makes the fast plan the DEFAULT on a grown dimension
+    instead of a manual hint the user must know to apply.
+
+    Under ``_BROADCAST_MAX_DIM_ROWS`` the lookup is explicitly broadcast
+    (the genuinely-small-dim case, every test/sweep scale). Above it, the
+    lookup carries a merge hint, which both the static planner and AQE's
+    runtime re-plan respect — without it, the compressed-bytes estimate
+    re-broadcasts the slow plan (measured: r12 probe). The count is an
+    exact, column-less scan of the UNFILTERED dimension (an upper bound on
+    the lookup's rows — filters only shrink it): metadata-class work next
+    to the fact scan it protects, and exact where the bytes estimate is
+    pathologically wrong on dictionary-compressed data.
+    """
+    lk = dim.filter(where) if where is not None else dim
+    lk = lk.select(*cols)
+    if dim.count() <= _BROADCAST_MAX_DIM_ROWS:
+        return F.broadcast(lk)
+    return lk.hint("merge")
+
+
 # ---- DataFrame-API implementations ----------------------------------------
 
 def hq1(star: dict[str, DataFrame]) -> DataFrame:
@@ -164,8 +200,9 @@ def hq1(star: dict[str, DataFrame]) -> DataFrame:
 def hq2(star: dict[str, DataFrame]) -> DataFrame:
     fc, p = star["fact_claims"], star["dim_patients"]
     # is_current: stable sks are shared by all SCD2 versions of a key, so
-    # attribute joins must resolve against the current row only
-    lk = p.filter(F.col("is_current")).select("patient_sk", "source_hospital")  # scales
+    # attribute joins must resolve against the current row only;
+    # scaled_lookup picks broadcast vs merge from the dim's actual size
+    lk = scaled_lookup(p, ["patient_sk", "source_hospital"], F.col("is_current"))
     return (
         fc.select("patient_sk", "ClaimAmount", "PaidAmount", "days_to_payment")
         .join(lk, "patient_sk")
@@ -243,9 +280,11 @@ def hq8(star: dict[str, DataFrame]) -> DataFrame:
 
 def hq9(star: dict[str, DataFrame]) -> DataFrame:
     fc, p = star["fact_claims"], star["dim_patients"]
-    lk = p.filter(F.col("is_current")).select(
-        "patient_sk", "FirstName", "LastName", "source_hospital"
-    )  # scales; is_current — see hq2
+    lk = scaled_lookup(
+        p,
+        ["patient_sk", "FirstName", "LastName", "source_hospital"],
+        F.col("is_current"),
+    )  # size-aware strategy; is_current — see hq2
     # aggregate-then-join: facts reduce to one NARROW row per patient_sk
     # BEFORE touching the name columns, so the groupBy shuffle never
     # carries strings and the dim join sees |patients| pre-aggregated rows

@@ -2322,9 +2322,13 @@ _DRIFT_ORACLE = """
              SUM(ccnt) OVER (PARTITION BY event_type ORDER BY bin) AS ccc
       FROM j)
     SELECT event_type,
-           ROUND(SUM(((ccnt + 0.5) / (ct + 5.0) - (rcnt + 0.5) / (rt + 5.0))
-                     * LN(((ccnt + 0.5) / (ct + 5.0)) / ((rcnt + 0.5) / (rt + 5.0)))), 6) AS psi,
-           ROUND(MAX(ABS(CAST(crc AS DOUBLE) / rt - CAST(ccc AS DOUBLE) / ct)), 6) AS ks,
+           CASE WHEN MAX(rt) > 0 AND MAX(ct) > 0 THEN
+             ROUND(SUM(((ccnt + 0.5) / (ct + 5.0) - (rcnt + 0.5) / (rt + 5.0))
+                       * LN(((ccnt + 0.5) / (ct + 5.0)) / ((rcnt + 0.5) / (rt + 5.0)))), 6)
+           END AS psi,
+           CASE WHEN MAX(rt) > 0 AND MAX(ct) > 0 THEN
+             ROUND(MAX(ABS(CAST(crc AS DOUBLE) / rt - CAST(ccc AS DOUBLE) / ct)), 6)
+           END AS ks,
            CAST(MAX(rt) AS BIGINT) AS n_ref,
            CAST(MAX(ct) AS BIGINT) AS n_cur
     FROM p GROUP BY event_type

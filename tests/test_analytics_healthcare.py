@@ -76,3 +76,54 @@ def test_triple_parity(name, spark, star_env):
     a, s, d = _rowset(a_cols, a_rows), _rowset(s_cols, s_rows), _rowset(dcols, drows)
     assert a == s, f"{name}: DataFrame vs spark.sql mismatch"
     assert a == d, f"{name}: Spark vs DuckDB mismatch"
+
+
+class TestScaledLookupCliff:
+    """The broadcast cliff (SCALE.md r12/r13): hq2/hq9's patient lookup
+    picks its join strategy from the dimension's ACTUAL row count via
+    analytics.scaled_lookup — broadcast at every genuinely-small scale,
+    merge above _BROADCAST_MAX_DIM_ROWS, with NO manual forcing. The r12
+    probe measured the default (compressed-bytes-estimated) broadcast 2.9x
+    slower than sort-merge at 1M dim rows; this pins the mechanism that
+    makes the fast plan the default."""
+
+    def _executed(self, df) -> str:
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_small_dim_still_broadcasts(self, spark, star_env):
+        star, _ = star_env
+        plan = self._executed(analytics.hq2(star))
+        # hq2 has exactly one join (fact x patient lookup)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_grown_dim_defaults_to_sort_merge(self, spark):
+        n = analytics._BROADCAST_MAX_DIM_ROWS + 1
+        p = spark.range(n).selectExpr(
+            "id AS patient_sk",
+            "true AS is_current",
+            "concat('H', id % 7) AS source_hospital",
+            "concat('F', id) AS FirstName",
+            "concat('L', id) AS LastName",
+        )
+        fc = spark.range(5000).selectExpr(
+            f"id % {n} AS patient_sk",
+            "CAST(10.5 AS DOUBLE) AS ClaimAmount",
+            "CAST(4.5 AS DOUBLE) AS PaidAmount",
+            "CAST(id % 30 AS INT) AS days_to_payment",
+            "concat('C', id) AS ClaimID",
+        )
+        star = {"fact_claims": fc, "dim_patients": p}
+        for q in (analytics.hq2, analytics.hq9):
+            plan = self._executed(q(star))
+            assert "SortMergeJoin" in plan, q.__name__
+            assert "BroadcastHashJoin" not in plan, q.__name__
+
+    def test_threshold_boundary(self, spark):
+        from pyspark.sql import functions as F
+
+        small = spark.range(10).selectExpr("id", "id AS v")
+        lk = analytics.scaled_lookup(small, ["id", "v"])
+        # explicit broadcast hint under the bound
+        assert "ResolvedHint" in lk._jdf.queryExecution().analyzed().toString()

@@ -126,6 +126,28 @@ class TestDistributionDrift:
         row = quality.distribution_drift(ref, cur, "v", ["grp"]).first()
         assert (row["n_ref"], row["n_cur"]) == (2, 1)
 
+    def test_one_sided_group_reports_null_sentinel(self, spark):
+        # a group present in only one slice (novel or vanished population)
+        # must NOT read as "low drift" through the smoothing-only
+        # pseudo-PSI: psi and ks are NULL (the "not comparable" sentinel)
+        # and n_ref/n_cur show which side is empty
+        ref = _vals(spark, [1.0, 2.0, 3.0], "old").union(
+            _vals(spark, [1.0, 2.0], "both")
+        )
+        cur = _vals(spark, [5.0, 6.0], "new").union(
+            _vals(spark, [1.0, 2.0], "both")
+        )
+        rows = {
+            r["grp"]: r
+            for r in quality.distribution_drift(ref, cur, "v", ["grp"]).collect()
+        }
+        assert set(rows) == {"old", "both", "new"}
+        assert rows["old"]["psi"] is None and rows["old"]["ks"] is None
+        assert (rows["old"]["n_ref"], rows["old"]["n_cur"]) == (3, 0)
+        assert rows["new"]["psi"] is None and rows["new"]["ks"] is None
+        assert (rows["new"]["n_ref"], rows["new"]["n_cur"]) == (0, 2)
+        assert rows["both"]["psi"] is not None and rows["both"]["psi"] == 0.0
+
     def test_ungrouped_global_drift(self, spark):
         ref = _vals(spark, [1.0, 2.0, 3.0, 4.0])
         cur = _vals(spark, [1.0, 2.0, 3.0, 4.0])

@@ -189,14 +189,42 @@ def test_entity_resolution_blocking_is_equi_join(spark, sf_dir):
 
 def test_filtered_ann_predicate_applies_before_window(spark, sf_dir):
     """The hard-negative label predicate must drop candidates BEFORE the
-    per-query ranking window (pre-filter semantics): the plan carries a
-    Filter on the carried labels, and every query still yields k rows."""
-    plan = _plan(spark, "ann_hard_negatives", sf_dir)
-    assert "q_label" in plan and "n_label" in plan
-    # the filter feeds the window, not the other way around: the label
-    # columns appear in a Filter node; rank never appears in any Filter
-    # that ALSO mentions the labels (i.e. labels are not post-rank)
-    for seg in plan.split("Filter")[1:]:
-        head = seg[:300]
-        if "q_label" in head:
-            assert "rank" not in head.split("\n")[0]
+    per-query ranking window (pre-filter semantics). Asserted on the
+    optimized logical TREE (one node per line, children printed after
+    parents with deeper indentation), not on substring windows of the
+    formatted plan: the label predicate node — a Filter, or the Join it
+    gets folded into when Catalyst pushes it all the way into the join
+    condition — must sit INSIDE the ranking Window's subtree, and no
+    label predicate may mention the rank column (labels are never
+    applied post-rank)."""
+    qe = QUERIES["ann_hard_negatives"](spark, sf_dir)._jdf.queryExecution()
+    lines = qe.optimizedPlan().toString().splitlines()
+
+    def _node(ln: str) -> str:
+        return ln.lstrip(" +-:")
+
+    def _depth(ln: str) -> int:
+        return len(ln) - len(_node(ln))
+
+    windows = [i for i, ln in enumerate(lines) if _node(ln).startswith("Window")]
+    ranking = [i for i in windows if "row_number" in lines[i]] or windows
+    label_filters = [
+        i
+        for i, ln in enumerate(lines)
+        if _node(ln).startswith(("Filter", "Join")) and "q_label" in ln
+    ]
+    assert ranking, "plan lost its per-query ranking Window"
+    assert label_filters, "plan lost the label-predicate Filter/Join"
+    # the Window's subtree = contiguous deeper-indented lines below it
+    wi = ranking[0]
+    wd = _depth(lines[wi])
+    subtree = set()
+    for j in range(wi + 1, len(lines)):
+        if lines[j].strip() and _depth(lines[j]) <= wd:
+            break
+        subtree.add(j)
+    assert any(i in subtree for i in label_filters), (
+        "label Filter is not below the ranking Window — predicate no "
+        "longer pre-filters the candidate set"
+    )
+    assert all("rank" not in lines[i] for i in label_filters)
