@@ -129,6 +129,115 @@ def edit1_pairs(
     )
 
 
+def deletion_postings(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    agree_cols: list[str] | None = None,
+    max_key_len: int = 128,
+) -> DataFrame:
+    """The PERSISTABLE half of ``edit1_pairs``' blocking: one posting row
+    per (row, deletion variant) — (doc, key, *agree_cols, vh) with vh the
+    xxhash64 of the variant string. An ingest stream appends these as its
+    variant index (range-sorted on vh), and later batches find cross-
+    corpus candidates by joining their own postings against it on
+    (vh, *agree_cols) — the agreement attributes stay separate columns
+    (folding them into the hash would let a hash collision pair rows with
+    DIFFERENT agreement values, which the levenshtein verify cannot
+    catch). Same ``max_key_len`` exclusion contract as ``edit1_pairs``."""
+    agree_cols = list(agree_cols or [])
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(key_col).cast("string").alias("key"),
+        *[F.col(c) for c in agree_cols],
+    ).filter(F.length("key") <= max_key_len)
+    if agree_cols:
+        base = base.dropna(subset=agree_cols)
+    return base.select(
+        "doc",
+        "key",
+        *agree_cols,
+        F.explode(deletion_variants(F.col("key"))).alias("__var"),
+    ).select("doc", "key", *agree_cols, F.xxhash64("__var").alias("vh"))
+
+
+def edit1_pairs_from_postings(
+    post_a: DataFrame,
+    post_b: DataFrame,
+    agree_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cross-set edit-distance-1 pairs from two ``deletion_postings``
+    relations (the incremental twin of ``edit1_pairs``' within-set
+    bucketing): candidates are the equi-join on (vh, *agree_cols) —
+    complete for distance <= 1 because matching strings share a deletion
+    variant, hence a vh — oriented (id_a < id_b), deduped across shared
+    variants, and verified with an exact levenshtein. Returns
+    (id_a, id_b, key_a, key_b, lev), same shape as ``edit1_pairs``."""
+    agree_cols = list(agree_cols or [])
+    a = post_a.select(
+        F.col("vh"),
+        *agree_cols,
+        F.col("doc").alias("__ia"),
+        F.col("key").alias("__ka"),
+    )
+    b = post_b.select(
+        F.col("vh"),
+        *agree_cols,
+        F.col("doc").alias("__ib"),
+        F.col("key").alias("__kb"),
+    )
+    cand = (
+        a.join(b, ["vh", *agree_cols])
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            F.when(F.col("__ia") < F.col("__ib"), F.col("__ka"))
+            .otherwise(F.col("__kb"))
+            .alias("key_a"),
+            F.when(F.col("__ia") < F.col("__ib"), F.col("__kb"))
+            .otherwise(F.col("__ka"))
+            .alias("key_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn("lev", F.levenshtein("key_a", "key_b")).filter(
+        F.col("lev") <= 1
+    )
+
+
+def golden_from_labels(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    attrs: dict[str, str],
+) -> DataFrame:
+    """One golden record per entity from a SERVED label relation
+    (doc, component) — the join + aggregate half of ``resolve_entities``,
+    split out so an ingest stream's persisted entity-label state serves
+    golden records without re-running match + CC. Rows without a label
+    row are their own singleton entity (coalesce to own id). Same
+    survivorship policies and preconditions as ``resolve_entities``."""
+    members = df.join(
+        labels.withColumnRenamed("doc", id_col), id_col, "left"
+    ).withColumn("__entity", F.coalesce("component", F.col(id_col)))
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for attr, policy in attrs.items():
+        if policy == "anchor":
+            aggs.append(F.min_by(attr, F.col(id_col)).alias(attr))
+        elif policy == "min":
+            aggs.append(F.min(attr).alias(attr))
+        elif policy == "max":
+            aggs.append(F.max(attr).alias(attr))
+        else:
+            raise ValueError(f"unknown survivorship policy {policy!r}")
+    return (
+        members.groupBy("__entity")
+        .agg(*aggs)
+        .select(F.col("__entity").alias("entity_id"), "n_members", *attrs.keys())
+    )
+
+
 def resolve_entities(
     df: DataFrame,
     pairs: DataFrame,
@@ -177,21 +286,4 @@ def resolve_entities(
     # no broadcast hint: matched nodes are usually a small fraction of the
     # corpus but are NOT bounded by construction — AQE picks the strategy
     # from the runtime size (blocking keeps comp tiny in the normal case).
-    members = df.join(
-        comp.withColumnRenamed("doc", id_col), id_col, "left"
-    ).withColumn("__entity", F.coalesce("component", F.col(id_col)))
-    aggs = [F.count(F.lit(1)).alias("n_members")]
-    for attr, policy in attrs.items():
-        if policy == "anchor":
-            aggs.append(F.min_by(attr, F.col(id_col)).alias(attr))
-        elif policy == "min":
-            aggs.append(F.min(attr).alias(attr))
-        elif policy == "max":
-            aggs.append(F.max(attr).alias(attr))
-        else:
-            raise ValueError(f"unknown survivorship policy {policy!r}")
-    return (
-        members.groupBy("__entity")
-        .agg(*aggs)
-        .select(F.col("__entity").alias("entity_id"), "n_members", *attrs.keys())
-    )
+    return golden_from_labels(df, comp, id_col, attrs)

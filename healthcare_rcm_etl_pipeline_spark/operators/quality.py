@@ -288,6 +288,138 @@ def distribution_drift(
     )
 
 
+def windowed_distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    group_cols: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Production drift MONITORING: per tumbling event-time window of the
+    CURRENT stream, the PSI and binned-KS of ``value_col`` against a
+    PINNED static reference snapshot — ``distribution_drift`` is the
+    two-snapshot gate, this is the continuously-emitted score a serving
+    stack alerts on (reference window vs sliding/tumbling current window).
+
+    The SAME body runs in batch (tests, oracle) and under Structured
+    Streaming: everything is ONE aggregation — per (group, window), the
+    ``n_bins`` bin counts are unrolled into conditional-sum columns, and
+    PSI/KS are fixed-shape scalar expressions over those columns — so the
+    plan is streaming-legal (multi-stage aggregations are not; the
+    row-form bin grid of ``distribution_drift`` would need two). The
+    reference side must be STATIC (asserted): its ruler (min/max edges)
+    and per-group bin grid are tiny one-row/|groups|-row relations,
+    broadcast into the stream (stream-static joins).
+
+    Same contract as ``distribution_drift``: reference-defined fixed-width
+    bins, out-of-range current mass clamps into the edge bins, Laplace
+    smoothing ((count + 0.5) / (total + n_bins/2)), NULL values excluded,
+    psi/ks rounded at 6 dp. A (group, window) whose group has NO
+    reference rows (novel population) is reported with psi = ks = NULL
+    and n_ref = NULL — the "not comparable" sentinel, never a
+    smoothing-only pseudo-score; windows with no current events emit no
+    row (the output is current-driven). PSI sums its 10 terms in fixed
+    bin order; cumulative KS counts are exact BIGINTs, so the arithmetic
+    is engine-identical up to the final 6-dp round (the
+    ``drift_psi_events`` oracle device).
+
+    Shape at 100 TB: the stream is scanned once; the shuffle carries one
+    row per (group, window) of width n_bins+2 (map-side combinable
+    conditional sums), the reference grid rides as a broadcast. Streaming
+    state is the open windows only — watermark-evicted, never
+    corpus-sized.
+
+    Returns (*group_cols, window_start, psi, ks, n_ref, n_cur).
+    """
+    if ref.isStreaming:
+        raise ValueError("the reference snapshot must be a static DataFrame")
+    group_cols = list(group_cols or [])
+    half = float(n_bins) / 2.0
+    edges = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("__mn"),
+        F.max(F.col(value_col).cast("double")).alias("__mx"),
+    )
+
+    def _bin_col() -> F.Column:
+        v = F.col(value_col).cast("double")
+        raw = F.floor((v - F.col("__mn")) * F.lit(float(n_bins)) / (F.col("__mx") - F.col("__mn")))
+        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        return (
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+            .otherwise(clamped)
+            .cast("int")
+            .alias("__bin")
+        )
+
+    # join key: the group columns, or a constant for the ungrouped case
+    # (a bare stream-static cross join is not universally supported)
+    keys = group_cols or ["__k"]
+    konst = [] if group_cols else [F.lit(1).alias("__k")]
+
+    rv = F.col(value_col).cast("double")
+    ref_grid = (
+        ref.filter(rv.isNotNull())
+        .join(F.broadcast(edges))
+        .select(*group_cols, *konst, _bin_col())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__rt"),
+            *[
+                F.sum(F.when(F.col("__bin") == b, 1).otherwise(0)).alias(f"__rc{b}")
+                for b in range(n_bins)
+            ],
+        )
+    )
+    cur_agg = (
+        cur.filter(rv.isNotNull())
+        .join(F.broadcast(edges))
+        .select(*group_cols, *konst, F.col(ts_col), _bin_col())
+        .groupBy(*keys, F.window(ts_col, duration).alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("__ct"),
+            *[
+                F.sum(F.when(F.col("__bin") == b, 1).otherwise(0)).alias(f"__cc{b}")
+                for b in range(n_bins)
+            ],
+        )
+    )
+    j = cur_agg.join(F.broadcast(ref_grid), keys, "left")
+
+    pr = [
+        (F.col(f"__rc{b}") + F.lit(0.5)) / (F.col("__rt") + F.lit(half))
+        for b in range(n_bins)
+    ]
+    pc = [
+        (F.col(f"__cc{b}") + F.lit(0.5)) / (F.col("__ct") + F.lit(half))
+        for b in range(n_bins)
+    ]
+    psi = (pc[0] - pr[0]) * F.log(pc[0] / pr[0])
+    for b in range(1, n_bins):
+        psi = psi + (pc[b] - pr[b]) * F.log(pc[b] / pr[b])
+    crc, ccc = [F.col("__rc0")], [F.col("__cc0")]
+    for b in range(1, n_bins):
+        crc.append(crc[-1] + F.col(f"__rc{b}"))
+        ccc.append(ccc[-1] + F.col(f"__cc{b}"))
+    gaps = [
+        F.abs(
+            crc[b].cast("double") / F.col("__rt")
+            - ccc[b].cast("double") / F.col("__ct")
+        )
+        for b in range(n_bins)
+    ]
+    has_ref = F.col("__rt").isNotNull()
+    return j.select(
+        *group_cols,
+        F.col("__w.start").alias("window_start"),
+        F.when(has_ref, F.round(psi, 6)).alias("psi"),
+        F.when(has_ref, F.round(F.greatest(*gaps), 6)).alias("ks"),
+        F.col("__rt").cast("bigint").alias("n_ref"),
+        F.col("__ct").cast("bigint").alias("n_cur"),
+    )
+
+
 def embedding_centroid_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -2357,6 +2357,84 @@ def drift_psi_events_q(spark, sf_dir):
     )
 
 
+_WDRIFT_ORACLE = """
+    WITH ref AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+                 WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    cur AS (SELECT event_type, date_trunc('hour', ts) AS ws, CAST(value AS DOUBLE) AS v
+            FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    edges AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM ref),
+    rb AS (
+      SELECT event_type,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(GREATEST(FLOOR(((v - mn) * 10.0) / (mx - mn)), 0), 9)
+                  END AS INTEGER) AS bin
+      FROM ref, edges),
+    cb AS (
+      SELECT event_type, ws,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(GREATEST(FLOOR(((v - mn) * 10.0) / (mx - mn)), 0), 9)
+                  END AS INTEGER) AS bin
+      FROM cur, edges),
+    rc AS (SELECT event_type, bin, COUNT(*) AS rcnt FROM rb GROUP BY 1, 2),
+    cc AS (SELECT event_type, ws, bin, COUNT(*) AS ccnt FROM cb GROUP BY 1, 2, 3),
+    cwin AS (SELECT DISTINCT event_type, ws FROM cb),
+    spine AS (SELECT w.event_type, w.ws, b.bin
+              FROM cwin w CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) b),
+    j AS (
+      SELECT s.event_type, s.ws, s.bin,
+             COALESCE(rcnt, 0) AS rcnt, COALESCE(ccnt, 0) AS ccnt
+      FROM spine s
+      LEFT JOIN rc ON rc.event_type = s.event_type AND rc.bin = s.bin
+      LEFT JOIN cc ON cc.event_type = s.event_type AND cc.ws = s.ws AND cc.bin = s.bin),
+    p AS (
+      SELECT event_type, ws, bin, rcnt, ccnt,
+             SUM(rcnt) OVER (PARTITION BY event_type, ws) AS rt,
+             SUM(ccnt) OVER (PARTITION BY event_type, ws) AS ct,
+             SUM(rcnt) OVER (PARTITION BY event_type, ws ORDER BY bin) AS crc,
+             SUM(ccnt) OVER (PARTITION BY event_type, ws ORDER BY bin) AS ccc
+      FROM j)
+    SELECT event_type, ws AS window_start,
+           CASE WHEN MAX(rt) > 0 THEN
+             ROUND(SUM(((ccnt + 0.5) / (ct + 5.0) - (rcnt + 0.5) / (rt + 5.0))
+                       * LN(((ccnt + 0.5) / (ct + 5.0)) / ((rcnt + 0.5) / (rt + 5.0)))), 6)
+           END AS psi,
+           CASE WHEN MAX(rt) > 0 THEN
+             ROUND(MAX(ABS(CAST(crc AS DOUBLE) / rt - CAST(ccc AS DOUBLE) / ct)), 6)
+           END AS ks,
+           CASE WHEN MAX(rt) > 0 THEN CAST(MAX(rt) AS BIGINT) END AS n_ref,
+           CAST(MAX(ct) AS BIGINT) AS n_cur
+    FROM p GROUP BY event_type, ws
+    """
+
+
+@query("drift_psi_windowed", _WDRIFT_ORACLE)
+def drift_psi_windowed_q(spark, sf_dir):
+    """MONITORING drift: per (event_type, tumbling 1h window) PSI + binned
+    KS of the odd-parity events (the live stream stand-in) against the
+    pinned even-parity reference snapshot — the continuously-emitted
+    score a serving stack alerts on, vs drift_psi_events' two-snapshot
+    gate. The operator body is ONE aggregation (per-window bin counts
+    unrolled into conditional-sum columns; PSI/KS as fixed-shape scalar
+    expressions over them), so the SAME function runs under Structured
+    Streaming with a watermark (stream≡batch pinned in
+    tests/test_streaming.py); the reference ruler and bin grid broadcast
+    as stream-static joins. Novel groups report the NULL "not
+    comparable" sentinel; cumulative KS counts are exact BIGINTs and PSI
+    sums in fixed bin order — engine-identical to the DuckDB oracle up
+    to the final 6-dp round."""
+    from healthcare_rcm_etl_pipeline_spark.operators import quality
+
+    e = _t(spark, sf_dir, "events")
+    return quality.windowed_distribution_drift(
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "ts",
+        "1 hour",
+        ["event_type"],
+    )
+
+
 _VDRIFT_ORACLE = """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     pos AS (SELECT UNNEST(range(1, 65)) AS p),
@@ -7209,4 +7287,74 @@ def dedup_keep_best_served_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.best_survivors_from_components(
         d, _served_components(spark, sf_dir), "doc_id", "n_chars"
+    )
+
+
+_served_entity_staged: set[str] = set()
+
+
+def _served_entities_base(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per process per sf_dir) an entity-resolution ingest
+    base by folding the ``entity_resolution_golden`` slice of the
+    customer table (c_custkey <= 2000) through
+    ``streaming.ingest.make_entity_ingest_batch_fn`` in THREE
+    ascending-custkey micro-batches at the same linkage config (name
+    within one edit, agreement on nation + market segment). The serving
+    query below reads the persisted entity-label state instead of
+    re-running match + CC per call — the streaming-MDM production path
+    meeting the batch oracle (the ``_served_components_base`` device)."""
+    import hashlib
+
+    from healthcare_rcm_etl_pipeline_spark.streaming import ingest as _ingest
+
+    key = "ent_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(_SERVED_COMP_ROOT, key)
+    if key in _served_entity_staged:
+        return base
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    n_batches = 3
+    width = (2000 + n_batches) // n_batches
+    fn = _ingest.make_entity_ingest_batch_fn(
+        base, "c_name", "c_custkey", agree_cols=["c_nationkey", "c_mktsegment"]
+    )
+    for b in range(n_batches):
+        # half-open [b*width, (b+1)*width) from 0: custkey 0 exists in the
+        # testdata and the oracle's <= 2000 slice includes it
+        fn(
+            c.filter(
+                (F.col("c_custkey") >= b * width)
+                & (F.col("c_custkey") < (b + 1) * width)
+            ),
+            b,
+        )
+    _served_entity_staged.add(key)
+    return base
+
+
+@query("entity_resolution_golden_served", _GOLDEN_ORACLE)
+def entity_resolution_golden_served_q(spark, sf_dir):
+    """Golden records SERVED from the incremental entity-resolution
+    ingest stream's persisted state: match pairs were generated per
+    micro-batch (within-batch blocking + point-lookup probes of the
+    persisted deletion-variant index), merged into the entity-label
+    state by incremental CC, and serving is ONE join + one aggregate
+    (``golden_from_labels``) — no match, no CC at query time. The DuckDB
+    oracle is ``entity_resolution_golden``'s verbatim: brute-force O(n²)
+    match + recursive closure + the same survivorship aggregates from
+    raw rows, while Spark answers from disk state built by 3
+    deterministic micro-batches — fold ≡ one-shot pinned in
+    tests/test_entity_ingest.py."""
+    from healthcare_rcm_etl_pipeline_spark.operators import fuzzy
+    from healthcare_rcm_etl_pipeline_spark.streaming import ingest as _ingest
+
+    base = _served_entities_base(spark, sf_dir)
+    rows = _ingest.read_entity_rows(spark, base).drop("epoch")
+    labels = _ingest.read_entities(spark, base)
+    if labels is None:
+        labels = spark.createDataFrame([], "doc long, component long")
+    return fuzzy.golden_from_labels(
+        rows,
+        labels,
+        "c_custkey",
+        {"c_name": "anchor", "c_mktsegment": "anchor", "c_acctbal": "max"},
     )

@@ -561,7 +561,22 @@ def semantic_ingest_stream(
     )
 
 
-_DATASETS = ("docs", "bands", "vectors", "chunks", "components")
+_DATASETS = (
+    "docs",
+    "bands",
+    "vectors",
+    "chunks",
+    "components",
+    "components_by_label",
+    "rows",
+    "variants",
+    "entities",
+    "entities_by_label",
+)
+
+# label-state datasets: rows supersede per doc across epochs
+# (latest-epoch-wins), compaction resolves + re-sorts, tiered mode skips
+_LABEL_STATES = ("components", "components_by_label", "entities", "entities_by_label")
 _MAINT_LOCK = "_MAINT_LOCK"
 
 
@@ -764,28 +779,146 @@ def read_components_for(
     )
 
 
-def _affected_component_slice(state: DataFrame, nodes: DataFrame) -> DataFrame:
+def _affected_component_slice(
+    state: DataFrame, nodes: DataFrame, state_by_label: DataFrame | None = None
+) -> DataFrame:
     """Every state row of every component touched by ``nodes`` — the slice
     incremental CC needs. Scan ONE (live labels of the node set) is a
     point lookup: the node ids inline as a pushed-down ``In(doc, ...)``
     literal over the doc-range-sorted state (``_literal_pruned`` — file/
     row-group pruning via footer stats; semi-join fallback above the
     literal bound keeps the plan bounded for huge batches). Scan TWO
-    (rows of the touched components) is a broadcast semi-join on
-    ``component`` — rows prune after the scan, file reads do not (the
-    state is sorted on doc, not component; a component-sorted twin would
-    buy that at double the write cost)."""
+    (rows of the touched components) runs against the COMPONENT-sorted
+    state twin (``components_by_label/`` — same delta rows per epoch,
+    range-sorted on ``component`` at write time) when the caller passes
+    one — the batch path gates this on accumulated state size
+    (``_TWIN_MIN_BYTES``): the touched-label set is bounded (<= the
+    pair-node count), so it inlines as a pushed-down ``In(component,
+    ...)`` literal and footer min/max stats prune to the matching row
+    groups — per-batch state DATA read tracks the touched neighborhood,
+    not the accumulated label state. The broadcast semi-join stays as
+    the exactness layer (and the sole prune above the literal bound).
+    With ``state_by_label=None`` (small states below the gate, pre-twin
+    bases) scan TWO is the bare semi-join over the main state — measured
+    faster below the gate (probe r13).
+
+    The literal applies to the TWIN ONLY: pushing ``In(component, ...)``
+    into the doc-sorted main state is measurably harmful (probe r13:
+    per-row filter evaluation with no row-group skip — the labels are
+    decorrelated from the doc sort, so min/max can't prune — ran 6x
+    SLOWER than the bare semi-join at 128M state rows), so the
+    no-twin fallback keeps the r12 semi-join shape.
+
+    Cross-epoch exactness (why no latest-epoch-wins is needed here): a
+    doc's label only changes when its whole component merges, so every
+    historical (doc, component) row whose component value is still LIVE
+    is current membership; ``touched`` holds only live labels (scan ONE
+    reduces latest-epoch-wins first), and the final ``distinct`` folds
+    multi-epoch duplicates."""
     live_mine = (
         _literal_pruned(state, nodes, "doc")
         .join(F.broadcast(nodes), "doc", "left_semi")
         .groupBy("doc")
         .agg(F.max_by("component", "epoch").alias("component"))
+        # node-bounded by construction; pinning it keeps the touched-label
+        # collect below from re-running scan ONE
+        .localCheckpoint(eager=True)
     )
     touched = live_mine.select("component").distinct()
+    side = state_by_label if state_by_label is not None else state
+    if state_by_label is not None:
+        side = _literal_pruned(side, touched, "component")
     return (
-        state.join(F.broadcast(touched), "component", "left_semi")
+        side.join(F.broadcast(touched), "component", "left_semi")
         .select("doc", "component")
         .distinct()
+    )
+
+
+# Twin-path gate (measured crossover, scripts/probe_component_scan_r13.py):
+# the literal-pruned twin fetch costs one extra bounded job (the touched-
+# label collect pins scan ONE), while the bare semi-join's cost grows
+# linearly with state bytes decompressed per batch. Through 512M synthetic
+# label rows (~4 GB) the semi-join still wins (4.1 s vs 5.9 s at 512M;
+# 1.6 s vs 2.5 s at 128M) — the linear term is ~6.5 ns/row, so the
+# extrapolated crossover sits around a few billion rows. The gate keeps
+# every state below it on the r12 plan and routes genuinely huge states
+# (the 100 TB posture, where per-batch decompression would grow without
+# bound) to the bounded twin path. The twin is WRITTEN from the first
+# epoch either way — delta-sized, so the index is ready when the state
+# crosses the gate.
+_TWIN_MIN_BYTES = 8 << 30
+
+
+def _twin_worth_probing(spark: SparkSession, twin_path: str) -> bool:
+    if not sinks.path_exists(spark, twin_path):
+        return False
+    fs, _ = sinks._fs_path(spark, twin_path)
+    length = fs.getContentSummary(_jpath(spark, twin_path)).getLength()
+    return length >= _TWIN_MIN_BYTES
+
+
+def _merge_label_state(
+    spark: SparkSession,
+    base: str,
+    name: str,
+    pairs: DataFrame,
+    last: int,
+) -> DataFrame:
+    """Merge a micro-batch's pair set into the accumulated label state at
+    ``{base}/{name}`` (doc-sorted; component-sorted twin at
+    ``{base}/{name}_by_label``) and return the epoch's label DELTA
+    (doc, component) — the incremental-CC core shared by the
+    component-labeling and entity-resolution ingest paths (both states
+    carry the generic (doc, component, epoch) schema; for entities,
+    ``doc`` is the entity row id).
+
+    Only the AFFECTED slice of the state feeds the merge
+    (``_affected_component_slice`` — scan ONE point lookup on doc, scan
+    TWO file-pruned via the twin), and the purged-id resurrection guard
+    applies: a purged doc's id can survive as other members' component
+    VALUE (labels are opaque group keys), star contraction treats label
+    values as graph nodes, so the merge keeps only rows for docs known to
+    exist — state members of the affected components plus this batch's
+    pair nodes (a LIVE label node always has its own state row, so
+    normal runs lose nothing). collect_limit: the merge CC input is
+    batch-and-neighborhood-sized — the bounded driver union-find cuts the
+    per-batch job floor, distributed fallback above the bound."""
+    state_path = f"{base}/{name}"
+    twin_path = f"{base}/{name}_by_label"
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    if sinks.path_exists(spark, state_path):
+        state = spark.read.parquet(state_path).filter(F.col("epoch") <= last)
+        twin = None
+        if _twin_worth_probing(spark, twin_path):
+            twin = spark.read.parquet(twin_path).filter(F.col("epoch") <= last)
+        prev_affected = _affected_component_slice(state, nodes, twin)
+        delta = graph.connected_components_incremental(
+            prev_affected, pairs, collect_limit=_PROBE_LITERAL_MAX
+        )
+        known = prev_affected.select("doc").unionByName(nodes).distinct()
+        return delta.join(F.broadcast(known), "doc", "left_semi")
+    return graph.connected_components_bounded(
+        pairs, collect_limit=_PROBE_LITERAL_MAX
+    )
+
+
+def _write_label_delta(delta: DataFrame, base: str, name: str, physical: int) -> None:
+    """Append an epoch's label delta under BOTH probe-key sort orders:
+    doc-sorted main state (label serving, scan ONE) and component-sorted
+    twin (scan TWO's file-pruned touched-component fetch). The delta is
+    batch-neighborhood-sized, so the double write is the cheap side of
+    the trade (SCALE.md r13)."""
+    delta = delta.localCheckpoint(eager=True)
+    _range_sorted(delta, "doc").write.mode("overwrite").parquet(
+        f"{base}/{name}/epoch={physical}"
+    )
+    _range_sorted(delta, "component").write.mode("overwrite").parquet(
+        f"{base}/{name}_by_label/epoch={physical}"
     )
 
 
@@ -825,17 +958,22 @@ def make_component_ingest_batch_fn(
        point lookup: the pair-node set is bounded, so its ids inline as a
        pushed-down ``In(doc, ...)`` literal over the doc-range-sorted
        state (file/row-group pruning; join-prune fallback above the
-       literal bound). Scan TWO (component-keyed) is a broadcast semi-join
-       — ROWS are pruned after the scan, file reads are not, because the
-       state is sorted on doc, not component; a component-sorted state
-       twin would buy that at double the write cost. CC itself runs over
+       literal bound). Scan TWO (component-keyed) becomes a point lookup
+       once the state outgrows ``_TWIN_MIN_BYTES`` (r13): the bounded
+       touched-label set inlines as a pushed-down ``In(component, ...)``
+       literal over the COMPONENT-sorted state twin
+       (``components_by_label/`` — the same delta rows, re-sorted), so
+       data read tracks the touched neighborhood instead of the
+       accumulated state; below the gate the bare semi-join is measured
+       faster (probe r13) and remains the plan. CC itself runs over
        (affected stars ∪ new pairs) — batch-and-neighborhood-sized, never
        corpus-sized.
     3. APPEND: the full batch lands as ``docs/epoch=N``, its band rows as
        ``bands/epoch=N`` (future probes must see every doc), and the
-       created/changed labels as ``components/epoch=N``; marker last.
-       Same run-token / rebind / per-epoch-overwrite exactly-once recipe
-       as the other ingest paths.
+       created/changed labels as ``components/epoch=N`` PLUS the
+       component-sorted twin ``components_by_label/epoch=N``; marker
+       last. Same run-token / rebind / per-epoch-overwrite exactly-once
+       recipe as the other ingest paths.
 
     Fold invariant (pinned in tests/test_streaming_component_ingest.py):
     after any prefix of batches, ``read_components`` equals
@@ -882,41 +1020,7 @@ def make_component_ingest_batch_fn(
         # pin it once — it is batch-neighborhood-sized by construction
         pairs = pairs.localCheckpoint(eager=True)
 
-        state_path = f"{base}/components"
-        prev_affected = None
-        nodes = (
-            pairs.select(F.col("doc_a").alias("doc"))
-            .unionByName(pairs.select(F.col("doc_b").alias("doc")))
-            .distinct()
-        )
-        if sinks.path_exists(spark, state_path):
-            state = spark.read.parquet(state_path).filter(F.col("epoch") <= last)
-            prev_affected = _affected_component_slice(state, nodes)
-        if prev_affected is not None:
-            # collect_limit: the merge CC input is batch-and-neighborhood-
-            # sized — the driver union-find fast path cuts the per-batch
-            # job floor (distributed fallback above the bound)
-            delta = graph.connected_components_incremental(
-                prev_affected, pairs, collect_limit=_PROBE_LITERAL_MAX
-            )
-            # A purged doc's id can survive as other members' component
-            # VALUE (purge removes membership rows, labels are opaque
-            # group keys); star contraction treats label values as graph
-            # nodes, so without this guard the merge would emit a
-            # (doc=<purged id>, component) row and the served state would
-            # resurrect the purged doc. Keep only rows for docs known to
-            # exist: state members of the affected components plus this
-            # batch's pair nodes (a LIVE label node always has its own
-            # state row, so normal runs lose nothing). Both sides are
-            # batch-neighborhood-sized — broadcast.
-            known = (
-                prev_affected.select("doc").unionByName(nodes).distinct()
-            )
-            delta = delta.join(F.broadcast(known), "doc", "left_semi")
-        else:
-            delta = graph.connected_components_bounded(
-                pairs, collect_limit=_PROBE_LITERAL_MAX
-            )
+        delta = _merge_label_state(spark, base, "components", pairs, last)
 
         batch = batch_df.persist()
         try:
@@ -928,9 +1032,7 @@ def make_component_ingest_batch_fn(
             _range_sorted(batch_bands, "bh").write.mode("overwrite").parquet(
                 f"{base}/bands/epoch={physical}"
             )
-            _range_sorted(delta, "doc").write.mode("overwrite").parquet(
-                f"{base}/components/epoch={physical}"
-            )
+            _write_label_delta(delta, base, "components", physical)
         finally:
             batch.unpersist()
         _write_marker(spark, base, bound, offset, physical)
@@ -952,6 +1054,180 @@ def component_ingest_stream(
         stream_df.writeStream.foreachBatch(
             make_component_ingest_batch_fn(
                 base, text_col, id_col, run_token=token, **lsh_kwargs
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_entity_rows(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """The accumulated entity rows (full attribute rows) across committed
+    epochs of an entity-resolution ingest base."""
+    return _read_epoched(spark, f"{base}/rows", max_epoch)
+
+
+def read_variant_index(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """The accumulated deletion-variant posting index (vh-range-sorted)."""
+    return _read_epoched(spark, f"{base}/variants", max_epoch)
+
+
+def read_entities(
+    spark: SparkSession, base: str, max_epoch: int | None = None
+) -> DataFrame | None:
+    """The LIVE entity label per row id from the accumulated state —
+    latest-epoch-wins, exactly as ``read_components`` (the states share
+    the (doc, component, epoch) schema; ``doc`` here is the entity row
+    id). Only ids that matched at least one pair carry a row; consumers
+    coalesce absent ids to their own id (``golden_from_labels``)."""
+    path = f"{base}/entities"
+    if not sinks.path_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
+    if max_epoch is not None:
+        df = df.filter(F.col("epoch") <= max_epoch)
+    return df.groupBy("doc").agg(F.max_by("component", "epoch").alias("component"))
+
+
+def read_entities_for(
+    spark: SparkSession,
+    base: str,
+    ids: list,
+    max_epoch: int | None = None,
+) -> DataFrame | None:
+    """Point-lookup view of the served entity labels: the LIVE entity of
+    each given row id only — "which master record is this row part of?"
+    served at probe-key cost. Same device as ``read_components_for``: the
+    ids apply as a literal ``In(doc, ...)`` predicate that reaches the
+    doc-range-sorted state's parquet scan as a PushedFilter;
+    latest-epoch-wins AFTER the prune is exact (the reduction is per-doc
+    and every epoch row of a probed doc survives the filter). Ids without
+    a state row are singletons — consumers coalesce to the id itself.
+    Returns None before the first commit."""
+    path = f"{base}/entities"
+    if not sinks.path_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
+    if max_epoch is not None:
+        df = df.filter(F.col("epoch") <= max_epoch)
+    return (
+        df.filter(F.col("doc").isin(list(ids)))
+        .groupBy("doc")
+        .agg(F.max_by("component", "epoch").alias("component"))
+    )
+
+
+def make_entity_ingest_batch_fn(
+    base: str,
+    key_col: str,
+    id_col: str,
+    agree_cols: list[str] | None = None,
+    max_key_len: int = 128,
+    run_token: str | None = None,
+):
+    """foreachBatch body maintaining an INCREMENTAL ENTITY RESOLUTION of a
+    row stream — the streaming MDM pipeline (patient matching, customer
+    mastering): each batch's rows are matched (name within one edit AND
+    exact agreement-attribute match) against the batch itself and the
+    whole accumulated corpus, the match pairs merge into a persisted
+    entity-label state via incremental CC, and golden records are served
+    as ONE join against that state (``golden_from_labels``) instead of a
+    full re-match per call. Composition of the record-linkage operators
+    (``fuzzy.edit1_pairs`` / ``deletion_postings``) with the
+    component-labeling ingest machinery — same epoch/marker exactly-once
+    protocol, same affected-slice incremental CC, same purge/compact
+    maintenance.
+
+    Per micro-batch:
+
+    1. PAIRS: within-batch via ``edit1_pairs`` (agreement attributes
+       folded into the posting buckets — blocking, not post-filtering),
+       plus cross-corpus candidates from the PERSISTED deletion-variant
+       posting index: the batch's bounded vh set inlines as a pushed-down
+       ``In(vh, ...)`` literal over the vh-range-sorted index
+       (``_literal_pruned`` — the band-index device), then
+       ``edit1_pairs_from_postings`` joins on (vh, *agree_cols) and
+       levenshtein-verifies. The index is probed, never rebuilt.
+    2. INCREMENTAL CC: ``_merge_label_state`` into ``entities/`` (+ the
+       component-sorted ``entities_by_label`` twin) — affected-slice
+       point lookups, bounded driver union-find, purged-id guard, all
+       shared with the component path.
+    3. APPEND: the batch rows land as ``rows/epoch=N`` (id-range-sorted),
+       their postings as ``variants/epoch=N`` (vh-range-sorted), the
+       label delta under both sort orders; marker last.
+
+    Preconditions: ``id_col`` unique across the stream's lifetime (the
+    ``resolve_entities`` contract). Fold invariant (pinned in
+    tests/test_entity_ingest.py): after any prefix of batches,
+    ``golden_from_labels(read_entity_rows, read_entities)`` equals the
+    one-shot ``resolve_entities`` over everything ingested, exactly.
+    """
+    from healthcare_rcm_etl_pipeline_spark.operators import fuzzy
+
+    agree_cols = list(agree_cols or [])
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        resolved = _resolve_epoch(spark, base, epoch_id, run_token)
+        if resolved is None:
+            return
+        bound, offset, physical, last = resolved
+        recover_base(spark, base)
+
+        batch_post = fuzzy.deletion_postings(
+            batch_df, key_col, id_col, agree_cols, max_key_len
+        ).localCheckpoint(eager=True)
+        within = fuzzy.edit1_pairs(
+            batch_df, key_col, id_col, agree_cols=agree_cols, max_key_len=max_key_len
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        index = read_variant_index(spark, base, max_epoch=last)
+        if index is not None:
+            index = _literal_pruned(index, batch_post, "vh")
+            cross = fuzzy.edit1_pairs_from_postings(
+                index, batch_post, agree_cols
+            ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            pairs = within.unionByName(cross)
+        else:
+            pairs = within
+        pairs = pairs.localCheckpoint(eager=True)
+
+        delta = _merge_label_state(spark, base, "entities", pairs, last)
+
+        batch = batch_df.persist()
+        try:
+            _range_sorted(batch, id_col).write.mode("overwrite").parquet(
+                f"{base}/rows/epoch={physical}"
+            )
+            _range_sorted(batch_post, "vh").write.mode("overwrite").parquet(
+                f"{base}/variants/epoch={physical}"
+            )
+            _write_label_delta(delta, base, "entities", physical)
+        finally:
+            batch.unpersist()
+        _write_marker(spark, base, bound, offset, physical)
+
+    return apply_batch
+
+
+def entity_ingest_stream(
+    stream_df: DataFrame,
+    base: str,
+    checkpoint: str,
+    key_col: str,
+    id_col: str,
+    **kwargs,
+):
+    """Drive a row stream through incremental entity resolution."""
+    token = checkpoint_run_token(stream_df.sparkSession, checkpoint)
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_entity_ingest_batch_fn(
+                base, key_col, id_col, run_token=token, **kwargs
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1233,6 +1509,11 @@ def purge_ids(
             ("vectors", vec_id_col),
             ("chunks", "keeper_doc"),
             ("components", "doc"),
+            ("components_by_label", "doc"),
+            ("rows", id_col),
+            ("variants", "doc"),
+            ("entities", "doc"),
+            ("entities_by_label", "doc"),
         ):
             root = f"{base}/{sub}"
             if not sinks.path_exists(spark, root):
@@ -1323,7 +1604,7 @@ def compact_epochs(
             root = f"{base}/{sub}"
             if not sinks.path_exists(spark, root):
                 continue
-            if sub == "components" and small_bytes is not None:
+            if sub in _LABEL_STATES and small_bytes is not None:
                 # label rows SUPERSEDE each other across epochs
                 # (latest-epoch-wins), so a fold is only correct over a
                 # gap-free epoch interval — a tiered selection can skip a
@@ -1355,13 +1636,19 @@ def compact_epochs(
             tmp = f"{root}/.compact_tmp"
             trash = f"{root}/.compact_trash"
             df = spark.read.parquet(root).filter(F.col("epoch").isin(epochs))
-            if sub == "components":
+            if sub in _LABEL_STATES:
                 # resolve latest-per-doc BEFORE the fold: folded rows all
                 # land at epoch=target, so superseded labels must not
                 # survive into the merged partition (and the fold doubles
-                # as garbage collection of superseded label rows)
-                df = df.groupBy("doc").agg(
-                    F.max_by("component", "epoch").alias("component")
+                # as garbage collection of superseded label rows). Re-sort
+                # on the dataset's probe key so the point-lookup pruning
+                # (doc for the main state, component for the twin)
+                # survives compaction.
+                df = _range_sorted(
+                    df.groupBy("doc").agg(
+                        F.max_by("component", "epoch").alias("component")
+                    ),
+                    "component" if sub.endswith("_by_label") else "doc",
                 )
             else:
                 df = df.drop("epoch")

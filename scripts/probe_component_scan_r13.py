@@ -39,17 +39,18 @@ from healthcare_rcm_etl_pipeline_spark.streaming import ingest  # noqa: E402
 
 
 def _build_state(spark, base: str, rows_per_epoch: int, epochs: int) -> None:
-    """Synthetic label state in the exact ingest layout: clusters of ~4
-    docs, labels = min member id, plus a filler text column so the state
-    bytes resemble production rows rather than two bare longs."""
+    """Synthetic label state in the exact ingest layout: clusters of 4
+    contiguous docs whose LABEL VALUE is hash-decorrelated from the doc
+    range — the adversarial (and realistic, post-merge) case where a
+    doc-sorted file's per-row-group component min/max spans the whole
+    label space, so only the component-sorted twin can skip row groups."""
     for ep in range(epochs):
         lo = ep * rows_per_epoch
-        delta = (
-            spark.range(lo, lo + rows_per_epoch)
-            .select(
-                F.col("id").alias("doc"),
-                (F.col("id") - (F.col("id") % 4)).alias("component"),
-            )
+        delta = spark.range(lo, lo + rows_per_epoch).select(
+            F.col("id").alias("doc"),
+            F.abs(
+                F.xxhash64((F.col("id") - F.col("id") % 4).cast("string"))
+            ).alias("component"),
         )
         ingest._range_sorted(delta, "doc").write.mode("overwrite").parquet(
             f"{base}/components/epoch={ep}"
@@ -59,15 +60,36 @@ def _build_state(spark, base: str, rows_per_epoch: int, epochs: int) -> None:
         )
 
 
-def _time_slice(spark, base: str, nodes, use_twin: bool, reps: int = 3) -> float:
-    state = spark.read.parquet(f"{base}/components")
-    twin = (
-        spark.read.parquet(f"{base}/components_by_label") if use_twin else None
+def _r12_semijoin_slice(state, nodes):
+    """The r12 code path verbatim: scan ONE literal-pruned, scan TWO a
+    bare broadcast semi-join over the doc-sorted state — no pushed
+    predicate, every row group decompressed."""
+    live_mine = (
+        ingest._literal_pruned(state, nodes, "doc")
+        .join(F.broadcast(nodes), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.max_by("component", "epoch").alias("component"))
     )
+    touched = live_mine.select("component").distinct()
+    return (
+        state.join(F.broadcast(touched), "component", "left_semi")
+        .select("doc", "component")
+        .distinct()
+    )
+
+
+def _time_slice(spark, base: str, nodes, mode: str, reps: int = 3) -> float:
+    state = spark.read.parquet(f"{base}/components")
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        ingest._affected_component_slice(state, nodes, twin).collect()
+        if mode == "r12_semijoin":
+            _r12_semijoin_slice(state, nodes).collect()
+        elif mode == "main_literal":
+            ingest._affected_component_slice(state, nodes, None).collect()
+        else:  # twin_literal
+            twin = spark.read.parquet(f"{base}/components_by_label")
+            ingest._affected_component_slice(state, nodes, twin).collect()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -80,20 +102,19 @@ def main() -> None:
     rows = []
     try:
         nodes = spark.createDataFrame([(i * 4,) for i in range(8)], "doc long")
-        for epochs in (4, 16, 64):
+        for epochs in (4, 16, 64, 256):
             base = f"{root}/e{epochs}"
             _build_state(spark, base, out["rows_per_epoch"], epochs)
-            legacy = _time_slice(spark, base, nodes, use_twin=False)
-            twin = _time_slice(spark, base, nodes, use_twin=True)
-            rows.append(
-                {
-                    "state_rows": epochs * out["rows_per_epoch"],
-                    "epochs": epochs,
-                    "legacy_sec": round(legacy, 3),
-                    "twin_sec": round(twin, 3),
-                }
-            )
-            print(rows[-1], flush=True)
+            rec = {
+                "state_rows": epochs * out["rows_per_epoch"],
+                "epochs": epochs,
+            }
+            for mode in ("r12_semijoin", "main_literal", "twin_literal"):
+                rec[f"{mode}_sec"] = round(
+                    _time_slice(spark, base, nodes, mode), 3
+                )
+            rows.append(rec)
+            print(rec, flush=True)
             shutil.rmtree(base, ignore_errors=True)
         out["rows"] = rows
         with open("/tmp/probe_component_scan_r13.json", "w") as f:

@@ -209,3 +209,76 @@ class TestEmbeddingCentroidDrift:
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert all(r["centroid_cos"] == 1.0 for r in a)  # same multiset both sides
+
+
+def _tvals(spark, vals, grp="g", ts="2024-01-01 00:10:00"):
+    return spark.createDataFrame(
+        [(grp, ts, float(v)) for v in vals],
+        "grp string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class TestWindowedDistributionDrift:
+    """windowed_distribution_drift: per-window PSI/KS of the current stream
+    against a PINNED static reference — the monitoring twin of
+    distribution_drift, single-aggregation (streaming-legal) shape."""
+
+    def test_single_window_matches_distribution_drift(self, spark):
+        ref = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 2.5, 3.5]
+        cur = [5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0, 6.5]
+        row = quality.windowed_distribution_drift(
+            _tvals(spark, ref), _tvals(spark, cur), "v", "ts", "1 hour", ["grp"]
+        ).first()
+        base = quality.distribution_drift(
+            _vals(spark, ref), _vals(spark, cur), "v", ["grp"]
+        ).first()
+        assert (row["psi"], row["ks"]) == (base["psi"], base["ks"])
+        assert (row["n_ref"], row["n_cur"]) == (base["n_ref"], base["n_cur"])
+        assert str(row["window_start"]) == "2024-01-01 00:00:00"
+
+    def test_per_window_independence(self, spark):
+        ref = _tvals(spark, [float(i) for i in range(100)])
+        calm = _tvals(spark, [float(i) for i in range(100)], ts="2024-01-01 01:10:00")
+        shifted = _tvals(
+            spark,
+            [float(i) + 60.0 for i in range(100)],
+            ts="2024-01-01 02:10:00",
+        )
+        out = quality.windowed_distribution_drift(
+            ref, calm.union(shifted), "v", "ts", "1 hour", ["grp"]
+        ).collect()
+        by_w = {str(r["window_start"]): r for r in out}
+        assert by_w["2024-01-01 01:00:00"]["psi"] == 0.0
+        assert by_w["2024-01-01 02:00:00"]["psi"] > 1.0
+
+    def test_novel_group_null_sentinel(self, spark):
+        ref = _tvals(spark, [1.0, 2.0, 3.0], grp="known")
+        cur = _tvals(spark, [1.0, 2.0, 3.0], grp="known").union(
+            _tvals(spark, [9.0], grp="novel")
+        )
+        rows = {
+            r["grp"]: r
+            for r in quality.windowed_distribution_drift(
+                ref, cur, "v", "ts", "1 hour", ["grp"]
+            ).collect()
+        }
+        assert rows["novel"]["psi"] is None and rows["novel"]["ks"] is None
+        assert rows["novel"]["n_ref"] is None and rows["novel"]["n_cur"] == 1
+        assert rows["known"]["psi"] == 0.0
+
+    def test_ungrouped_global(self, spark):
+        ref = _tvals(spark, [1.0, 2.0, 3.0, 4.0])
+        cur = _tvals(spark, [1.0, 2.0, 3.0, 4.0])
+        out = quality.windowed_distribution_drift(ref, cur, "v", "ts", "1 hour")
+        assert out.columns == ["window_start", "psi", "ks", "n_ref", "n_cur"]
+        row = out.first()
+        assert row["psi"] == 0.0 and row["ks"] == 0.0 and row["n_ref"] == 4
+
+    def test_streaming_ref_rejected(self, spark):
+        import pytest as _pytest
+
+        ref = _tvals(spark, [1.0])
+        with _pytest.raises(ValueError):
+            quality.windowed_distribution_drift(
+                spark.readStream.format("rate").load(), ref, "v"
+            )

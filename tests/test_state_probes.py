@@ -121,9 +121,7 @@ def test_probe_chunk_rewrite_equals_full_state(spark, tmp_path):
 def test_component_state_scan_one_is_pushed_down(spark, tmp_path):
     """The incremental-CC state read's scan ONE (live labels of the batch's
     pair nodes) is a point lookup: node ids inline as a pushed-down literal
-    over the doc-range-sorted components state. Scan TWO stays a
-    component-keyed semi-join (rows pruned post-scan — the state is sorted
-    on doc, not component; documented in _affected_component_slice)."""
+    over the doc-range-sorted components state."""
     from pyspark.sql import Row, functions as F
 
     base = _ingest_base(spark, tmp_path, [(1, A), (2, A2)])
@@ -139,6 +137,53 @@ def test_component_state_scan_one_is_pushed_down(spark, tmp_path):
         map(tuple, ingest._affected_component_slice(state, nodes).collect())
     )
     assert got == [(1, 1), (2, 1)]
+
+
+def test_component_state_scan_two_is_pushed_down_on_twin(spark, tmp_path):
+    """Scan TWO (every state row of the touched components) is a point
+    lookup over the COMPONENT-sorted state twin since r13: the bounded
+    touched-label set inlines as a pushed-down In(component, ...) literal,
+    so footer stats prune FILES — per-batch state I/O tracks the touched
+    neighborhood, not the accumulated label state. Pinned: (a) the twin
+    exists and holds the same delta rows as the main state, (b) the
+    literal reaches the twin's scan, (c) the twin-served slice equals the
+    legacy main-state semi-join slice, including after a label-changing
+    merge, (d) a base without a twin (pre-r13 layout) still serves via
+    the fallback."""
+    from pyspark.sql import Row, functions as F
+
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_component_ingest_batch_fn(base)
+    fn(_df(spark, [(1, A), (2, A2), (5, LONER)]), 0)
+    fn(_df(spark, [(10, A)]), 1)  # merges into {1, 2}: label stays 1
+
+    state = spark.read.parquet(f"{base}/components")
+    twin = spark.read.parquet(f"{base}/components_by_label")
+    # (a) same rows, different sort
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, twin.collect()))
+
+    # (b) the component literal reaches the twin scan
+    touched = spark.createDataFrame([Row(component=1)])
+    pruned = ingest._literal_pruned(twin, touched, "component")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and (
+        "In(component" in plan or "EqualTo(component" in plan
+    ), plan
+
+    # (c) twin-served slice == legacy slice (and correct membership)
+    nodes = spark.createDataFrame([Row(doc=10)])
+    via_twin = sorted(
+        map(tuple, ingest._affected_component_slice(state, nodes, twin).collect())
+    )
+    legacy = sorted(
+        map(tuple, ingest._affected_component_slice(state, nodes).collect())
+    )
+    assert via_twin == legacy == [(1, 1), (2, 1), (10, 1)]
+
+    # (d) pre-twin layout: fallback path used by the batch fn
+    assert (
+        ingest._affected_component_slice(state, nodes, None).count() == 3
+    )
 
 
 def test_read_components_for_point_lookup(spark, tmp_path):

@@ -306,3 +306,46 @@ def test_pattern_conversions_same_ts_ties_match_window_form(spark, tmp_path):
         for r in QUERIES["events_pattern_conversion"](spark, str(tmp_path)).collect()
     }
     assert join_form == window_form == {(2, 1), (4, 1)}
+
+
+def test_windowed_drift_streaming_matches_batch(spark, sf_dir, event_dir):
+    """windowed_distribution_drift is single-aggregation by construction,
+    so the SAME body runs under Structured Streaming: the pinned static
+    reference broadcasts into the stream, per-window PSI/KS emit in
+    append mode, and every finalized window must equal its batch twin
+    bit-for-bit (the PSI/KS arithmetic is fixed-shape, so stream
+    micro-batching cannot reorder it)."""
+    from healthcare_rcm_etl_pipeline_spark.operators import quality
+
+    ref = load_events(spark, sf_dir).filter("event_id % 2 = 0")
+    batch = quality.windowed_distribution_drift(
+        ref,
+        load_events(spark, sf_dir).filter("event_id % 2 = 1"),
+        "value",
+        "ts",
+        "1 hour",
+        ["event_type"],
+    )
+    schema = spark.read.parquet(event_dir).schema
+    stream = ev.stream_from_files(spark, event_dir, schema, watermark="0 seconds")
+    out = _run_stream(
+        spark,
+        quality.windowed_distribution_drift(
+            ref,
+            stream.filter("event_id % 2 = 1"),
+            "value",
+            "ts",
+            "1 hour",
+            ["event_type"],
+        ),
+        "t_wdrift",
+        "append",
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in out.collect()}
+    n_types = load_events(spark, sf_dir).select("event_type").distinct().count()
+    # append emits only watermark-finalized windows: the window containing
+    # max(ts) may be withheld, once per event_type
+    assert s <= b
+    assert len(s) >= len(b) - n_types
+    assert len(s) > 0

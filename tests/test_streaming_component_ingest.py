@@ -114,6 +114,7 @@ def test_component_state_purge_and_compact(spark, tmp_path):
 
     rewritten = ingest.purge_ids(spark, base, [2])
     assert rewritten["components"] >= 1
+    assert rewritten["components_by_label"] >= 1  # twin purged in lockstep
     served = _served(spark, base)
     assert all(doc != 2 for doc, _ in served)
     # survivors keep their cluster (1, 10 still co-labeled)
@@ -127,9 +128,14 @@ def test_component_state_purge_and_compact(spark, tmp_path):
     # folded state is fully resolved: one row per doc
     raw = spark.read.parquet(f"{base}/components")
     assert raw.count() == raw.select("doc").distinct().count()
+    # the component-sorted twin tracks the main state through purge+compact
+    twin = spark.read.parquet(f"{base}/components_by_label")
+    assert sorted(map(tuple, twin.collect())) == sorted(map(tuple, raw.collect()))
 
-    # tiered mode must not touch components
-    assert ingest.compact_epochs(spark, base, small_bytes=1 << 30)["components"] == 0
+    # tiered mode must not touch components (either sort order)
+    tiered = ingest.compact_epochs(spark, base, small_bytes=1 << 30)
+    assert tiered["components"] == 0
+    assert tiered["components_by_label"] == 0
 
 
 def test_served_split_equals_recompute(spark, tmp_path):
@@ -194,3 +200,18 @@ def _mkdf(spark, rows):
     from pyspark.sql import Row as _Row
 
     return spark.createDataFrame([_Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_fold_invariance_with_twin_path_forced(spark, tmp_path, monkeypatch):
+    """Same device as the entity-ingest twin test: with _TWIN_MIN_BYTES
+    forced to 0, scan TWO takes the component-sorted-twin literal fetch on
+    every batch, and the served labeling must still equal the one-shot
+    CC(minhash_lsh_pairs(everything ingested))."""
+    monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)
+    base = str(tmp_path / "corpus_twin")
+    fn = ingest.make_component_ingest_batch_fn(base, **LSH)
+    day1 = [(1, A), (2, A2), (5, LONER)]
+    day2 = [(3, B), (4, B2), (10, A), (20, BRIDGE)]
+    fn(_mkdf(spark, day1), 0)
+    fn(_mkdf(spark, day2), 1)
+    assert _served(spark, base) == _oneshot(spark, day1 + day2)
