@@ -74,6 +74,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# sized-broadcast memo: one row-count per (sf_dir, key) per process, so
+# repeated query builds (bench iterations, the sweep) never re-count
+_SIZED_BCAST_MEMO: dict[str, bool] = {}
+_SIZED_BCAST_MAX_ROWS = 100_000
+
+
+def _sized_broadcast(df: DataFrame, sf_dir: str, key: str) -> DataFrame:
+    """Broadcast hint iff the relation's ACTUAL row count is under the
+    row-denominated bound — analytics.scaled_lookup's device applied to
+    the TPC-H-shaped surface, where part/customer/supplier GROW with the
+    scale factor: an unconditional ``F.broadcast(part)`` is the exact
+    r12 broadcast-cliff hazard (the build cost is per ROW while the
+    static estimator reads compressed bytes), so above the bound the
+    lookup carries a merge hint instead, which both the static planner
+    and AQE respect. The decision is memoized per (sf_dir, key): at
+    bench/sweep scale the first build pays one cheap column-less count
+    and every rebuild reuses it. Genuinely bounded relations (nation,
+    region, 1-row aggregates, limit-k vocabularies, literal-filtered
+    term stats) keep their unconditional broadcasts."""
+    memo_key = f"{sf_dir}:{key}"
+    ok = _SIZED_BCAST_MEMO.get(memo_key)
+    if ok is None:
+        ok = df.count() <= _SIZED_BCAST_MAX_ROWS
+        _SIZED_BCAST_MEMO[memo_key] = ok
+    return F.broadcast(df) if ok else df.hint("merge")
+
+
 # exact decimal sum cast to double — SQL twin of functions.cleanse.money_sum
 def _dsum(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
@@ -2755,7 +2782,8 @@ def q20_order_gaps(spark, sf_dir):
     readmission-interval pattern): lag() over each customer's order history
     gives days-since-previous-order; aggregated per market segment. The
     window and the groupBy both key on customer -> one shuffle feeds both;
-    the segment dim attaches via broadcast."""
+    the segment lookup attaches via _sized_broadcast (customer GROWS
+    with SF — broadcast under the row bound, merge above it)."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
@@ -2766,7 +2794,7 @@ def q20_order_gaps(spark, sf_dir):
         F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
     ).where(F.col("gap_days").isNotNull())
     return (
-        g.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        g.join(_sized_broadcast(c.select("c_custkey", "c_mktsegment"), sf_dir, "customer"),
                g.o_custkey == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
@@ -3192,9 +3220,11 @@ def q23_small_qty(spark, sf_dir):
 def q24_large_orders(spark, sf_dir):
     """TPC-H Q18 analog (high-utilization encounters): orders whose summed
     lineitem quantity exceeds 150, joined back to order + customer. The
-    HAVING-aggregate drives the plan: the big-order set is tiny, so both
-    upstream joins broadcast it — the orders/customer tables are filtered by
-    a broadcast hash lookup instead of shuffling."""
+    HAVING-aggregate drives the plan: the big-order set is highly
+    selective but DERIVED (its size is invisible to the static planner and
+    grows with SF), so it carries no hint — AQE reads the actual post-agg
+    size at runtime and converts the join to broadcast when it is small,
+    which it is at every tested scale."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -3204,7 +3234,7 @@ def q24_large_orders(spark, sf_dir):
         .filter(F.col("q") > 150)
         .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
-    j = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).join(
+    j = o.join(big, o.o_orderkey == big.l_orderkey).join(
         c, o.o_custkey == c.c_custkey
     )
     return j.select(
@@ -3789,7 +3819,7 @@ def q28_supplier_share(spark, sf_dir):
         "s_suppkey", "n_name"
     )
     rev = (
-        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(_sized_broadcast(sn, sf_dir, "supplier_nation"), li.l_suppkey == sn.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.sum(
@@ -4167,7 +4197,7 @@ def q33_nation_pair_volume(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cn, o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(_sized_broadcast(sn, sf_dir, "supplier_pair"), li.l_suppkey == F.col("s_suppkey"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("yr"))
         .agg(
@@ -4736,8 +4766,9 @@ def q36_part_supplier_diversity_q(spark, sf_dir):
     count): distinct suppliers per (brand, size), excluding flagged
     suppliers (negative balance — the s_comment complaints analog; the
     testdata supplier table carries no comment column). The exclusion list
-    is tiny -> broadcast LEFT ANTI join before the distinct aggregation;
-    part is a broadcast dim."""
+    is selective but derived — unhinted, AQE broadcasts it from its
+    runtime size; part grows with SF, so it attaches via _sized_broadcast
+    (broadcast under the row bound, merge above)."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -4745,8 +4776,8 @@ def q36_part_supplier_diversity_q(spark, sf_dir):
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        l.join(F.broadcast(excl), "l_suppkey", "left_anti")
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(excl, "l_suppkey", "left_anti")
+        .join(_sized_broadcast(p, sf_dir, "part"), l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -4910,7 +4941,7 @@ def q39_price_outliers_q(spark, sf_dir):
     percentile_approx with the same shape."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+    j = l.join(_sized_broadcast(p, sf_dir, "part"), l["l_partkey"] == p["p_partkey"]).select(
         "p_type", F.col("l_extendedprice").alias("price")
     )
     med = j.groupBy("p_type").agg(F.percentile("price", F.lit(0.5)).alias("med"))
@@ -5094,7 +5125,7 @@ def q40_trimmed_mean_q(spark, sf_dir):
     swap."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+    j = l.join(_sized_broadcast(p, sf_dir, "part"), l["l_partkey"] == p["p_partkey"]).select(
         "p_type", F.col("l_extendedprice").alias("price")
     )
     cuts = j.groupBy("p_type").agg(
@@ -5269,7 +5300,7 @@ def q43_all_priority_customers_q(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     total = o.agg(F.countDistinct("o_orderpriority").alias("__np"))
     g = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(_sized_broadcast(c, sf_dir, "customer"), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_custkey", "c_name")
         .agg(
             F.count("*").alias("n_orders"),
@@ -5320,7 +5351,7 @@ def q44_top_parts_listagg_q(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     r = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(_sized_broadcast(p, sf_dir, "part"), l["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "p_name")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev"))
     )

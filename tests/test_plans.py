@@ -228,3 +228,33 @@ def test_filtered_ann_predicate_applies_before_window(spark, sf_dir):
         "longer pre-filters the candidate set"
     )
     assert all("rank" not in lines[i] for i in label_filters)
+
+
+def test_sized_broadcast_flips_above_row_bound(spark):
+    """The TPC-H-surface sized-broadcast device (queries._sized_broadcast):
+    under the row bound the lookup is explicitly broadcast; above it the
+    merge hint wins and the join executes as sort-merge — part/customer/
+    supplier GROW with SF, so an unconditional broadcast hint would be the
+    r12 cliff. The decision is memoized per (sf_dir, key)."""
+    from healthcare_rcm_etl_pipeline_spark.plans import queries as Q
+
+    small = Q._sized_broadcast(spark.range(10), "/tmp/szb", "t_small")
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+
+    big = Q._sized_broadcast(
+        spark.range(Q._SIZED_BCAST_MAX_ROWS + 1), "/tmp/szb", "t_big"
+    )
+    j = spark.range(1000).join(big, "id")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    assert Q._SIZED_BCAST_MEMO["/tmp/szb:t_big"] is False
+    assert Q._SIZED_BCAST_MEMO["/tmp/szb:t_small"] is True
+
+
+def test_sized_broadcast_part_still_broadcasts_at_test_scale(spark, sf_dir):
+    """At every tested SF the part/customer lookups stay under the row
+    bound, so the sized device must preserve the fast broadcast plan."""
+    for name in ("q40_trimmed_mean_price", "q43_all_priority_customers"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
