@@ -47,6 +47,9 @@ def _cmd_analytics(args) -> int:
             if name == "dim_patients"
             else spark.read.parquet(path)
         )
+    # staging-time stats: one count per growing dim for the whole session,
+    # so every query build below plans size-aware with zero count jobs
+    analytics.attach_star_stats(star)
     names = [args.query] if args.query else sorted(analytics.HEALTHCARE_QUERIES)
     for name in names:
         print(f"== {name}")

@@ -44,8 +44,60 @@ STAR_TABLES = [
 ]
 
 
-def register_star_views(star: dict[str, DataFrame]) -> None:
+# Star-stats entry: ``star[STAR_STATS_KEY]`` holds ``{dim_name: row_count}``
+# captured ONCE when the star is staged (``capture_star_stats``). The hq
+# builders and ``register_star_views`` consume it so no per-query-build
+# count job ever runs; a star without the entry falls back to counting
+# (one job per build — correct, just not free).
+STAR_STATS_KEY = "__dim_rows__"
+
+# Dimensions whose cardinality GROWS with the corpus (patients track the
+# served population). The bounded dims (providers/departments/procedures/
+# date — domain-fixed cardinality) never need a size decision: their
+# unconditional broadcasts are safe at every scale (SCALE.md star section).
+SF_GROWING_DIMS = ["dim_patients"]
+
+
+def capture_star_stats(star: dict[str, DataFrame]) -> dict[str, int]:
+    """Count each SF-growing dimension ONCE — the staging-time stat the
+    size-aware join strategy (``scaled_lookup``, ``register_star_views``)
+    plans from. Metadata-class work (one column-less scan per growing dim,
+    once per star build, never per query build)."""
+    return {
+        name: star[name].count() for name in SF_GROWING_DIMS if name in star
+    }
+
+
+def attach_star_stats(star: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Capture and attach the staging-time stats under ``STAR_STATS_KEY``
+    (idempotent). Mutates and returns ``star``."""
+    if STAR_STATS_KEY not in star:
+        star[STAR_STATS_KEY] = capture_star_stats(star)  # type: ignore[assignment]
+    return star
+
+
+def _dim_rows(star: dict[str, DataFrame], name: str) -> int | None:
+    stats = star.get(STAR_STATS_KEY)
+    return stats.get(name) if isinstance(stats, dict) else None
+
+
+def register_star_views(star: dict[str, DataFrame], stats: dict[str, int] | None = None) -> None:
+    """Register the star as temp views for the portable SQL texts — and
+    make the size-aware join strategy hold on the SQL PATH too: a growing
+    dimension whose captured row count exceeds ``_BROADCAST_MAX_DIM_ROWS``
+    is registered with a merge hint baked into the view's plan (join
+    strategy hints survive ``createOrReplaceTempView`` into every SQL
+    reference), so ``spark.sql(SQL[...])`` plans sort-merge at the cliff
+    with NO manual session-threshold forcing — the r13 honest-scope gap.
+    Stats come from ``stats`` or ``star[STAR_STATS_KEY]``; without either,
+    views register unhinted (planner defaults — pre-r14 behavior)."""
+    stats = stats if stats is not None else star.get(STAR_STATS_KEY)
     for name, df in star.items():
+        if name == STAR_STATS_KEY:
+            continue
+        n = stats.get(name) if isinstance(stats, dict) else None
+        if n is not None and n > _BROADCAST_MAX_DIM_ROWS:
+            df = df.hint("merge")
         df.createOrReplaceTempView(name)
 
 
@@ -162,7 +214,9 @@ SQL: dict[str, str] = {
 _BROADCAST_MAX_DIM_ROWS = 100_000
 
 
-def scaled_lookup(dim: DataFrame, cols: list[str], where=None) -> DataFrame:
+def scaled_lookup(
+    dim: DataFrame, cols: list[str], where=None, n_rows: int | None = None
+) -> DataFrame:
     """Project (and optionally filter) a dimension into a join lookup and
     pick the join strategy from the dimension's ACTUAL row count — the
     mechanism that makes the fast plan the DEFAULT on a grown dimension
@@ -172,15 +226,19 @@ def scaled_lookup(dim: DataFrame, cols: list[str], where=None) -> DataFrame:
     (the genuinely-small-dim case, every test/sweep scale). Above it, the
     lookup carries a merge hint, which both the static planner and AQE's
     runtime re-plan respect — without it, the compressed-bytes estimate
-    re-broadcasts the slow plan (measured: r12 probe). The count is an
-    exact, column-less scan of the UNFILTERED dimension (an upper bound on
-    the lookup's rows — filters only shrink it): metadata-class work next
-    to the fact scan it protects, and exact where the bytes estimate is
-    pathologically wrong on dictionary-compressed data.
+    re-broadcasts the slow plan (measured: r12 probe). ``n_rows`` is the
+    staging-time stat (``capture_star_stats`` — count once per star build,
+    thread it through); when absent the count runs here: an exact,
+    column-less scan of the UNFILTERED dimension (an upper bound on the
+    lookup's rows — filters only shrink it), metadata-class work next to
+    the fact scan it protects, and exact where the bytes estimate is
+    pathologically wrong on dictionary-compressed data — but one Spark job
+    PER QUERY BUILD, which a server setting repeats unboundedly; prefer
+    the precomputed stat.
     """
     lk = dim.filter(where) if where is not None else dim
     lk = lk.select(*cols)
-    if dim.count() <= _BROADCAST_MAX_DIM_ROWS:
+    if (n_rows if n_rows is not None else dim.count()) <= _BROADCAST_MAX_DIM_ROWS:
         return F.broadcast(lk)
     return lk.hint("merge")
 
@@ -202,7 +260,14 @@ def hq2(star: dict[str, DataFrame]) -> DataFrame:
     # is_current: stable sks are shared by all SCD2 versions of a key, so
     # attribute joins must resolve against the current row only;
     # scaled_lookup picks broadcast vs merge from the dim's actual size
-    lk = scaled_lookup(p, ["patient_sk", "source_hospital"], F.col("is_current"))
+    # (the staging-time stat when the star carries one — zero count jobs
+    # per query build)
+    lk = scaled_lookup(
+        p,
+        ["patient_sk", "source_hospital"],
+        F.col("is_current"),
+        n_rows=_dim_rows(star, "dim_patients"),
+    )
     return (
         fc.select("patient_sk", "ClaimAmount", "PaidAmount", "days_to_payment")
         .join(lk, "patient_sk")
@@ -284,7 +349,8 @@ def hq9(star: dict[str, DataFrame]) -> DataFrame:
         p,
         ["patient_sk", "FirstName", "LastName", "source_hospital"],
         F.col("is_current"),
-    )  # size-aware strategy; is_current — see hq2
+        n_rows=_dim_rows(star, "dim_patients"),
+    )  # size-aware strategy (staging-time stat); is_current — see hq2
     # aggregate-then-join: facts reduce to one NARROW row per patient_sk
     # BEFORE touching the name columns, so the groupBy shuffle never
     # carries strings and the dim join sees |patients| pre-aggregated rows

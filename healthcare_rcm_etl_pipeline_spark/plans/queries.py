@@ -92,7 +92,16 @@ def _sized_broadcast(df: DataFrame, sf_dir: str, key: str) -> DataFrame:
     bench/sweep scale the first build pays one cheap column-less count
     and every rebuild reuses it. Genuinely bounded relations (nation,
     region, 1-row aggregates, limit-k vocabularies, literal-filtered
-    term stats) keep their unconditional broadcasts."""
+    term stats) keep their unconditional broadcasts.
+
+    Memo staleness (documented assumption): the decision is cached for
+    the process lifetime with no invalidation — correct for this
+    registry's contract, where an sf_dir is an immutable staged snapshot
+    (the driver regenerates under a NEW directory per scale factor). A
+    deployment whose bases mutate in place under a stable path MUST key
+    the memo on a snapshot id / table mtime instead: a stale "merge" only
+    costs a shuffle, but a stale "broadcast" on a grown-in-place relation
+    re-opens the exact cliff hazard this device closes."""
     memo_key = f"{sf_dir}:{key}"
     ok = _SIZED_BCAST_MEMO.get(memo_key)
     if ok is None:
@@ -2203,6 +2212,11 @@ _HQ_STAR_DIR = os.path.join(
 )
 atexit.register(shutil.rmtree, _HQ_STAR_DIR, ignore_errors=True)
 _hq_staged = False
+# staging-time star stats ({dim: rows}, analytics.capture_star_stats):
+# counted ONCE when the star is staged, attached to every star dict this
+# module hands out — query builds plan the size-aware join strategy from
+# the cached stat and never run a per-build count job.
+_hq_stats: dict[str, int] | None = None
 
 
 def _hq_star(spark: SparkSession) -> dict[str, DataFrame]:
@@ -2211,16 +2225,20 @@ def _hq_star(spark: SparkSession) -> dict[str, DataFrame]:
     from healthcare_rcm_etl_pipeline_spark.plans import analytics as _an
     from healthcare_rcm_etl_pipeline_spark.plans.pipeline import run_pipeline
 
-    global _hq_staged
+    global _hq_staged, _hq_stats
     if not _hq_staged:
         star = run_pipeline(spark, run_date="2025-08-03")
         for t in _an.STAR_TABLES:
             star[t].write.mode("overwrite").parquet(_os.path.join(_HQ_STAR_DIR, t))
         _hq_staged = True
-    return {
+    out: dict[str, DataFrame] = {
         t: spark.read.parquet(_os.path.join(_HQ_STAR_DIR, t))
         for t in _an.STAR_TABLES
     }
+    if _hq_stats is None:
+        _hq_stats = _an.capture_star_stats(out)
+    out[_an.STAR_STATS_KEY] = _hq_stats  # type: ignore[assignment]
+    return out
 
 
 def _hq_oracle(sql: str) -> str:

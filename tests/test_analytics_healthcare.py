@@ -127,3 +127,85 @@ class TestScaledLookupCliff:
         lk = analytics.scaled_lookup(small, ["id", "v"])
         # explicit broadcast hint under the bound
         assert "ResolvedHint" in lk._jdf.queryExecution().analyzed().toString()
+
+    def _grown_star(self, spark):
+        n = analytics._BROADCAST_MAX_DIM_ROWS + 1
+        p = spark.range(n).selectExpr(
+            "id AS patient_sk",
+            "true AS is_current",
+            "concat('H', id % 7) AS source_hospital",
+            "concat('F', id) AS FirstName",
+            "concat('L', id) AS LastName",
+        )
+        fc = spark.range(5000).selectExpr(
+            f"id % {n} AS patient_sk",
+            "CAST(10.5 AS DOUBLE) AS ClaimAmount",
+            "CAST(4.5 AS DOUBLE) AS PaidAmount",
+            "CAST(id % 30 AS INT) AS days_to_payment",
+            "concat('C', id) AS ClaimID",
+        )
+        return {"fact_claims": fc, "dim_patients": p}, n
+
+    def test_staging_stat_builds_with_zero_count_jobs(self, spark, monkeypatch):
+        """r14: a star carrying the staging-time stat (STAR_STATS_KEY) must
+        build hq2/hq9 WITHOUT any count job — the r13 shape ran an eager
+        dim.count() per query build (one Spark job per build, unboundedly
+        repeated in a server setting). Pinned by making count() explode."""
+        from pyspark.sql import DataFrame
+
+        star, n = self._grown_star(spark)
+        star[analytics.STAR_STATS_KEY] = {"dim_patients": n}
+
+        def _boom(self):
+            raise AssertionError("count job ran during a stats-backed query build")
+
+        monkeypatch.setattr(DataFrame, "count", _boom)
+        for q in (analytics.hq2, analytics.hq9):
+            df = q(star)  # must not touch DataFrame.count
+            plan = df._jdf.queryExecution().analyzed().toString()
+            assert "patient_sk" in plan
+
+    def test_stat_drives_strategy_both_ways(self, spark):
+        """The threaded stat IS the decision axis: the same grown dim plans
+        sort-merge under its true count and broadcast under a (synthetic)
+        small stat — no fallback count runs when the stat is present."""
+        star, n = self._grown_star(spark)
+        star[analytics.STAR_STATS_KEY] = {"dim_patients": n}
+        plan = self._executed(analytics.hq2(star))
+        assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+        star[analytics.STAR_STATS_KEY] = {"dim_patients": 10}
+        plan = self._executed(analytics.hq2(star))
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_sql_twin_plans_sort_merge_at_cliff(self, spark, star_env):
+        """r14 (closes the r13 honest-scope gap): the portable SQL text must
+        plan the fast join at the cliff too, with NO manual session
+        forcing — register_star_views bakes a merge hint into a grown
+        dim's view (join-strategy hints survive createOrReplaceTempView),
+        so spark.sql(SQL[hq2]) executes as SortMergeJoin above the bound
+        and still broadcasts at genuinely-small scale."""
+        staged, _ = star_env
+        star, n = self._grown_star(spark)
+        star[analytics.STAR_STATS_KEY] = {"dim_patients": n}
+        try:
+            analytics.register_star_views(star)
+            df = spark.sql(analytics.SQL["hq2_revenue_by_hospital"])
+            plan = self._executed(df)
+            assert "SortMergeJoin" in plan
+            assert "BroadcastHashJoin" not in plan
+            # small-scale star WITH stats attached: views stay unhinted,
+            # the planner's broadcast is preserved
+            small = dict(staged)
+            analytics.attach_star_stats(small)
+            assert small[analytics.STAR_STATS_KEY]["dim_patients"] <= (
+                analytics._BROADCAST_MAX_DIM_ROWS
+            )
+            analytics.register_star_views(small)
+            plan = self._executed(
+                spark.sql(analytics.SQL["hq2_revenue_by_hospital"])
+            )
+            assert "BroadcastHashJoin" in plan
+            assert "SortMergeJoin" not in plan
+        finally:
+            # restore the module fixture's unhinted views for later tests
+            analytics.register_star_views(staged)
