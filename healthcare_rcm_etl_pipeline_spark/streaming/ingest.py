@@ -849,13 +849,111 @@ def _affected_component_slice(
 # crosses the gate.
 _TWIN_MIN_BYTES = 8 << 30
 
+# Size-gate cache (per twin path): getContentSummary is a recursive
+# O(files) listing — on an object store that is one full tree walk PER
+# MICRO-BATCH once the twin exists, growing with epoch count. The gate is
+# sticky once crossed (label states only ever append between maintenance
+# ops; maintenance clears the cache via _reset_twin_caches) and below the
+# gate re-lists only every _TWIN_RECHECK_EVERY batches — a late gate
+# crossing costs at most that many batches on the (measured-faster-below-
+# the-gate) semi-join plan, never correctness.
+_TWIN_RECHECK_EVERY = 8
+_TWIN_GATE_MEMO: dict[str, dict] = {}
+
+# Twin completeness marker: scan TWO may serve from the twin ONLY if the
+# twin covers every committed epoch of the main state. A base created
+# before the twin existed gets a PARTIAL twin (only post-upgrade epochs
+# are double-written); reading it would silently drop pre-upgrade members
+# of touched components and merge incremental CC on an incomplete slice.
+# The marker is written at twin CREATION: "complete" when the twin is
+# born together with the state (fresh base), "partial <epoch>" when the
+# state pre-existed. Marker-less twins (pre-r14 bases, or a crash between
+# the twin's first write and the marker) are conservatively PARTIAL —
+# run backfill_label_twin to prove completeness.
+_TWIN_SINCE = "_TWIN_SINCE"
+_TWIN_COMPLETE_MEMO: dict[str, bool] = {}
+
+
+def _reset_twin_caches() -> None:
+    """Drop the per-process twin gate/completeness caches — called by the
+    maintenance ops (purge/compact/recover/backfill), which are the only
+    writers that can shrink the twin or change its coverage."""
+    _TWIN_GATE_MEMO.clear()
+    _TWIN_COMPLETE_MEMO.clear()
+
 
 def _twin_worth_probing(spark: SparkSession, twin_path: str) -> bool:
+    memo = _TWIN_GATE_MEMO.setdefault(twin_path, {"crossed": False, "since": 0})
+    if memo["crossed"]:
+        return True
+    if memo["since"] > 0:
+        memo["since"] -= 1
+        return False
+    memo["since"] = _TWIN_RECHECK_EVERY - 1
     if not sinks.path_exists(spark, twin_path):
         return False
     fs, _ = sinks._fs_path(spark, twin_path)
     length = fs.getContentSummary(_jpath(spark, twin_path)).getLength()
-    return length >= _TWIN_MIN_BYTES
+    memo["crossed"] = length >= _TWIN_MIN_BYTES
+    return memo["crossed"]
+
+
+def _twin_complete(spark: SparkSession, base: str, name: str) -> bool:
+    """True iff the component-sorted twin provably covers every committed
+    epoch of the main state (the _TWIN_SINCE contract above). Sticky-True
+    per process: completeness is only ever GAINED (appends write both
+    sides; maintenance rewrites both sides and clears the memo)."""
+    key = f"{base}/{name}"
+    if _TWIN_COMPLETE_MEMO.get(key):
+        return True
+    marker = sinks.read_text_marker(
+        spark, f"{base}/{name}_by_label/{_TWIN_SINCE}", ""
+    )
+    ok = marker.strip() == "complete"
+    if ok:
+        _TWIN_COMPLETE_MEMO[key] = True
+    return ok
+
+
+def backfill_label_twin(
+    spark: SparkSession, base: str, name: str, steal_lock: bool = False
+) -> int:
+    """Build (or complete) the component-sorted twin of label state
+    ``{base}/{name}`` from the main state — the upgrade path for bases
+    created before the twin existed, whose partial twin scan TWO must not
+    read (``_twin_complete``). Copies every committed state epoch the twin
+    is missing (re-sorted on ``component`` so the ``In(component, ...)``
+    literal's row-group pruning holds), then stamps the twin "complete".
+    One O(missing epochs) job under the maintenance lock — the honest
+    one-time cost of building an index over pre-existing data.
+    Returns the number of epoch partitions copied."""
+    fs, lock = _acquire_maintenance_lock(spark, base, steal_lock)
+    try:
+        recover_base(spark, base, ignore_lock=True)
+        state_root = f"{base}/{name}"
+        twin_root = f"{base}/{name}_by_label"
+        last = _read_epoch(spark, base)
+        copied = 0
+        if sinks.path_exists(spark, state_root):
+            listing = fs.listStatus(_jpath(spark, state_root))
+            for st in listing:
+                d = st.getPath().getName()
+                if not (st.isDirectory() and d.startswith("epoch=")):
+                    continue
+                if int(d.split("=")[1]) > last:
+                    continue  # uncommitted ghost: replay overwrites both sides
+                if sinks.path_exists(spark, f"{twin_root}/{d}"):
+                    continue  # already double-written
+                part = spark.read.parquet(f"{state_root}/{d}")
+                _range_sorted(part, "component").write.mode("overwrite").parquet(
+                    f"{twin_root}/{d}"
+                )
+                copied += 1
+        sinks.write_text_marker(spark, f"{twin_root}/{_TWIN_SINCE}", "complete")
+        _reset_twin_caches()
+        return copied
+    finally:
+        _release_maintenance_lock(spark, fs, lock)
 
 
 def _merge_label_state(
@@ -894,7 +992,13 @@ def _merge_label_state(
     if sinks.path_exists(spark, state_path):
         state = spark.read.parquet(state_path).filter(F.col("epoch") <= last)
         twin = None
-        if _twin_worth_probing(spark, twin_path):
+        # the twin serves scan TWO only when (a) the state is past the
+        # measured gate AND (b) the twin PROVABLY covers every committed
+        # epoch (_TWIN_SINCE) — a partial twin (pre-upgrade base) would
+        # silently omit pre-upgrade members of touched components
+        if _twin_worth_probing(spark, twin_path) and _twin_complete(
+            spark, base, name
+        ):
             twin = spark.read.parquet(twin_path).filter(F.col("epoch") <= last)
         prev_affected = _affected_component_slice(state, nodes, twin)
         delta = graph.connected_components_incremental(
@@ -912,14 +1016,31 @@ def _write_label_delta(delta: DataFrame, base: str, name: str, physical: int) ->
     doc-sorted main state (label serving, scan ONE) and component-sorted
     twin (scan TWO's file-pruned touched-component fetch). The delta is
     batch-neighborhood-sized, so the double write is the cheap side of
-    the trade (SCALE.md r13)."""
+    the trade (SCALE.md r13). On the twin's FIRST write the coverage
+    marker is stamped (_TWIN_SINCE): "complete" when the state is born in
+    the same call, "partial <epoch>" when the state pre-existed (upgrade
+    of a pre-twin base) — scan TWO refuses a partial twin until
+    ``backfill_label_twin`` completes it. The marker lands AFTER both
+    epoch dirs: a crash in between leaves a marker-less (= conservatively
+    partial) twin, never a falsely-complete one."""
+    spark = delta.sparkSession
+    twin_root = f"{base}/{name}_by_label"
+    stamp = None
+    if not sinks.path_exists(spark, twin_root):
+        stamp = (
+            "complete"
+            if not sinks.path_exists(spark, f"{base}/{name}")
+            else f"partial {physical}"
+        )
     delta = delta.localCheckpoint(eager=True)
     _range_sorted(delta, "doc").write.mode("overwrite").parquet(
         f"{base}/{name}/epoch={physical}"
     )
     _range_sorted(delta, "component").write.mode("overwrite").parquet(
-        f"{base}/{name}_by_label/epoch={physical}"
+        f"{twin_root}/epoch={physical}"
     )
+    if stamp is not None:
+        sinks.write_text_marker(spark, f"{twin_root}/{_TWIN_SINCE}", stamp)
 
 
 def make_component_ingest_batch_fn(
@@ -1425,8 +1546,15 @@ def recover_base(
             out[sub] = _sweep_dataset(root, names, apply)
         return out
 
+    def _apply(out: dict[str, int]) -> dict[str, int]:
+        # recovery rolled a swap back/forward: the twin's size and
+        # coverage may have changed under the per-process caches
+        if any(out.values()):
+            _reset_twin_caches()
+        return out
+
     if ignore_lock:
-        return _sweep(apply=True)
+        return _apply(_sweep(apply=True))
     lock = f"{base}/{_MAINT_LOCK}"
     if fs.exists(_jpath(spark, lock)):
         return {}
@@ -1436,7 +1564,7 @@ def recover_base(
     if not fs.createNewFile(_jpath(spark, lock)):
         return {}  # a maintenance op took the lock between scan and acquire
     try:
-        return _sweep(apply=True)  # re-scan under the lock: state is stable
+        return _apply(_sweep(apply=True))  # re-scan under the lock
     finally:
         _release_maintenance_lock(spark, fs, lock)
 
@@ -1542,6 +1670,7 @@ def purge_ids(
                 _must_rename(spark, fs, tmp, part)  # the commit
                 _must_delete(spark, fs, trash)
             rewritten[sub] = len(affected)
+        _reset_twin_caches()  # twin size shrank under the sticky gate
         return rewritten
     finally:
         _release_maintenance_lock(spark, fs, lock)
@@ -1661,6 +1790,7 @@ def compact_epochs(
             _must_rename(spark, fs, tmp, f"{root}/epoch={target}")  # the commit
             _must_delete(spark, fs, trash)
             folded[sub] = len(committed)
+        _reset_twin_caches()  # folds rewrite both sort orders
         return folded
     finally:
         _release_maintenance_lock(spark, fs, lock)

@@ -211,3 +211,120 @@ def test_read_components_for_point_lookup(spark, tmp_path):
     }
     assert rows == full
     assert ingest.read_components_for(spark, str(tmp_path / "never"), [1]) is None
+
+
+def test_twin_coverage_guard_and_backfill(spark, tmp_path, monkeypatch):
+    """r14 (ADVICE): a PARTIAL twin — a base created before the twin
+    existed, so only post-upgrade epochs are double-written — must never
+    serve scan TWO: past the size gate it would silently omit pre-upgrade
+    members of touched components and incremental CC would merge on an
+    incomplete slice (stale/split served labels). Pinned: (a) the partial
+    twin is detected (_TWIN_SINCE marker) and the merge falls back to the
+    exact semi-join — the relabel reaches the pre-upgrade member; (b) the
+    recreated twin self-describes as partial; (c) backfill_label_twin
+    copies the missing epochs, stamps complete, and the twin then serves
+    the full slice."""
+    import shutil as _sh
+
+    from pyspark.sql import Row
+
+    monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)  # force the gate open
+    ingest._reset_twin_caches()
+    base = str(tmp_path / "mdm")
+
+    # epoch 0: docs {1, 2} share component 1 (written by the r14 writer,
+    # then the twin is deleted to simulate a pre-twin base)
+    d0 = spark.createDataFrame([Row(doc=1, component=1), Row(doc=2, component=1)])
+    ingest._write_label_delta(d0, base, "components", 0)
+    ingest._write_marker(spark, base, "", 0, 0)
+    _sh.rmtree(f"{base}/components_by_label")
+    ingest._reset_twin_caches()
+
+    # (a) merge that RELABELS the component (new min-id 0 joins via doc 1
+    # only): doc 2 is reachable ONLY through scan TWO — a partial/absent
+    # twin past the gate must fall back to the semi-join, not drop it
+    assert ingest._twin_complete(spark, base, "components") is False
+    pairs = spark.createDataFrame([Row(doc_a=0, doc_b=1)])
+    delta1 = ingest._merge_label_state(spark, base, "components", pairs, 0)
+    got = {(r["doc"], r["component"]) for r in delta1.collect()}
+    assert {(0, 0), (1, 0), (2, 0)} <= got  # doc 2 relabeled: full slice seen
+
+    # (b) persisting the delta recreates the twin — marked PARTIAL (the
+    # main state pre-existed), so scan TWO still refuses it
+    ingest._write_label_delta(delta1, base, "components", 1)
+    ingest._write_marker(spark, base, "", 0, 1)
+    marker = ingest.sinks.read_text_marker(
+        spark, f"{base}/components_by_label/{ingest._TWIN_SINCE}", ""
+    )
+    assert marker == "partial 1"
+    assert ingest._twin_complete(spark, base, "components") is False
+
+    # (c) backfill copies the missing epoch 0, stamps complete, and the
+    # twin-served slice is whole
+    assert ingest.backfill_label_twin(spark, base, "components") == 1
+    assert ingest._twin_complete(spark, base, "components") is True
+    state = spark.read.parquet(f"{base}/components")
+    twin = spark.read.parquet(f"{base}/components_by_label")
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, twin.collect()))
+    pairs2 = spark.createDataFrame([Row(doc_a=5, doc_b=0)])
+    delta2 = ingest._merge_label_state(spark, base, "components", pairs2, 1)
+    got2 = {(r["doc"], r["component"]) for r in delta2.collect()}
+    assert {(0, 0), (1, 0), (2, 0), (5, 0)} <= got2
+    ingest._reset_twin_caches()
+
+
+def test_fresh_base_twin_marks_complete(spark, tmp_path):
+    """A twin born together with its state (every post-r14 base) is
+    complete by construction and self-describes so."""
+    from pyspark.sql import Row
+
+    base = str(tmp_path / "fresh")
+    d0 = spark.createDataFrame([Row(doc=1, component=1)])
+    ingest._write_label_delta(d0, base, "components", 0)
+    marker = ingest.sinks.read_text_marker(
+        spark, f"{base}/components_by_label/{ingest._TWIN_SINCE}", ""
+    )
+    assert marker == "complete"
+    assert ingest._twin_complete(spark, base, "components") is True
+
+
+def test_twin_gate_probe_is_cached(spark, tmp_path, monkeypatch):
+    """r14 (ADVICE): the size-gate probe must not run a recursive
+    O(files) listing per micro-batch — below the gate it re-checks every
+    _TWIN_RECHECK_EVERY calls, and once crossed it is sticky until a
+    maintenance op clears the cache."""
+    from pyspark.sql import Row
+
+    ingest._reset_twin_caches()
+    calls = {"n": 0}
+    real = ingest.sinks.path_exists
+
+    def counting(s, p):
+        calls["n"] += 1
+        return real(s, p)
+
+    monkeypatch.setattr(ingest.sinks, "path_exists", counting)
+
+    # below the gate (default 8 GiB): 2 full recheck windows -> 2 listings
+    base = str(tmp_path / "gate")
+    d0 = spark.createDataFrame([Row(doc=1, component=1)])
+    ingest._write_label_delta(d0, base, "components", 0)
+    calls["n"] = 0
+    twin = f"{base}/components_by_label"
+    for _ in range(2 * ingest._TWIN_RECHECK_EVERY):
+        assert ingest._twin_worth_probing(spark, twin) is False
+    assert calls["n"] == 2
+
+    # crossing the gate: sticky True, zero further probes
+    monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)
+    ingest._reset_twin_caches()
+    calls["n"] = 0
+    for _ in range(10):
+        assert ingest._twin_worth_probing(spark, twin) is True
+    assert calls["n"] == 1
+
+    # maintenance clears the cache (purge rewrites under the gate)
+    ingest._reset_twin_caches()
+    assert ingest._twin_worth_probing(spark, twin) is True
+    assert calls["n"] == 2
+    ingest._reset_twin_caches()
