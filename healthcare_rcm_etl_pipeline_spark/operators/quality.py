@@ -420,6 +420,96 @@ def windowed_distribution_drift(
     )
 
 
+def windowed_embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    group_col: str,
+    ts_col: str,
+    duration: str = "1 hour",
+    dim: int = 64,
+) -> DataFrame:
+    """Vector-drift MONITORING: per (group, tumbling event-time window) of
+    the CURRENT stream, the cosine between the group's PINNED reference
+    centroid and the window's centroid — ``embedding_centroid_drift`` is
+    the two-snapshot gate, this is the continuously-emitted score
+    (completing the drift-family symmetry the scalar path already has via
+    ``windowed_distribution_drift``).
+
+    The SAME body runs in batch (tests, oracle) and under Structured
+    Streaming: everything is ONE aggregation — per (group, window), the
+    ``dim`` per-component integer sums are unrolled into ``dim`` sum
+    columns (``element_at``, no explode — an exploded row-form would need
+    a second aggregation and be streaming-illegal), and the cosine is a
+    fixed-shape scalar expression over those columns. The reference side
+    must be STATIC (asserted): its per-group centroid grid is a
+    |groups|-row relation broadcast into the stream (stream-static join).
+
+    Same determinism contract as the batch twin: components are rounded
+    at 6 dp and scaled to exact BIGINTs before summation (per-(group,
+    window, dim) sums are integers — order-insensitive across
+    partitionings, micro-batching, and engines); cosine is
+    scale-invariant, so it is taken directly on the integer sum vectors
+    assembled in index order (the final fold runs in array order in both
+    engines via the shared ``cosine`` expression); ``centroid_cos``
+    rounds at 6 dp. A (group, window) whose group has NO reference rows
+    (novel population) reports centroid_cos = NULL and n_ref = NULL —
+    the "not comparable" sentinel, mirroring
+    ``windowed_distribution_drift`` (the two-snapshot twin instead drops
+    one-sided groups; a monitoring stream must surface them); windows
+    with no current vectors emit no row (the output is current-driven).
+    NULL vectors are excluded on both sides.
+
+    Shape at 100 TB: the stream is scanned once; the shuffle carries one
+    row per (group, window) of width dim+1 (map-side combinable sums —
+    vectors never move whole), the reference grid rides as a broadcast.
+    Streaming state is the open windows only — watermark-evicted.
+
+    Returns (group_col, window_start, centroid_cos, n_ref, n_cur).
+    """
+    from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine
+
+    if ref.isStreaming:
+        raise ValueError("the reference snapshot must be a static DataFrame")
+
+    def _isum(i: int) -> F.Column:
+        # same integerization as embedding_centroid_drift: round at 6 dp,
+        # scale, round AGAIN at 0 dp before the bigint cast (double->bigint
+        # casts truncate; other engines round)
+        c = F.element_at(F.col(vec_col), i + 1).cast("double")
+        return F.sum(
+            F.round(F.round(c, 6) * F.lit(1_000_000.0), 0).cast("bigint")
+        )
+
+    ref_grid = (
+        ref.filter(F.col(vec_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__rt"),
+            *[_isum(i).alias(f"__rs{i}") for i in range(dim)],
+        )
+    )
+    cur_agg = (
+        cur.filter(F.col(vec_col).isNotNull())
+        .groupBy(group_col, F.window(ts_col, duration).alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("__ct"),
+            *[_isum(i).alias(f"__cs{i}") for i in range(dim)],
+        )
+    )
+    j = cur_agg.join(F.broadcast(ref_grid), group_col, "left")
+    rv = F.array(*[F.col(f"__rs{i}").cast("double") for i in range(dim)])
+    cv = F.array(*[F.col(f"__cs{i}").cast("double") for i in range(dim)])
+    has_ref = F.col("__rt").isNotNull()
+    return j.select(
+        group_col,
+        F.col("__w.start").alias("window_start"),
+        F.when(has_ref, F.round(cosine(rv, cv), 6)).alias("centroid_cos"),
+        F.col("__rt").cast("bigint").alias("n_ref"),
+        F.col("__ct").cast("bigint").alias("n_cur"),
+    )
+
+
 def embedding_centroid_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -2529,6 +2529,74 @@ def drift_embedding_centroids_q(spark, sf_dir):
     )
 
 
+_WVDRIFT_ORACLE = """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pos AS (SELECT UNNEST(range(1, 65)) AS p),
+    r AS (
+      SELECT label, p,
+             SUM(CAST(round(round(e[p], 6) * 1000000.0, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM v, pos WHERE vec_id % 2 = 0 GROUP BY label, p),
+    ra AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY p) AS sv, MAX(n) AS n
+           FROM r GROUP BY label),
+    c AS (
+      SELECT label,
+             TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (vec_id % 8) HOUR AS ws,
+             p,
+             SUM(CAST(round(round(e[p], 6) * 1000000.0, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM v, pos WHERE vec_id % 2 = 1 GROUP BY label, ws, p),
+    ca AS (SELECT label, ws, list(CAST(s AS DOUBLE) ORDER BY p) AS sv, MAX(n) AS n
+           FROM c GROUP BY label, ws)
+    SELECT ca.label, ca.ws AS window_start,
+           CASE WHEN ra.n IS NOT NULL THEN
+             round(list_dot_product(ra.sv, ca.sv)
+                   / NULLIF(sqrt(list_dot_product(ra.sv, ra.sv))
+                            * sqrt(list_dot_product(ca.sv, ca.sv)), 0.0), 6)
+           END AS centroid_cos,
+           CAST(ra.n AS BIGINT) AS n_ref,
+           CAST(ca.n AS BIGINT) AS n_cur
+    FROM ca LEFT JOIN ra USING (label)
+    """
+
+
+@query("drift_centroid_windowed", _WVDRIFT_ORACLE)
+def drift_centroid_windowed_q(spark, sf_dir):
+    """MONITORING vector drift (r13 verdict #4 — completes the drift-family
+    symmetry): per (label, tumbling 1h window) cosine between the pinned
+    even-parity reference centroid and the window's centroid, the
+    continuously-emitted twin of drift_embedding_centroids. Event time is
+    derived deterministically from vec_id (vec_id % 8 hours past a fixed
+    origin — the same parity-as-snapshot device, extended with a
+    synthetic arrival clock; windows align on the hour in both engines).
+    The operator body is ONE aggregation (per-dim integer sums unrolled
+    into dim columns — no explode), so the SAME function runs under
+    Structured Streaming with a watermark (stream ≡ batch pinned in
+    tests/test_streaming.py); the reference centroid grid broadcasts as a
+    stream-static join. Component sums integerize at 6 dp (exact BIGINTs,
+    order-insensitive across engines and micro-batching); the cosine's
+    final fold runs in array order in both engines."""
+    from healthcare_rcm_etl_pipeline_spark.operators import quality
+
+    e = _t(spark, sf_dir, "embeddings")
+    cur = e.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "ts",
+        F.expr(
+            "timestamp'2025-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(vec_id % 8 AS INT), 0, 0)"
+        ),
+    )
+    return quality.windowed_embedding_centroid_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        cur,
+        "embedding",
+        "label",
+        "ts",
+        "1 hour",
+        dim=64,
+    )
+
+
 @query(
     "events_exact_dedup",
     """

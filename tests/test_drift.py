@@ -282,3 +282,102 @@ class TestWindowedDistributionDrift:
             quality.windowed_distribution_drift(
                 spark.readStream.format("rate").load(), ref, "v"
             )
+
+
+def _wvecs(spark, rows, ts="2024-01-01 00:10:00"):
+    return spark.createDataFrame(
+        [(lbl, ts, v) for lbl, v in rows],
+        "label int, ts string, embedding array<double>",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class TestWindowedEmbeddingCentroidDrift:
+    """windowed_embedding_centroid_drift (r14): per-(group, window) cosine
+    vs a pinned reference centroid — the vector twin of
+    windowed_distribution_drift, single-aggregation (streaming-legal)."""
+
+    def test_single_window_matches_batch_twin(self, spark):
+        ref = [(0, [2.0, 0.0, 0.0]), (0, [0.0, 2.0, 0.0]), (1, [0.5, 0.5, 0.0])]
+        cur = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+        out = {
+            r["label"]: r
+            for r in quality.windowed_embedding_centroid_drift(
+                _wvecs(spark, ref), _wvecs(spark, cur),
+                "embedding", "label", "ts", "1 hour", dim=3,
+            ).collect()
+        }
+        base = {
+            r["label"]: r
+            for r in quality.embedding_centroid_drift(
+                _wvecs(spark, ref).drop("ts"), _wvecs(spark, cur).drop("ts"),
+                "embedding", "label",
+            ).collect()
+        }
+        for lbl in (0, 1):
+            assert out[lbl]["centroid_cos"] == base[lbl]["centroid_cos"]
+            assert out[lbl]["n_ref"] == base[lbl]["n_ref"]
+            assert out[lbl]["n_cur"] == base[lbl]["n_cur"]
+            assert str(out[lbl]["window_start"]) == "2024-01-01 00:00:00"
+
+    def test_per_window_independence(self, spark):
+        ref = _wvecs(spark, [(0, [1.0, 0.0])])
+        same = _wvecs(spark, [(0, [2.0, 0.0])], ts="2024-01-01 01:10:00")
+        rot = _wvecs(spark, [(0, [0.0, 3.0])], ts="2024-01-01 02:10:00")
+        out = quality.windowed_embedding_centroid_drift(
+            ref, same.union(rot), "embedding", "label", "ts", "1 hour", dim=2
+        ).collect()
+        by_w = {str(r["window_start"]): r for r in out}
+        assert by_w["2024-01-01 01:00:00"]["centroid_cos"] == 1.0
+        assert by_w["2024-01-01 02:00:00"]["centroid_cos"] == 0.0
+
+    def test_novel_group_null_sentinel(self, spark):
+        ref = _wvecs(spark, [(0, [1.0, 0.0])])
+        cur = _wvecs(spark, [(0, [1.0, 0.0]), (9, [1.0, 1.0])])
+        rows = {
+            r["label"]: r
+            for r in quality.windowed_embedding_centroid_drift(
+                ref, cur, "embedding", "label", "ts", "1 hour", dim=2
+            ).collect()
+        }
+        assert rows[9]["centroid_cos"] is None and rows[9]["n_ref"] is None
+        assert rows[9]["n_cur"] == 1
+        assert rows[0]["centroid_cos"] == 1.0 and rows[0]["n_ref"] == 1
+
+    def test_null_vectors_excluded(self, spark):
+        ref = _wvecs(spark, [(0, [1.0, 0.0]), (0, None)])
+        cur = _wvecs(spark, [(0, [1.0, 0.0]), (0, None)])
+        row = quality.windowed_embedding_centroid_drift(
+            ref, cur, "embedding", "label", "ts", "1 hour", dim=2
+        ).first()
+        assert (row["n_ref"], row["n_cur"]) == (1, 1)
+        assert row["centroid_cos"] == 1.0
+
+    def test_micro_batch_order_invariant(self, spark):
+        """The integerized per-dim sums make the window aggregate exactly
+        order/partitioning-insensitive — the property micro-batched
+        arrival relies on."""
+        import random
+
+        rnd = random.Random(11)
+        rows = [(i % 3, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        ref = _wvecs(spark, rows)
+        a = quality.windowed_embedding_centroid_drift(
+            ref.repartition(1), _wvecs(spark, rows[::-1]).repartition(13),
+            "embedding", "label", "ts", "1 hour", dim=8,
+        ).collect()
+        b = quality.windowed_embedding_centroid_drift(
+            ref.repartition(7), _wvecs(spark, rows).repartition(3),
+            "embedding", "label", "ts", "1 hour", dim=8,
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert all(r["centroid_cos"] == 1.0 for r in a)
+
+    def test_streaming_ref_rejected(self, spark):
+        import pytest as _pytest
+
+        cur = _wvecs(spark, [(0, [1.0])])
+        with _pytest.raises(ValueError):
+            quality.windowed_embedding_centroid_drift(
+                spark.readStream.format("rate").load(), cur,
+                "embedding", "label", "ts",
+            )

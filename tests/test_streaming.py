@@ -349,3 +349,53 @@ def test_windowed_drift_streaming_matches_batch(spark, sf_dir, event_dir):
     assert s <= b
     assert len(s) >= len(b) - n_types
     assert len(s) > 0
+
+
+def test_windowed_centroid_drift_streaming_matches_batch(spark, sf_dir):
+    """windowed_embedding_centroid_drift is single-aggregation by
+    construction (per-dim integer sums, no explode), so the SAME body runs
+    under Structured Streaming: the pinned reference centroid grid
+    broadcasts into the stream and every finalized (label, window) must
+    equal its batch twin bit-for-bit (the integerized sums make the window
+    aggregate exactly micro-batch-order-insensitive)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_rcm_etl_pipeline_spark.operators import quality
+    from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ref = e.filter("vec_id % 2 = 0")
+    cur = e.filter("vec_id % 2 = 1").withColumn(
+        "ts",
+        F.expr(
+            "timestamp'2025-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(vec_id % 8 AS INT), 0, 0)"
+        ),
+    )
+    batch = quality.windowed_embedding_centroid_drift(
+        ref, cur, "embedding", "label", "ts", "1 hour", dim=64
+    )
+
+    d = tempfile.mkdtemp(prefix="hrcm_vstream_")
+    try:
+        cur.write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = ev.stream_from_files(spark, d, schema, watermark="0 seconds")
+        out = _run_stream(
+            spark,
+            quality.windowed_embedding_centroid_drift(
+                ref, stream, "embedding", "label", "ts", "1 hour", dim=64
+            ),
+            "t_vdrift",
+            "append",
+        )
+        b = {tuple(r) for r in batch.collect()}
+        s = {tuple(r) for r in out.collect()}
+        n_labels = e.select("label").distinct().count()
+        # append emits only watermark-finalized windows: the window holding
+        # max(ts) may be withheld, once per label
+        assert s <= b
+        assert len(s) >= len(b) - n_labels
+        assert len(s) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
