@@ -835,19 +835,29 @@ def _affected_component_slice(
     )
 
 
-# Twin-path gate (measured crossover, scripts/probe_component_scan_r13.py):
-# the literal-pruned twin fetch costs one extra bounded job (the touched-
-# label collect pins scan ONE), while the bare semi-join's cost grows
-# linearly with state bytes decompressed per batch. Through 512M synthetic
-# label rows (~4 GB) the semi-join still wins (4.1 s vs 5.9 s at 512M;
-# 1.6 s vs 2.5 s at 128M) — the linear term is ~6.5 ns/row, so the
-# extrapolated crossover sits around a few billion rows. The gate keeps
-# every state below it on the r12 plan and routes genuinely huge states
-# (the 100 TB posture, where per-batch decompression would grow without
-# bound) to the bounded twin path. The twin is WRITTEN from the first
-# epoch either way — delta-sized, so the index is ready when the state
-# crosses the gate.
+# Twin-path gate — recalibrated from MEASUREMENT past the gate (r14,
+# scripts/probe_twin_gate_r14.py; the r13 8-GiB constant was an
+# extrapolated crossover that the r14 probe showed incomplete): the two
+# paths grow on DIFFERENT axes. The semi-join's cost tracks state BYTES
+# (it decompresses the whole accumulated state every batch: 3.5 s at
+# 3.7 GiB -> 8.1 s at 9.3 GiB, ~0.8 s/GiB). The twin fetch's cost tracks
+# its FILE count (~1.5 ms/file of footer + task overhead; the pushed
+# literal makes the data read neighborhood-sized): on an UNMAINTAINED
+# base whose epoch count grows with the state (~1.9 MB mean file), the
+# twin never pays — 8.7 s vs the semi-join's 8.1 s even at 9.3 GiB —
+# while on a COMPACTED base (10 epochs, 27 MB mean file, same 1.28B rows)
+# the twin wins 3.1x (1.44 s vs 4.40 s). So the gate requires BOTH: the
+# byte floor (below it the semi-join is measured faster everywhere) and a
+# compacted twin (mean file size >= _TWIN_MIN_MEAN_FILE_BYTES = 16 MiB —
+# between the measured losing 1.9 MB and winning 27 MB regimes; at
+# 16 MiB/file the twin's per-file term costs ~0.1 s/GiB vs the
+# semi-join's ~0.8 s/GiB decompress, 8x headroom). compact_epochs is the
+# lever that raises mean file size — maintenance is what ARMS the index,
+# and it clears these caches on completion. The twin is WRITTEN from the
+# first epoch either way — delta-sized, so the index is ready when the
+# state crosses the gate.
 _TWIN_MIN_BYTES = 8 << 30
+_TWIN_MIN_MEAN_FILE_BYTES = 16 << 20
 
 # Size-gate cache (per twin path): getContentSummary is a recursive
 # O(files) listing — on an object store that is one full tree walk PER
@@ -893,8 +903,12 @@ def _twin_worth_probing(spark: SparkSession, twin_path: str) -> bool:
     if not sinks.path_exists(spark, twin_path):
         return False
     fs, _ = sinks._fs_path(spark, twin_path)
-    length = fs.getContentSummary(_jpath(spark, twin_path)).getLength()
-    memo["crossed"] = length >= _TWIN_MIN_BYTES
+    summ = fs.getContentSummary(_jpath(spark, twin_path))
+    length, files = summ.getLength(), summ.getFileCount()
+    memo["crossed"] = bool(
+        length >= _TWIN_MIN_BYTES
+        and length >= files * _TWIN_MIN_MEAN_FILE_BYTES
+    )
     return memo["crossed"]
 
 

@@ -15,8 +15,14 @@ epoch count in the compacted regime compact_epochs maintains
 (`small_bytes` tiering), so the twin's footer-read term reflects a
 maintained base, not thousands of tiny files.
 
-Usage: python scripts/probe_twin_gate_r14.py
-(writes /tmp/probe_twin_gate_r14.json)
+Three points, 2 axes: (64 ep x 8M rows) and (160 ep x 8M rows) hold
+files-per-row constant — the UNMAINTAINED regime, where epoch (and file)
+count grows with the state; (10 ep x 128M rows) holds the SAME 1.28B rows
+in compacted epochs — the regime ``compact_epochs`` maintains. The pair of
+1.28B-row points isolates what the twin's cost actually tracks.
+
+Usage: python scripts/probe_twin_gate_r14.py [epochs:rows_per_epoch ...]
+(writes /tmp/probe_twin_gate_r14.json, or _extra.json for a subset run)
 """
 
 from __future__ import annotations
@@ -86,23 +92,35 @@ def main() -> None:
     spark = get_spark(cpus=32, driver_memory="24g", app_name="hrcm-twin-r14")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="hrcm_r14_twin_")
-    out = {"probe_docs": 8, "rows_per_epoch": 8_000_000}
+    points = [(64, 8_000_000), (160, 8_000_000), (10, 128_000_000)]
+    subset = [
+        (int(a.split(":")[0]), int(a.split(":")[1])) for a in sys.argv[1:]
+    ]
+    dest = "/tmp/probe_twin_gate_r14.json"
+    if subset:
+        points, dest = subset, "/tmp/probe_twin_gate_r14_extra.json"
+    out = {"probe_docs": 8}
     rows = []
     try:
         nodes = spark.createDataFrame([(i * 4,) for i in range(8)], "doc long")
-        for epochs in (64, 160):
+        for epochs, rows_per_epoch in points:
             base = f"{root}/e{epochs}"
-            _build_state(spark, base, out["rows_per_epoch"], epochs)
+            _build_state(spark, base, rows_per_epoch, epochs)
             fs, _ = sinks._fs_path(spark, base)
-            twin_bytes = fs.getContentSummary(
+            summ = fs.getContentSummary(
                 ingest._jpath(spark, f"{base}/components_by_label")
-            ).getLength()
+            )
+            twin_bytes = summ.getLength()
             rec = {
-                "state_rows": epochs * out["rows_per_epoch"],
+                "state_rows": epochs * rows_per_epoch,
                 "epochs": epochs,
+                "rows_per_epoch": rows_per_epoch,
                 "twin_bytes": int(twin_bytes),
                 "twin_gib": round(twin_bytes / (1 << 30), 2),
-                "past_gate": bool(twin_bytes >= ingest._TWIN_MIN_BYTES),
+                "twin_files": int(summ.getFileCount()),
+                "mean_file_mb": round(
+                    twin_bytes / max(1, summ.getFileCount()) / (1 << 20), 1
+                ),
             }
             for mode in ("r12_semijoin", "twin_literal"):
                 rec[f"{mode}_sec"] = round(_time_slice(spark, base, nodes, mode), 3)

@@ -171,6 +171,7 @@ def test_fold_invariance_with_twin_path_forced(spark, tmp_path, monkeypatch):
     pruned twin fetch, and the served golden records must still equal the
     one-shot resolve_entities."""
     monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)
+    monkeypatch.setattr(ingest, "_TWIN_MIN_MEAN_FILE_BYTES", 0)
     base = str(tmp_path / "mdm_twin")
     fn = ingest.make_entity_ingest_batch_fn(
         base, "name", "id", agree_cols=["nation", "seg"]

@@ -228,7 +228,8 @@ def test_twin_coverage_guard_and_backfill(spark, tmp_path, monkeypatch):
 
     from pyspark.sql import Row
 
-    monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)  # force the gate open
+    monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)
+    monkeypatch.setattr(ingest, "_TWIN_MIN_MEAN_FILE_BYTES", 0)  # force the gate open
     ingest._reset_twin_caches()
     base = str(tmp_path / "mdm")
 
@@ -317,6 +318,7 @@ def test_twin_gate_probe_is_cached(spark, tmp_path, monkeypatch):
 
     # crossing the gate: sticky True, zero further probes
     monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)
+    monkeypatch.setattr(ingest, "_TWIN_MIN_MEAN_FILE_BYTES", 0)
     ingest._reset_twin_caches()
     calls["n"] = 0
     for _ in range(10):

@@ -208,6 +208,7 @@ def test_fold_invariance_with_twin_path_forced(spark, tmp_path, monkeypatch):
     every batch, and the served labeling must still equal the one-shot
     CC(minhash_lsh_pairs(everything ingested))."""
     monkeypatch.setattr(ingest, "_TWIN_MIN_BYTES", 0)
+    monkeypatch.setattr(ingest, "_TWIN_MIN_MEAN_FILE_BYTES", 0)
     base = str(tmp_path / "corpus_twin")
     fn = ingest.make_component_ingest_batch_fn(base, **LSH)
     day1 = [(1, A), (2, A2), (5, LONER)]
