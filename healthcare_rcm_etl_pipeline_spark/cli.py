@@ -20,6 +20,7 @@ from healthcare_rcm_etl_pipeline_spark.session import get_spark
 
 
 def _cmd_pipeline(args) -> int:
+    from healthcare_rcm_etl_pipeline_spark.plans import analytics
     from healthcare_rcm_etl_pipeline_spark.plans.pipeline import run_pipeline
 
     spark = get_spark(app_name="hrcm-pipeline")
@@ -29,8 +30,13 @@ def _cmd_pipeline(args) -> int:
         staging_dir=args.staging,
         run_date=args.run_date,
     )
+    stats = star.get(analytics.STAR_STATS_KEY)
     for name, df in star.items():
+        if name == analytics.STAR_STATS_KEY:
+            continue
         print(f"{name}: {df.count()} rows")
+    if stats:
+        print(f"staging-time stats: {stats}")
     return 0
 
 

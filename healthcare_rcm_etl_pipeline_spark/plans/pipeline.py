@@ -179,4 +179,24 @@ def run_pipeline(
                 )
             else:
                 sinks.write_parquet(df, os.path.join(staging_dir, name))
+        # staging-time stats (analytics.STAR_STATS_KEY): counted from the
+        # JUST-WRITTEN parquet — a footer-metadata read, no recompute of the
+        # dim graph — so every downstream query build / view registration
+        # plans the size-aware join strategy with zero count jobs
+        # (scaled_lookup / register_star_views). Unstaged runs stay pure
+        # lazy DataFrames and attach stats explicitly if wanted
+        # (analytics.attach_star_stats).
+        from healthcare_rcm_etl_pipeline_spark.plans import analytics as _an
+
+        stats: dict[str, int] = {}
+        for name in _an.SF_GROWING_DIMS:
+            if name == "dim_patients":
+                stats[name] = sinks.read_versioned(
+                    spark, os.path.join(staging_dir, name)
+                ).count()
+            elif name in out:
+                stats[name] = spark.read.parquet(
+                    os.path.join(staging_dir, name)
+                ).count()
+        out[_an.STAR_STATS_KEY] = stats  # type: ignore[assignment]
     return out

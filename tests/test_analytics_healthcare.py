@@ -38,6 +38,12 @@ def _rowset(cols, rows):
 def star_env(spark):
     d = tempfile.mkdtemp(prefix="hrcm_analytics_")
     star = run_pipeline(spark, staging_dir=d, run_date="2025-08-03")
+    # r14: a STAGED pipeline run attaches the staging-time stats itself
+    # (footer-metadata counts of the just-written parquet)
+    assert analytics.STAR_STATS_KEY in star
+    assert star[analytics.STAR_STATS_KEY]["dim_patients"] == (
+        star["dim_patients"].count()
+    )
     # read back from staging so all three engines see identical bits
     staged = {}
     for name in analytics.STAR_TABLES:
