@@ -1066,6 +1066,7 @@ def make_component_ingest_batch_fn(
     n: int = 3,
     verify_threshold: float = 0.5,
     run_token: str | None = None,
+    compact_labels_every: int | None = None,
 ):
     """foreachBatch body maintaining a NEAR-DUP COMPONENT LABELING of the
     full corpus — the state the survivor policies (``dedup_keep_*``),
@@ -1115,6 +1116,17 @@ def make_component_ingest_batch_fn(
     ``connected_components(minhash_lsh_pairs(everything ingested))``
     exactly, and the served leakage-safe split equals the one-shot
     ``leakage_safe_split``.
+
+    ``compact_labels_every``: opt-in self-maintenance — every N committed
+    epochs, fold the two label states (``components`` +
+    ``components_by_label``) via ``compact_epochs(datasets=...)``: an
+    O(state) rewrite (the states are pair-graph-sized, ≪ corpus) that
+    bounds their epoch/file count and keeps the twin's mean file size
+    past the r14 gate's second axis — the stream ARMS its own scan-TWO
+    index instead of waiting for an operator's maintenance window. Runs
+    inside the batch under the maintenance lock (this stream is the
+    single writer); a crash mid-fold is healed by the next batch's
+    ``recover_base``.
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1171,6 +1183,10 @@ def make_component_ingest_batch_fn(
         finally:
             batch.unpersist()
         _write_marker(spark, base, bound, offset, physical)
+        if compact_labels_every and (physical + 1) % compact_labels_every == 0:
+            compact_epochs(
+                spark, base, datasets=("components", "components_by_label")
+            )
 
     return apply_batch
 
@@ -1264,6 +1280,7 @@ def make_entity_ingest_batch_fn(
     agree_cols: list[str] | None = None,
     max_key_len: int = 128,
     run_token: str | None = None,
+    compact_labels_every: int | None = None,
 ):
     """foreachBatch body maintaining an INCREMENTAL ENTITY RESOLUTION of a
     row stream — the streaming MDM pipeline (patient matching, customer
@@ -1345,6 +1362,13 @@ def make_entity_ingest_batch_fn(
         finally:
             batch.unpersist()
         _write_marker(spark, base, bound, offset, physical)
+        if compact_labels_every and (physical + 1) % compact_labels_every == 0:
+            # same self-maintenance cadence as the component path: fold
+            # the (pair-graph-sized) label states only — O(state), arms
+            # the scan-TWO twin's mean-file-size gate axis
+            compact_epochs(
+                spark, base, datasets=("entities", "entities_by_label")
+            )
 
     return apply_batch
 
@@ -1695,6 +1719,7 @@ def compact_epochs(
     base: str,
     small_bytes: int | None = None,
     steal_lock: bool = False,
+    datasets: tuple[str, ...] | list[str] | None = None,
 ) -> dict[str, int]:
     """Small-files management for a long-running ingest base: every epoch
     appends its own ``epoch=N`` directory, so after thousands of batches
@@ -1731,6 +1756,16 @@ def compact_epochs(
 
     The _EPOCH marker is untouched. Returns {dataset: folded_dir_count}.
 
+    ``datasets``: optional subset of dataset names to fold (default: all
+    of ``_DATASETS``). The practical use is ARMING the scan-TWO twin
+    without an O(corpus) rewrite: the label states are pair-graph-sized
+    (≪ corpus) but only fold in FULL mode, so
+    ``compact_epochs(spark, base, datasets=("components",
+    "components_by_label"))`` folds JUST them — O(state) — which is what
+    raises the twin's mean file size past ``_TWIN_MIN_MEAN_FILE_BYTES``
+    (the r14 gate's second axis). The ingest loops expose this as the
+    opt-in ``compact_labels_every`` cadence.
+
     Single-writer + checked-FS-API discipline as in ``purge_ids``: the
     ``_MAINT_LOCK`` gate (which batch-side recover_base must itself
     acquire before acting) keeps a concurrent batch from deleting the
@@ -1738,12 +1773,16 @@ def compact_epochs(
     raises on Hadoop's boolean-false failure mode so the trash is only
     dropped after the commit rename is CONFIRMED.
     """
+    targets = tuple(datasets) if datasets is not None else _DATASETS
+    unknown = sorted(set(targets) - set(_DATASETS))
+    if unknown:
+        raise ValueError(f"unknown compact_epochs datasets: {unknown}")
     fs, lock = _acquire_maintenance_lock(spark, base, steal_lock)
     try:
         recover_base(spark, base, ignore_lock=True)
         last = _read_epoch(spark, base)
         folded: dict[str, int] = {}
-        for sub in _DATASETS:
+        for sub in targets:
             root = f"{base}/{sub}"
             if not sinks.path_exists(spark, root):
                 continue

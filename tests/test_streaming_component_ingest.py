@@ -216,3 +216,81 @@ def test_fold_invariance_with_twin_path_forced(spark, tmp_path, monkeypatch):
     fn(_mkdf(spark, day1), 0)
     fn(_mkdf(spark, day2), 1)
     assert _served(spark, base) == _oneshot(spark, day1 + day2)
+
+
+def test_compact_datasets_subset_folds_only_label_states(spark, tmp_path):
+    """r14: `compact_epochs(datasets=...)` folds ONLY the named datasets —
+    the O(state) label-state fold that arms the scan-TWO twin's
+    mean-file-size gate axis WITHOUT the O(corpus) full fold. The docs
+    and bands epochs stay untouched; the served labeling is unchanged;
+    unknown dataset names are rejected."""
+    import pytest as _pytest
+
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_component_ingest_batch_fn(base, **LSH)
+    fn(_mkdf(spark, [(1, A), (2, A2), (5, LONER)]), 0)
+    fn(_mkdf(spark, [(3, B), (4, B2)]), 1)
+    fn(_mkdf(spark, [(10, A), (20, BRIDGE)]), 2)
+
+    before = _served(spark, base)
+
+    def _epoch_dirs(sub):
+        import os as _os
+
+        return sorted(
+            d for d in _os.listdir(f"{base}/{sub}") if d.startswith("epoch=")
+        )
+
+    docs_before = _epoch_dirs("docs")
+    folded = ingest.compact_epochs(
+        spark, base, datasets=("components", "components_by_label")
+    )
+    assert folded["components"] >= 2 and folded["components_by_label"] >= 2
+    assert "docs" not in folded and "bands" not in folded
+    assert _epoch_dirs("docs") == docs_before  # corpus untouched
+    assert len(_epoch_dirs("components")) == 1
+    assert len(_epoch_dirs("components_by_label")) == 1
+    assert _served(spark, base) == before
+    # twin tracks the main state through the subset fold
+    raw = spark.read.parquet(f"{base}/components")
+    twin = spark.read.parquet(f"{base}/components_by_label")
+    assert sorted(map(tuple, twin.collect())) == sorted(map(tuple, raw.collect()))
+
+    with _pytest.raises(ValueError):
+        ingest.compact_epochs(spark, base, datasets=("nope",))
+
+
+def test_component_ingest_auto_label_fold(spark, tmp_path):
+    """r14: `compact_labels_every` makes the stream arm its own twin —
+    every N epochs the label states fold in-loop (under the maintenance
+    lock), bounding their file count, and the fold invariant still holds:
+    the auto-folding run serves EXACTLY the labels of an unfolded run."""
+    import os as _os
+
+    base_a = str(tmp_path / "auto")
+    base_b = str(tmp_path / "plain")
+    fn_a = ingest.make_component_ingest_batch_fn(
+        base_a, compact_labels_every=2, **LSH
+    )
+    fn_b = ingest.make_component_ingest_batch_fn(base_b, **LSH)
+    days = [
+        [(1, A), (2, A2), (5, LONER)],
+        [(3, B), (4, B2)],
+        [(10, A)],
+        [(20, BRIDGE)],
+    ]
+    for ep, rows in enumerate(days):
+        fn_a(_mkdf(spark, rows), ep)
+        fn_b(_mkdf(spark, rows), ep)
+
+    assert _served(spark, base_a) == _served(spark, base_b)
+    comp_dirs = [
+        d for d in _os.listdir(f"{base_a}/components") if d.startswith("epoch=")
+    ]
+    # 4 epochs with folds after 2 and 4: at most the 2 fold targets remain
+    assert len(comp_dirs) <= 2
+    # docs keep their per-epoch dirs (auto-fold touches label states only)
+    assert (
+        len([d for d in _os.listdir(f"{base_a}/docs") if d.startswith("epoch=")])
+        == 4
+    )
