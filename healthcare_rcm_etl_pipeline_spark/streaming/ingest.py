@@ -1777,6 +1777,16 @@ def compact_epochs(
     unknown = sorted(set(targets) - set(_DATASETS))
     if unknown:
         raise ValueError(f"unknown compact_epochs datasets: {unknown}")
+    # label states fold as a PAIR: the full fold GCs superseded label rows
+    # (latest-per-doc), so folding one sort order without its twin leaves
+    # the two stores with different row sets (still serving-equivalent,
+    # but a divergence no reader should have to reason about) and epoch
+    # layouts that drift apart. Refuse the asymmetric call.
+    for a, b in (("components", "components_by_label"), ("entities", "entities_by_label")):
+        if (a in targets) != (b in targets):
+            raise ValueError(
+                f"label states fold as a pair: include both {a!r} and {b!r}"
+            )
     fs, lock = _acquire_maintenance_lock(spark, base, steal_lock)
     try:
         recover_base(spark, base, ignore_lock=True)

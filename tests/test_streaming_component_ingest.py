@@ -258,6 +258,10 @@ def test_compact_datasets_subset_folds_only_label_states(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         ingest.compact_epochs(spark, base, datasets=("nope",))
+    # label states fold as a pair: one sort order without its twin would
+    # GC superseded rows on one side only
+    with _pytest.raises(ValueError):
+        ingest.compact_epochs(spark, base, datasets=("components",))
 
 
 def test_component_ingest_auto_label_fold(spark, tmp_path):
