@@ -458,7 +458,16 @@ def windowed_embedding_centroid_drift(
     ``windowed_distribution_drift`` (the two-snapshot twin instead drops
     one-sided groups; a monitoring stream must surface them); windows
     with no current vectors emit no row (the output is current-driven).
-    NULL vectors are excluded on both sides.
+
+    Malformed vectors: NULLs AND wrong-dimension vectors (size != dim)
+    are excluded on both sides — pinned, not incidental. Under ANSI mode
+    a short vector would otherwise CRASH the stream on ``element_at``
+    (one bad record killing a monitoring query), and a long vector would
+    silently truncate into the centroid; exclusion keeps the stream
+    alive with defined semantics, and a mass dim change (encoder swap)
+    surfaces as a collapsing ``n_cur``. (The two-snapshot batch twin
+    ``embedding_centroid_drift`` posexplodes and needs no dim parameter;
+    it assumes curated equal-dim snapshots.)
 
     Shape at 100 TB: the stream is scanned once; the shuffle carries one
     row per (group, window) of width dim+1 (map-side combinable sums —
@@ -481,8 +490,9 @@ def windowed_embedding_centroid_drift(
             F.round(F.round(c, 6) * F.lit(1_000_000.0), 0).cast("bigint")
         )
 
+    well_formed = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
     ref_grid = (
-        ref.filter(F.col(vec_col).isNotNull())
+        ref.filter(well_formed)
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("__rt"),
@@ -490,7 +500,7 @@ def windowed_embedding_centroid_drift(
         )
     )
     cur_agg = (
-        cur.filter(F.col(vec_col).isNotNull())
+        cur.filter(well_formed)
         .groupBy(group_col, F.window(ts_col, duration).alias("__w"))
         .agg(
             F.count(F.lit(1)).alias("__ct"),

@@ -352,6 +352,21 @@ class TestWindowedEmbeddingCentroidDrift:
         assert (row["n_ref"], row["n_cur"]) == (1, 1)
         assert row["centroid_cos"] == 1.0
 
+    def test_wrong_dim_vectors_excluded_not_crash(self, spark):
+        """A monitoring stream must survive malformed vectors: under ANSI
+        mode a short vector would crash element_at and a long one would
+        silently truncate — both are excluded like NULLs (pinned), and a
+        mass dim change surfaces as a collapsing n_cur."""
+        ref = _wvecs(spark, [(0, [1.0, 0.0])])
+        cur = _wvecs(
+            spark, [(0, [1.0, 0.0]), (0, [5.0]), (0, [1.0, 0.0, 9.0])]
+        )
+        row = quality.windowed_embedding_centroid_drift(
+            ref, cur, "embedding", "label", "ts", "1 hour", dim=2
+        ).first()
+        assert row["n_cur"] == 1  # short + long both excluded
+        assert row["centroid_cos"] == 1.0  # and neither poisoned the math
+
     def test_micro_batch_order_invariant(self, spark):
         """The integerized per-dim sums make the window aggregate exactly
         order/partitioning-insensitive — the property micro-batched
