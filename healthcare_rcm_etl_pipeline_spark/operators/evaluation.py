@@ -67,7 +67,10 @@ def retrieval_eval(
     disc = ndcg_discounts(k)
     darr = F.array(*[F.lit(d) for d in disc])
 
-    r = results.filter(F.col(rank_col) <= k).select(
+    # rank domain is 1..k: rows past k are ignored per the contract, and
+    # rows with rank < 1 (malformed caller input) are excluded rather
+    # than crashing the ANSI element_at(darr, 0) lookup below
+    r = results.filter((F.col(rank_col) >= 1) & (F.col(rank_col) <= k)).select(
         F.col(query_col).alias("qid"),
         F.col(doc_col).alias("did"),
         F.col(rank_col).cast("int").alias("rnk"),
