@@ -80,10 +80,35 @@ def main() -> int:
     print(f"TOTAL {len(qs)} FAILURES: {fails or 'none'}")
     if json_path:
         import json
+        import subprocess
 
+        from closeout import source_digest
+
+        # Provenance stamps (r14 verdict #2): source_digest is the
+        # asserted field — tests/test_closeout.py recomputes it on the
+        # working tree, so a source commit after the sweep turns the
+        # closeout guard red. git_head is informational (the digest also
+        # covers uncommitted source, which a commit hash cannot).
+        try:
+            head = subprocess.run(
+                ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+        except Exception:
+            head = None
         with open(json_path, "a") as f:
             f.write(
-                json.dumps({"sf_dir": sf_dir, "total": len(qs), "failures": fails})
+                json.dumps(
+                    {
+                        "sf_dir": sf_dir,
+                        "total": len(qs),
+                        "failures": fails,
+                        "source_digest": source_digest(),
+                        "git_head": head,
+                    }
+                )
                 + "\n"
             )
     spark.stop()
