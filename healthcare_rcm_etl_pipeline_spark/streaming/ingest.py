@@ -294,7 +294,7 @@ def make_dedup_ingest_batch_fn(
         # trash/tmp leftover; resolve it BEFORE reading the corpus/index,
         # or this batch would dedup against a half-swapped view (one
         # directory listing per dataset — negligible next to the batch)
-        recover_base(spark, base)
+        recover_base(spark, base, own_token=bound)
 
         # 1. within-batch: exact, then near-dup clusters -> min-id survivor
         keep = dedup.exact_dedup(batch_df, text_col, id_col).select(
@@ -463,7 +463,7 @@ def make_semantic_ingest_batch_fn(
         if resolved is None:
             return
         bound, offset, physical, last = resolved
-        recover_base(spark, base)  # same pre-read healing as the text path
+        recover_base(spark, base, own_token=bound)  # same pre-read healing as the text path
 
         # 1. within-batch semantic dedup (fixed planes; returns (id, cell))
         surv = dedup.semantic_dedup(
@@ -683,7 +683,7 @@ def make_chunk_ingest_batch_fn(
         if resolved is None:
             return
         bound, offset, physical, last = resolved
-        recover_base(spark, base)
+        recover_base(spark, base, own_token=bound)
         # max_epoch=last: a replay of a partially-committed epoch must not
         # probe its own ghost chunk rows, or the whole batch's chunks would
         # anti-join away against themselves (the read_corpus lesson).
@@ -1025,36 +1025,58 @@ def _merge_label_state(
     )
 
 
+def _epoch_dir_set(spark: SparkSession, root: str) -> set[int]:
+    """Epoch numbers of the ``epoch=N`` directories under ``root`` (one
+    listing; {} for a missing root). Used to DERIVE the twin coverage
+    stamp when the marker is absent — see ``_write_label_delta``."""
+    if not sinks.path_exists(spark, root):
+        return set()
+    fs, _ = sinks._fs_path(spark, root)
+    return {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(_jpath(spark, root))
+        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+    }
+
+
 def _write_label_delta(delta: DataFrame, base: str, name: str, physical: int) -> None:
     """Append an epoch's label delta under BOTH probe-key sort orders:
     doc-sorted main state (label serving, scan ONE) and component-sorted
     twin (scan TWO's file-pruned touched-component fetch). The delta is
     batch-neighborhood-sized, so the double write is the cheap side of
-    the trade (SCALE.md r13). On the twin's FIRST write the coverage
-    marker is stamped (_TWIN_SINCE): "complete" when the state is born in
-    the same call, "partial <epoch>" when the state pre-existed (upgrade
-    of a pre-twin base) — scan TWO refuses a partial twin until
-    ``backfill_label_twin`` completes it. The marker lands AFTER both
-    epoch dirs: a crash in between leaves a marker-less (= conservatively
-    partial) twin, never a falsely-complete one."""
+    the trade (SCALE.md r13). Whenever the coverage marker (_TWIN_SINCE)
+    is absent AFTER the double write — the twin's first epoch, or a
+    replay of a crash that landed between the twin write and the marker
+    write — the stamp is DERIVED from disk (r14 ADVICE low: the old
+    first-write-only stamp left a crash-orphaned marker-less twin
+    permanently "partial" even though every epoch was double-written):
+    "complete" iff the twin's epoch-dir set equals the main state's
+    (appends write both sides, maintenance folds them as a pair, so set
+    equality is exact coverage), else "partial <min twin epoch>" —
+    scan TWO then refuses it until ``backfill_label_twin`` completes it.
+    The derivation can never stamp a falsely-complete twin: a twin
+    missing any state epoch fails the set equality. Steady state pays
+    nothing (marker present → no listings)."""
     spark = delta.sparkSession
+    state_root = f"{base}/{name}"
     twin_root = f"{base}/{name}_by_label"
-    stamp = None
-    if not sinks.path_exists(spark, twin_root):
-        stamp = (
-            "complete"
-            if not sinks.path_exists(spark, f"{base}/{name}")
-            else f"partial {physical}"
-        )
     delta = delta.localCheckpoint(eager=True)
     _range_sorted(delta, "doc").write.mode("overwrite").parquet(
-        f"{base}/{name}/epoch={physical}"
+        f"{state_root}/epoch={physical}"
     )
     _range_sorted(delta, "component").write.mode("overwrite").parquet(
         f"{twin_root}/epoch={physical}"
     )
-    if stamp is not None:
-        sinks.write_text_marker(spark, f"{twin_root}/{_TWIN_SINCE}", stamp)
+    marker = f"{twin_root}/{_TWIN_SINCE}"
+    if not sinks.path_exists(spark, marker):
+        state_eps = _epoch_dir_set(spark, state_root)
+        twin_eps = _epoch_dir_set(spark, twin_root)
+        stamp = (
+            "complete"
+            if twin_eps == state_eps
+            else f"partial {min(twin_eps)}"
+        )
+        sinks.write_text_marker(spark, marker, stamp)
 
 
 def make_component_ingest_batch_fn(
@@ -1124,9 +1146,17 @@ def make_component_ingest_batch_fn(
     bounds their epoch/file count and keeps the twin's mean file size
     past the r14 gate's second axis — the stream ARMS its own scan-TWO
     index instead of waiting for an operator's maintenance window. Runs
-    inside the batch under the maintenance lock (this stream is the
-    single writer); a crash mid-fold is healed by the next batch's
-    ``recover_base``.
+    inside the batch under the maintenance lock, stamped with this
+    stream's run token (this stream is the single writer): a crash
+    mid-fold orphans the lock, and the next incarnation's batch-side
+    ``recover_base(own_token=...)`` recognizes its own token, steals the
+    orphan, and rolls the half-finished swap back/forward BEFORE reading
+    state — without the steal, the orphaned lock would have suppressed
+    healing while the trash-parked epochs stayed invisible to scans
+    (r14 ADVICE high). A lock held by a FOREIGN owner (operator
+    purge/compact) defers the fold to the next cadence epoch with a
+    warning instead of failing the already-committed batch (r14 ADVICE
+    medium).
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1135,7 +1165,7 @@ def make_component_ingest_batch_fn(
         if resolved is None:
             return
         bound, offset, physical, last = resolved
-        recover_base(spark, base)
+        recover_base(spark, base, own_token=bound)
 
         # ONE band table per batch: it feeds the within-batch LSH, the
         # index prune, the incremental probe's new side and the bands
@@ -1184,9 +1214,26 @@ def make_component_ingest_batch_fn(
             batch.unpersist()
         _write_marker(spark, base, bound, offset, physical)
         if compact_labels_every and (physical + 1) % compact_labels_every == 0:
-            compact_epochs(
-                spark, base, datasets=("components", "components_by_label")
-            )
+            # owner=bound: the lock carries this stream's run token so a
+            # crash mid-fold is self-healed by the next incarnation's
+            # recover_base (r14 ADVICE high). MaintenanceLockHeld — a
+            # concurrent operator purge/compact, or an orphan a foreign
+            # owner must resolve — defers the fold to the next cadence
+            # epoch instead of failing the (already-committed) batch and
+            # killing the streaming query (r14 ADVICE medium).
+            try:
+                compact_epochs(
+                    spark,
+                    base,
+                    datasets=("components", "components_by_label"),
+                    owner=bound,
+                )
+            except MaintenanceLockHeld as exc:
+                warnings.warn(
+                    f"cadence label fold deferred at epoch {physical}: {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     return apply_batch
 
@@ -1329,7 +1376,7 @@ def make_entity_ingest_batch_fn(
         if resolved is None:
             return
         bound, offset, physical, last = resolved
-        recover_base(spark, base)
+        recover_base(spark, base, own_token=bound)
 
         batch_post = fuzzy.deletion_postings(
             batch_df, key_col, id_col, agree_cols, max_key_len
@@ -1363,12 +1410,23 @@ def make_entity_ingest_batch_fn(
             batch.unpersist()
         _write_marker(spark, base, bound, offset, physical)
         if compact_labels_every and (physical + 1) % compact_labels_every == 0:
-            # same self-maintenance cadence as the component path: fold
-            # the (pair-graph-sized) label states only — O(state), arms
-            # the scan-TWO twin's mean-file-size gate axis
-            compact_epochs(
-                spark, base, datasets=("entities", "entities_by_label")
-            )
+            # same self-maintenance cadence (and the same owner-stamped
+            # lock + lock-held deferral) as the component path: fold the
+            # (pair-graph-sized) label states only — O(state), arms the
+            # scan-TWO twin's mean-file-size gate axis
+            try:
+                compact_epochs(
+                    spark,
+                    base,
+                    datasets=("entities", "entities_by_label"),
+                    owner=bound,
+                )
+            except MaintenanceLockHeld as exc:
+                warnings.warn(
+                    f"cadence label fold deferred at epoch {physical}: {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     return apply_batch
 
@@ -1426,7 +1484,33 @@ class MaintenanceLockHeld(RuntimeError):
     pass
 
 
-def _acquire_maintenance_lock(spark: SparkSession, base: str, steal: bool):
+def _stamp_lock_owner(spark: SparkSession, fs, lock: str, owner: str) -> None:
+    """Write the owner token INTO the already-held lock file (create with
+    overwrite — the path never disappears, unlike write_text_marker's
+    delete+rename, which would open a window where a second writer's
+    ``createNewFile`` succeeds). Content lands after the atomic create,
+    so a reader may briefly see an empty lock: empty/unreadable owner is
+    treated as foreign (never stealable by a stream)."""
+    out = fs.create(_jpath(spark, lock), True)
+    try:
+        out.write(bytearray(owner.encode()))
+    finally:
+        out.close()
+
+
+def _read_lock_owner(spark: SparkSession, lock: str) -> str:
+    """Owner token stamped in the lock file; "" for unstamped (operator)
+    locks, pre-owner-era locks, or a read hitting the create/stamp gap —
+    all of which read as foreign and are never auto-stolen."""
+    try:
+        return sinks.read_text_marker(spark, lock, "")
+    except Exception:  # noqa: BLE001 — unreadable owner == foreign
+        return ""
+
+
+def _acquire_maintenance_lock(
+    spark: SparkSession, base: str, steal: bool, owner: str | None = None
+):
     """Single-writer gate for purge_ids/compact_epochs. The swap protocol
     is crash-safe against a KILLED maintenance op, but not against a
     CONCURRENT one: a second writer's recover_base could classify the
@@ -1438,7 +1522,15 @@ def _acquire_maintenance_lock(spark: SparkSession, base: str, steal: bool):
     found leftovers) — so a batch can never delete an op's in-flight
     tmp/trash, and an op can never start mid-heal. If a holder crashes
     while locked, the leftovers stay quarantined until an operator
-    confirms nothing is running and re-runs with ``steal_lock=True``."""
+    confirms nothing is running and re-runs with ``steal_lock=True``.
+
+    ``owner``: optional token stamped into the lock file identifying the
+    holder. Streams pass their checkpoint run token for in-loop cadence
+    folds and batch-side heals, which lets a RESTARTED stream recognize
+    (and steal) its own crashed incarnation's orphan in ``recover_base``
+    — r14 ADVICE: a crash mid-fold must not leave the stream silently
+    reading a half-swapped state. Operator calls leave it None
+    (unstamped locks are never stolen automatically)."""
     fs, _ = sinks._fs_path(spark, base)
     lock = f"{base}/{_MAINT_LOCK}"
     if steal:
@@ -1452,6 +1544,8 @@ def _acquire_maintenance_lock(spark: SparkSession, base: str, steal: bool):
             "with steal_lock=True (recover_base then heals any "
             "half-finished swap)."
         )
+    if owner:
+        _stamp_lock_owner(spark, fs, lock, owner)
     return fs, lock
 
 
@@ -1476,7 +1570,10 @@ def _release_maintenance_lock(spark: SparkSession, fs, lock: str) -> None:
 
 
 def recover_base(
-    spark: SparkSession, base: str, ignore_lock: bool = False
+    spark: SparkSession,
+    base: str,
+    ignore_lock: bool = False,
+    own_token: str | None = None,
 ) -> dict[str, int]:
     """Detect and resolve interrupted maintenance swaps (purge_ids /
     compact_epochs) so a crash at ANY point is recoverable without data
@@ -1595,12 +1692,35 @@ def recover_base(
         return _apply(_sweep(apply=True))
     lock = f"{base}/{_MAINT_LOCK}"
     if fs.exists(_jpath(spark, lock)):
-        return {}
+        # r14 ADVICE (high): a lock stamped with THIS stream's own run
+        # token is an orphan from a crashed prior incarnation — the
+        # in-loop cadence fold and the batch-side heal both run
+        # synchronously inside a batch, so when a new batch of the same
+        # checkpoint instance starts, no hold by this stream can be live
+        # (the exactly-once design already excludes two concurrent
+        # incarnations of one checkpoint). Steal it and fall through to
+        # the heal scan, so the half-finished swap is rolled back/forward
+        # BEFORE this batch reads state. Foreign/unstamped owners keep
+        # the hands-off contract: return {} without touching anything.
+        if not (own_token and _read_lock_owner(spark, lock) == own_token):
+            return {}
+        warnings.warn(
+            f"stealing own orphaned maintenance lock at {lock} (crashed "
+            "prior incarnation of this stream); healing leftovers before "
+            "reading state",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        _must_delete(spark, fs, lock)
     detected = _sweep(apply=False)
     if not any(detected.values()):
         return detected  # steady state: no leftovers, no lock taken
     if not fs.createNewFile(_jpath(spark, lock)):
         return {}  # a maintenance op took the lock between scan and acquire
+    if own_token:
+        # stamp the heal hold too: a crash mid-heal must stay stealable
+        # by the same stream's next incarnation
+        _stamp_lock_owner(spark, fs, lock, own_token)
     try:
         return _apply(_sweep(apply=True))  # re-scan under the lock
     finally:
@@ -1720,6 +1840,7 @@ def compact_epochs(
     small_bytes: int | None = None,
     steal_lock: bool = False,
     datasets: tuple[str, ...] | list[str] | None = None,
+    owner: str | None = None,
 ) -> dict[str, int]:
     """Small-files management for a long-running ingest base: every epoch
     appends its own ``epoch=N`` directory, so after thousands of batches
@@ -1787,7 +1908,7 @@ def compact_epochs(
             raise ValueError(
                 f"label states fold as a pair: include both {a!r} and {b!r}"
             )
-    fs, lock = _acquire_maintenance_lock(spark, base, steal_lock)
+    fs, lock = _acquire_maintenance_lock(spark, base, steal_lock, owner=owner)
     try:
         recover_base(spark, base, ignore_lock=True)
         last = _read_epoch(spark, base)

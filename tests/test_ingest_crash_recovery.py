@@ -391,3 +391,67 @@ def test_lock_release_failure_warns_not_masks(spark, tmp_path, monkeypatch):
         "bands": 1,
     }
     assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
+
+
+def test_own_orphan_lock_stolen_and_healed(spark, tmp_path):
+    """r14 ADVICE (high): a lock stamped with the stream's OWN run token
+    is an orphan from a crashed prior incarnation (fold/heal runs
+    synchronously in-batch, so no live hold by the same stream can exist
+    when a new batch starts). recover_base(own_token=...) must steal it
+    and heal — otherwise the orphan suppresses healing forever while the
+    trash-parked epochs stay invisible to every scan."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    _write_purge_tmp(spark, base, 0, [1])
+    lock = f"{base}/{ingest._MAINT_LOCK}"
+    with open(lock, "w") as f:
+        f.write("tok-mine")
+
+    # wrong token: hands off (a FOREIGN stream/op may be alive)
+    assert ingest.recover_base(spark, base, own_token="tok-other") == {}
+    assert os.path.exists(lock)
+    # unstamped (operator) lock: never auto-stolen
+    open(lock, "w").close()
+    assert ingest.recover_base(spark, base, own_token="tok-mine") == {}
+    assert os.path.exists(lock)
+
+    # own token: steal, heal, release
+    with open(lock, "w") as f:
+        f.write("tok-mine")
+    import pytest as _pytest
+
+    with _pytest.warns(RuntimeWarning, match="stealing own orphaned"):
+        got = ingest.recover_base(spark, base, own_token="tok-mine")
+    assert got["docs"] == 1
+    assert not os.path.exists(lock)
+    _no_hidden_dirs(base)
+    assert _ids(spark, base) == [1, 2]  # stale tmp dropped, no data loss
+
+
+def test_own_token_steady_state_takes_no_lock(spark, tmp_path):
+    """own_token must not change the steady-state contract: no leftovers,
+    no lock present -> zero counts, no lock ever created."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    got = ingest.recover_base(spark, base, own_token="tok-mine")
+    assert got and all(v == 0 for v in got.values())
+    assert not os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
+
+
+def test_operator_maintenance_lock_is_unstamped(spark, tmp_path):
+    """Operator-driven purge/compact must leave the lock UNSTAMPED while
+    held (owner=None), so no stream can ever steal a live operator hold;
+    the in-loop cadence fold stamps its run token (owner=...)."""
+    base = str(tmp_path / "corpus")
+    _build_base(spark, base, [[(1, LONG_A), (2, LONG_B)]])
+    lock = f"{base}/{ingest._MAINT_LOCK}"
+
+    fs, got_lock = ingest._acquire_maintenance_lock(spark, base, steal=False)
+    assert ingest._read_lock_owner(spark, lock) == ""
+    ingest._release_maintenance_lock(spark, fs, got_lock)
+
+    fs, got_lock = ingest._acquire_maintenance_lock(
+        spark, base, steal=False, owner="tok-a"
+    )
+    assert ingest._read_lock_owner(spark, lock) == "tok-a"
+    ingest._release_maintenance_lock(spark, fs, got_lock)

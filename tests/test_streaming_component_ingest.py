@@ -298,3 +298,132 @@ def test_component_ingest_auto_label_fold(spark, tmp_path):
         len([d for d in _os.listdir(f"{base_a}/docs") if d.startswith("epoch=")])
         == 4
     )
+
+
+def test_crash_midfold_selfheals_on_next_batch(spark, tmp_path):
+    """r14 ADVICE (high), end to end: a crash INSIDE the in-loop cadence
+    fold — after the components fold committed but mid-way through the
+    components_by_label trash-moves — orphans the run-token-stamped
+    maintenance lock with the twin's epochs parked in .compact_trash.
+    The restarted stream's next batch must steal its own orphan, roll the
+    twin back, and serve the exact one-shot labeling; before the fix the
+    lock suppressed healing and scan TWO read a twin missing components.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    base = str(tmp_path / "corpus")
+    tok = "tok-stream-a"
+    fn = ingest.make_component_ingest_batch_fn(
+        base, run_token=tok, compact_labels_every=2, **LSH
+    )
+    days = [[(1, A), (2, A2), (5, LONER)], [(3, B), (4, B2)]]
+    fn(_mkdf(spark, days[0]), 0)
+    fn(_mkdf(spark, days[1]), 1)  # cadence fold ran here
+
+    # fabricate the mid-fold crash: twin epochs moved aside, tmp present,
+    # lock orphaned with this stream's token
+    twin_root = f"{base}/components_by_label"
+    trash = f"{twin_root}/.compact_trash"
+    _os.makedirs(trash)
+    for d in [x for x in _os.listdir(twin_root) if x.startswith("epoch=")]:
+        _shutil.move(f"{twin_root}/{d}", f"{trash}/{d}")
+    _os.makedirs(f"{twin_root}/.compact_tmp")
+    with open(f"{base}/{ingest._MAINT_LOCK}", "w") as f:
+        f.write(tok)
+
+    day3 = [(10, A), (20, BRIDGE)]
+    with _pytest.warns(RuntimeWarning, match="stealing own orphaned"):
+        fn(_mkdf(spark, day3), 2)
+
+    assert not _os.path.exists(f"{base}/{ingest._MAINT_LOCK}")
+    assert not _os.path.exists(trash)
+    assert _served(spark, base) == _oneshot(spark, days[0] + days[1] + day3)
+    # twin rolled back + this epoch's append: same rows as the main state
+    raw = spark.read.parquet(f"{base}/components")
+    twin = spark.read.parquet(twin_root)
+    assert sorted(map(tuple, twin.collect())) == sorted(map(tuple, raw.collect()))
+
+
+def test_inloop_fold_defers_on_foreign_lock(spark, tmp_path):
+    """r14 ADVICE (medium): a cadence fold that finds the maintenance lock
+    held by a FOREIGN owner (concurrent operator op, or an orphan only an
+    operator may steal) must WARN and defer — not raise out of
+    foreachBatch and kill the streaming query. The batch's own commit
+    already happened; the fold re-arms at the next cadence epoch."""
+    import os as _os
+
+    import pytest as _pytest
+
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_component_ingest_batch_fn(
+        base, run_token="tok-a", compact_labels_every=2, **LSH
+    )
+    fn(_mkdf(spark, [(1, A), (2, A2), (5, LONER)]), 0)
+    # foreign (unstamped operator) lock present when epoch 1's fold fires
+    lock = f"{base}/{ingest._MAINT_LOCK}"
+    open(lock, "w").close()
+    with _pytest.warns(RuntimeWarning, match="cadence label fold deferred"):
+        fn(_mkdf(spark, [(3, B), (4, B2)]), 1)
+    assert _os.path.exists(lock)  # foreign lock untouched
+    # batch itself committed; labels served correctly despite the deferral
+    assert _served(spark, base) == _oneshot(
+        spark, [(1, A), (2, A2), (5, LONER), (3, B), (4, B2)]
+    )
+    comp_dirs = [
+        d for d in _os.listdir(f"{base}/components") if d.startswith("epoch=")
+    ]
+    assert len(comp_dirs) == 2  # fold deferred: nothing folded
+
+    _os.remove(lock)
+    fn(_mkdf(spark, [(10, A)]), 2)
+    fn(_mkdf(spark, [(20, BRIDGE)]), 3)  # next cadence: fold succeeds
+    assert _served(spark, base) == _oneshot(
+        spark,
+        [(1, A), (2, A2), (5, LONER), (3, B), (4, B2), (10, A), (20, BRIDGE)],
+    )
+    comp_dirs = [
+        d for d in _os.listdir(f"{base}/components") if d.startswith("epoch=")
+    ]
+    assert len(comp_dirs) == 1  # the re-armed fold caught up
+
+
+def test_twin_marker_rederived_when_absent(spark, tmp_path):
+    """r14 ADVICE (low): a crash between the twin's first parquet write
+    and the _TWIN_SINCE marker write leaves a marker-less twin that the
+    old first-write-only stamp never repaired. The stamp is now DERIVED
+    after every double-write while the marker is absent: equal epoch-dir
+    sets -> "complete" (the double-write invariant guarantees coverage);
+    a twin genuinely missing a state epoch -> "partial <min twin epoch>"
+    and scan TWO stays refused until backfill_label_twin."""
+    import os as _os
+    import shutil as _shutil
+
+    base = str(tmp_path / "corpus")
+    fn = ingest.make_component_ingest_batch_fn(base, **LSH)
+    fn(_mkdf(spark, [(1, A), (2, A2), (5, LONER)]), 0)
+    fn(_mkdf(spark, [(3, B), (4, B2)]), 1)
+    twin_root = f"{base}/components_by_label"
+    marker = f"{twin_root}/{ingest._TWIN_SINCE}"
+    assert open(marker).read().strip() == "complete"
+
+    # crash-orphaned marker: next batch re-derives "complete"
+    _os.remove(marker)
+    ingest._reset_twin_caches()
+    fn(_mkdf(spark, [(10, A)]), 2)
+    assert open(marker).read().strip() == "complete"
+    assert ingest._twin_complete(spark, base, "components")
+
+    # genuinely partial twin (an epoch dir lost): derived stamp refuses
+    _os.remove(marker)
+    _shutil.rmtree(f"{twin_root}/epoch=0")
+    ingest._reset_twin_caches()
+    fn(_mkdf(spark, [(20, BRIDGE)]), 3)
+    stamp = open(marker).read().strip()
+    assert stamp.startswith("partial "), stamp
+    assert not ingest._twin_complete(spark, base, "components")
+    # backfill completes it again
+    ingest.backfill_label_twin(spark, base, "components")
+    assert open(marker).read().strip() == "complete"
