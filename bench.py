@@ -251,6 +251,8 @@ HEADLINE = [
     "drift_psi_events",
     "entity_resolution_golden",
     "ann_hard_negatives",
+    # round-15 surface addition (drift-gated ANN index maintenance)
+    "ann_ivf_drift_refresh",
 ]
 
 
@@ -510,6 +512,49 @@ def _bench_ann_production(spark, sf_dir: str, codes, books) -> dict:
         "pq_m32_rerank50": _run(
             lambda: similarity.pq_topk(codes, q, books, k=5, rerank=50, corpus=emb)
         ),
+    }
+
+    # drift-gated refresh (r15): encoder-shift scenario — labels 0-2
+    # re-embedded through x -> 0.5x + 0.25; the drift gate fires for
+    # exactly those groups and one Lloyd step re-centers the md5-seeded
+    # stale centroids over the drifted slice. Row records the refresh
+    # cost plus stale-vs-refreshed top-5 recall at the production
+    # partial probe (4 of 8 cells) against brute force on the drifted
+    # corpus — the staleness trade the r14 verdict flagged as unmanaged.
+    from pyspark.sql import functions as F
+
+    from healthcare_rcm_etl_pipeline_spark.functions.vector import as_double_vec
+
+    ev = as_double_vec("embedding")
+    cur = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("label") < 3,
+            F.transform(ev, lambda x: F.round(x * F.lit(0.5) + F.lit(0.25), 6)),
+        ).otherwise(ev),
+    )
+    t0 = time.perf_counter()
+    refreshed = similarity.ivf_refresh_centroids(
+        similarity.ivf_drift_refresh(emb, cur, n_cells=8, drift_threshold=0.9)
+    )
+    refresh_sec = round(time.perf_counter() - t0, 3)
+    stale_c = similarity.ivf_seed_centroids_md5(emb)
+    qd = cur.filter(cur.vec_id % 40 == 0)
+    exact_d = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(cur, qd, k=5).collect()
+    }
+    recalls = {}
+    for nm, cc in (("stale", stale_c), ("refreshed", refreshed)):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(cur, qd, cc, k=5, n_probe=4).collect()
+        }
+        recalls[f"recall_{nm}"] = round(len(exact_d & approx) / len(exact_d), 4)
+    out["ivf_drift_refresh"] = {
+        "refresh_sec": refresh_sec,
+        "changed_cells": sum(1 for a, b in zip(stale_c, refreshed) if a != b),
+        **recalls,
     }
     return out
 

@@ -1168,3 +1168,193 @@ def mmr_topk(
         F.col("cid").alias("neighbor_id"),
         (F.col("score_i") / F.lit(scale)).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-gated IVF maintenance (r14 verdict #3): the centroid-drift monitor
+# and the IVF index live in the same engine — wire them, so a drifting
+# embedding distribution (encoder update, domain shift) triggers an
+# incremental centroid refresh instead of silently degrading recall until
+# someone notices and refits from scratch.
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale shared with quality.embedding_centroid_drift — the
+#: refresh sums are exact BIGINTs so the oracle reproduces them bit-for-bit
+_REFRESH_SCALE = 1_000_000.0
+
+
+def ivf_seed_centroids_md5(
+    ref: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    salt: str = "ivf-seed-v1",
+) -> list[list[float]]:
+    """Cross-engine-reproducible IVF seeding: the ``n_cells`` corpus
+    vectors with the smallest 48-bit ``md5(salt || id)`` bucket (id
+    tiebreak), components quantized at 6 dp. Same selection device as
+    ``dedup.deterministic_split`` — md5, not xxhash64, precisely so an
+    external SQL engine can rebuild the SAME stale centroids, which is
+    what makes ``ivf_drift_refresh``'s oracle possible. ``ivf_fit``'s
+    xxhash64 seeding stays the in-engine default (one fewer md5 per row).
+
+    Only n_cells × dim floats reach the driver (documented bound — the
+    same footprint class as ivf_fit's seed collect)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    rows = (
+        ref.select(as_double_vec(vec_col).alias("__v"), bucket.alias("__b"), id_col)
+        .orderBy("__b", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty reference corpus")
+    return [[round(float(x), 6) for x in r["__v"]] for r in rows]
+
+
+def _cell_scores_rounded(v: F.Column, centroids: list[list[float]]) -> list[F.Column]:
+    """``_cell_scores`` with the score rounded at 6 dp BEFORE the argmax:
+    cross-engine assignment must not hinge on sub-1e-6 float-fold noise
+    (ties after rounding break to the HIGHEST cell in both engines —
+    array_max on struct(s, cell) here, ORDER BY s DESC, cell DESC in the
+    oracle)."""
+    norm_v = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    out = []
+    for i, c in enumerate(centroids):
+        nc = math.sqrt(sum(x * x for x in c)) or 1e-12
+        score = F.round(
+            _dot_lit(v, c) / (norm_v * F.lit(nc) + F.lit(1e-12)), 6
+        )
+        out.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
+    return out
+
+
+def ivf_drift_refresh(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    n_cells: int = 8,
+    drift_threshold: float = 0.9,
+    salt: str = "ivf-seed-v1",
+) -> DataFrame:
+    """Drift-GATED incremental IVF centroid refresh — the maintenance loop
+    the r14 verdict called the real production-ANN failure mode: IVF/PQ
+    structures are fit once, and an encoder update or domain shift
+    silently degrades recall with no signal wired to repair.
+
+    1. GATE — ``quality.embedding_centroid_drift(ref, cur)`` per group;
+       groups whose 6-dp centroid cosine drops below ``drift_threshold``
+       are DRIFTED. The gate compares identical integer-sum cosines in
+       any engine, so the threshold decision is reproducible exactly
+       (no float-boundary hazard).
+    2. SLICE — only the drifted groups' CURRENT vectors feed the refresh
+       (broadcast semi-join on the ≤|groups| drifted keys): cost tracks
+       the drifted population, not the corpus.
+    3. REFRESH — one Lloyd step seeded from the STALE centroids
+       (``ivf_seed_centroids_md5`` over the reference snapshot): each
+       drifted vector (6-dp quantized) is assigned to its nearest stale
+       centroid (rounded-cosine argmax, deterministic tie-break), then
+       per-(cell, dim) sums accumulate as exact BIGINTs — the fixed-point
+       device of ``embedding_centroid_drift``, so the refreshed centroid
+       numerators are order-insensitive and engine-exact.
+
+    Returns one row per (cell, pos): ``(cell, pos, stale_scaled, n,
+    sum_scaled)`` — the stale centroid component (scaled 1e6), the
+    assigned-vector count, and the exact component sum (NULL for cells
+    that attracted no drifted vectors — those cells keep their stale
+    centroid). ``ivf_refresh_centroids`` converts this relation to the
+    ``list[list[float]]`` the probe functions take; recall re-measured
+    stale-vs-refreshed is pinned in tests/test_similarity.py and benched
+    in BENCH_DETAIL's ann_production rows.
+
+    100 TB shape: the gate is two corpus scans shuffling |groups| × dim
+    integer partial sums (map-side combined); the refresh scans only the
+    drifted slice once, shuffles n_cells × dim partial sums. Driver
+    materialization: n_cells seed vectors + the final n_cells × dim
+    relation — both bounded.
+    """
+    from healthcare_rcm_etl_pipeline_spark.operators import quality
+
+    stale = ivf_seed_centroids_md5(ref, vec_col, id_col, n_cells, salt)
+    dim = len(stale[0])
+
+    gate = quality.embedding_centroid_drift(ref, cur, vec_col, group_col)
+    drifted = gate.filter(F.col("centroid_cos") < drift_threshold).select(group_col)
+    v6 = F.transform(as_double_vec(vec_col), lambda x: F.round(x, 6))
+    sliced = cur.join(F.broadcast(drifted), group_col, "left_semi").select(
+        v6.alias("__v")
+    )
+    # two selects: a generator (posexplode) sharing a projection with
+    # lambda-function structs strips the struct field names in Spark's
+    # analyzer (FIELD_NOT_FOUND col1/col2) — assign first, then explode
+    assigned = sliced.select(
+        F.array_max(F.array(*_cell_scores_rounded(F.col("__v"), stale)))[
+            "cell"
+        ].alias("cell"),
+        "__v",
+    ).select("cell", F.posexplode("__v").alias("pos", "__c"))
+    sums = assigned.groupBy("cell", "pos").agg(
+        F.sum(
+            F.round(F.col("__c") * F.lit(_REFRESH_SCALE), 0).cast("bigint")
+        ).alias("sum_scaled"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spark = ref.sparkSession
+    stale_rows = [
+        (cell, pos, int(round(c[pos] * _REFRESH_SCALE)))
+        for cell, c in enumerate(stale)
+        for pos in range(dim)
+    ]
+    stale_df = spark.createDataFrame(
+        stale_rows, "cell int, pos int, stale_scaled bigint"
+    )
+    # broadcast the aggregated side (n_cells x dim rows, bounded): the
+    # left/build side of a left-outer join cannot be the broadcast side
+    return (
+        stale_df.join(F.broadcast(sums), ["cell", "pos"], "left")
+        .select(
+            "cell",
+            "pos",
+            "stale_scaled",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.col("sum_scaled").cast("bigint").alias("sum_scaled"),
+        )
+    )
+
+
+def ivf_refresh_centroids(refresh: DataFrame) -> list[list[float]]:
+    """Convert ``ivf_drift_refresh``'s relation into the probe-ready
+    centroid list: cells with assigned vectors take the Lloyd mean
+    (exact integer numerator / count, rounded at 9 dp like ``ivf_fit``),
+    empty cells keep their stale centroid. n_cells × dim rows — the same
+    driver-side bound as the fit collects."""
+    rows = refresh.collect()
+    cells: dict[int, dict[int, tuple[int, int, int | None]]] = {}
+    for r in rows:
+        cells.setdefault(r["cell"], {})[r["pos"]] = (
+            r["stale_scaled"],
+            r["n"],
+            r["sum_scaled"],
+        )
+    out = []
+    for cell in sorted(cells):
+        comp = cells[cell]
+        vec = []
+        for pos in sorted(comp):
+            stale_scaled, n, sum_scaled = comp[pos]
+            if n and sum_scaled is not None:
+                vec.append(round(sum_scaled / n / _REFRESH_SCALE, 9))
+            else:
+                vec.append(stale_scaled / _REFRESH_SCALE)
+        out.append(vec)
+    return out

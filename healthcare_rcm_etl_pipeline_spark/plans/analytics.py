@@ -90,7 +90,15 @@ def register_star_views(star: dict[str, DataFrame], stats: dict[str, int] | None
     reference), so ``spark.sql(SQL[...])`` plans sort-merge at the cliff
     with NO manual session-threshold forcing — the r13 honest-scope gap.
     Stats come from ``stats`` or ``star[STAR_STATS_KEY]``; without either,
-    views register unhinted (planner defaults — pre-r14 behavior)."""
+    views register unhinted (planner defaults — pre-r14 behavior).
+
+    Scope (r14 verdict missing #4): the hint is PER-DIMENSION, not
+    per-query — every SQL reference to a grown dim plans sort-merge, even
+    a future query that first filters the dim to a tiny selective subset
+    where broadcast would win. All current hq texts join the full
+    current-rows slice, so nothing is left on the table today; when a
+    selective-dim-filter SQL query lands, derive the hint from that
+    query's dim usage instead of baking it into the view."""
     stats = stats if stats is not None else star.get(STAR_STATS_KEY)
     for name, df in star.items():
         if name == STAR_STATS_KEY:

@@ -471,3 +471,111 @@ def test_mmr_driver_greedy_equals_distributed(spark):
         ).collect()
     )
     assert a3 == b3 and 0 < len(a3) < 5
+
+
+def _drifted_cur(emb):
+    """The drift-refresh scenario: labels 0-2 re-embedded through a
+    deterministically shifted encoder (x -> 0.5x + 0.25, 6-dp)."""
+    from healthcare_rcm_etl_pipeline_spark.functions.vector import as_double_vec
+
+    ev = as_double_vec("embedding")
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("label") < 3,
+            F.transform(ev, lambda x: F.round(x * F.lit(0.5) + F.lit(0.25), 6)),
+        ).otherwise(ev),
+    )
+
+
+def test_ivf_drift_refresh_gate_and_determinism(spark):
+    """r15: the drift gate feeds ONLY the drifted groups' current vectors
+    into the Lloyd step, the relation is deterministic across runs, and
+    empty cells keep their stale centroid through the helper."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cur = _drifted_cur(emb)
+    r1 = similarity.ivf_drift_refresh(emb, cur, n_cells=8, drift_threshold=0.9)
+    rows = sorted(map(tuple, r1.collect()))
+    assert rows == sorted(
+        map(
+            tuple,
+            similarity.ivf_drift_refresh(
+                emb, cur, n_cells=8, drift_threshold=0.9
+            ).collect(),
+        )
+    )
+    assert len(rows) == 8 * 64
+    # gate: total assigned count == drifted population (labels 0-2), on
+    # every dim position
+    n_drifted = cur.filter(F.col("label") < 3).count()
+    by_pos = {}
+    for cell, pos, _stale, n, _s in rows:
+        by_pos[pos] = by_pos.get(pos, 0) + n
+    assert set(by_pos.values()) == {n_drifted}
+
+    # helper: cells with n == 0 keep the stale centroid verbatim
+    stale = similarity.ivf_seed_centroids_md5(emb)
+    refreshed = similarity.ivf_refresh_centroids(r1)
+    assert len(refreshed) == 8 and all(len(c) == 64 for c in refreshed)
+    empty_cells = {
+        cell
+        for cell in range(8)
+        if all(n == 0 for c, _p, _st, n, _s in rows if c == cell)
+    }
+    for cell in empty_cells:
+        assert refreshed[cell] == stale[cell]
+    changed = [c for c in range(8) if refreshed[c] != stale[c]]
+    assert changed, "drifted slice must move at least one centroid"
+
+
+def test_ivf_drift_refresh_undrifted_is_noop(spark):
+    """With ref == cur every group's centroid cosine is exactly 1, the
+    gate passes nothing, and the refresh relation is all-empty cells —
+    the monitor-to-maintenance wiring must not churn a healthy index."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r = similarity.ivf_drift_refresh(emb, emb, n_cells=8, drift_threshold=0.9)
+    assert all(row["n"] == 0 and row["sum_scaled"] is None for row in r.collect())
+    stale = similarity.ivf_seed_centroids_md5(emb)
+    assert similarity.ivf_refresh_centroids(r) == [
+        [s for s in c] for c in stale
+    ] or similarity.ivf_refresh_centroids(r) == stale
+
+
+def test_ivf_drift_refresh_recall_and_balance(spark):
+    """Production posture: after the encoder shift the drifted cluster
+    crowds ONE stale cell (near-linear probe cost for drifted queries);
+    the refreshed centroids must not regress recall at the production
+    partial probe and must not worsen the hot-cell crowding. Fully
+    deterministic scenario — no host-noise tolerance needed."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cur = _drifted_cur(emb)
+    stale = similarity.ivf_seed_centroids_md5(emb)
+    refreshed = similarity.ivf_refresh_centroids(
+        similarity.ivf_drift_refresh(emb, cur, n_cells=8, drift_threshold=0.9)
+    )
+    # full probe stays exact with EITHER centroid set (assignment is
+    # total): the invariance device holds through maintenance
+    q = cur.filter((F.col("vec_id") % 20 == 0) & (F.col("label") < 3))
+    exact = sorted(map(tuple, similarity.brute_force_topk(cur, q, k=5).collect()))
+    assert (
+        sorted(map(tuple, similarity.ivf_topk(cur, q, refreshed, k=5, n_probe=8).collect()))
+        == exact
+    )
+    exact_set = {(a, b) for a, b, *_ in exact}
+
+    def _recall(cents, n_probe):
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(cur, q, cents, k=5, n_probe=n_probe).collect()
+        }
+        return len(exact_set & ap) / len(exact_set)
+
+    assert _recall(refreshed, 2) >= _recall(stale, 2)
+
+    def _hot_cell(cents):
+        idx = similarity.ivf_index(cur.filter(F.col("label") < 3), cents)
+        return max(
+            r["n"] for r in idx.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        )
+
+    assert _hot_cell(refreshed) <= _hot_cell(stale)

@@ -396,3 +396,78 @@ class TestWindowedEmbeddingCentroidDrift:
                 spark.readStream.format("rate").load(), cur,
                 "embedding", "label", "ts",
             )
+
+
+class TestWindowedCentroidDriftMalformedCount:
+    """r15 (r14 verdict wrong #3): the monitor's silent exclusion of
+    malformed vectors becomes observable — include_malformed_count=True
+    adds an n_malformed column counted in the SAME single aggregation,
+    and all-malformed windows surface instead of vanishing."""
+
+    def test_malformed_burst_is_counted(self, spark):
+        ref = _wvecs(spark, [(0, [1.0, 0.0])])
+        cur = _wvecs(
+            spark,
+            [(0, [1.0, 0.0]), (0, [5.0]), (0, [1.0, 0.0, 9.0]), (0, None)],
+        )
+        row = quality.windowed_embedding_centroid_drift(
+            ref, cur, "embedding", "label", "ts", "1 hour", dim=2,
+            include_malformed_count=True,
+        ).first()
+        assert row["n_cur"] == 1 and row["n_malformed"] == 3
+        assert row["centroid_cos"] == 1.0  # the good row still scores
+
+    def test_all_malformed_window_surfaces(self, spark):
+        """Default path drops a window with zero valid vectors; the
+        counting path must SURFACE it (n_cur=0, cos NULL) — a total
+        encoder breakage is exactly what the monitor exists to catch."""
+        ref = _wvecs(spark, [(0, [1.0, 0.0])])
+        cur = _wvecs(spark, [(0, [7.0]), (0, None)])
+        assert (
+            quality.windowed_embedding_centroid_drift(
+                ref, cur, "embedding", "label", "ts", "1 hour", dim=2
+            ).count()
+            == 0
+        )
+        row = quality.windowed_embedding_centroid_drift(
+            ref, cur, "embedding", "label", "ts", "1 hour", dim=2,
+            include_malformed_count=True,
+        ).first()
+        assert (row["n_cur"], row["n_malformed"]) == (0, 2)
+        assert row["centroid_cos"] is None
+
+    def test_default_schema_and_values_unchanged(self, spark):
+        """The flag defaults off and the registered oracle surface must
+        not move: same columns, same rows, same values."""
+        ref = _wvecs(spark, [(0, [2.0, 0.0]), (1, [0.0, 1.0])])
+        cur = _wvecs(spark, [(0, [1.0, 0.0]), (0, [3.0]), (1, [0.0, 2.0])])
+        out = quality.windowed_embedding_centroid_drift(
+            ref, cur, "embedding", "label", "ts", "1 hour", dim=2
+        )
+        assert out.columns == [
+            "label", "window_start", "centroid_cos", "n_ref", "n_cur",
+        ]
+        counted = quality.windowed_embedding_centroid_drift(
+            ref, cur, "embedding", "label", "ts", "1 hour", dim=2,
+            include_malformed_count=True,
+        )
+        assert sorted(
+            (r["label"], r["centroid_cos"], r["n_ref"], r["n_cur"])
+            for r in out.collect()
+        ) == sorted(
+            (r["label"], r["centroid_cos"], r["n_ref"], r["n_cur"])
+            for r in counted.collect()
+        )
+
+    def test_dim_ceiling_asserted(self, spark):
+        import pytest as _pytest
+
+        ref = _wvecs(spark, [(0, [1.0])])
+        with _pytest.raises(ValueError, match="measured envelope"):
+            quality.windowed_embedding_centroid_drift(
+                ref, ref, "embedding", "label", "ts", dim=1537
+            )
+        with _pytest.raises(ValueError, match="measured envelope"):
+            quality.windowed_embedding_centroid_drift(
+                ref, ref, "embedding", "label", "ts", dim=0
+            )
