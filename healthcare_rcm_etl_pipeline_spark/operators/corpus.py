@@ -194,16 +194,23 @@ def contamination_stats(
         bench.select(F.explode(shingles_from_tokens(tokens(text_col), n)).alias("shingle"))
         .distinct()
     )
-    hits = (
-        base.select(id_col, F.explode("__sh").alias("shingle"))
-        .join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
-    )
-    out = (
-        base.drop("__sh")
-        .join(hits, id_col, "left")
-        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("bigint"))
+    # ONE pass over the corpus (r15): through r14 the hit counts and the
+    # per-doc shingle totals were two branches of ``base`` re-joined on id
+    # — the corpus was tokenized + shingled TWICE and paid two exchanges
+    # plus a join. Here n_shingles rides the exploded postings
+    # (explode_outer keeps zero-shingle docs as one NULL-shingle row, which
+    # the broadcast left join cannot match), and one partial-aggregated
+    # groupBy produces both columns: the exchange moves one row per doc per
+    # partition, the corpus text is never shuffled, and the semantics —
+    # count of DISTINCT matched shingles (shingles_from_tokens is
+    # array_distinct), zero/NULL edge behavior included — are pinned by
+    # tests/test_corpus.py.
+    marked = base.select(
+        id_col, "n_shingles", F.explode_outer("__sh").alias("shingle")
+    ).join(F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left")
+    out = marked.groupBy(id_col).agg(
+        F.max("n_shingles").alias("n_shingles"),
+        F.count("__hit").cast("bigint").alias("n_hits"),
     )
     return out.select(
         id_col,
@@ -258,41 +265,60 @@ def repetition_stats(
     - ``flagged`` — either fraction over its threshold (boilerplate /
       degenerate-repetition filter).
 
-    Positional (non-distinct) n-grams explode to (doc_id, gram) and count
-    with a map-side-combined groupBy — two keyed aggregations re-joined on
-    doc_id. Shuffles carry only (id, short gram, count); documents with too
-    few tokens for a window produce zero fractions (never null).
+    Repetition is a PER-DOCUMENT property, so no shuffle is fundamentally
+    required — and since r15 none happens: each doc's positional n-grams
+    are array_sort'ed in place and one fold over the sorted array counts
+    equal-gram RUNS (a gram occurring c times forms one run of length c),
+    yielding the max count and the sum of counts > 1 directly. Through
+    r14 this operator exploded the corpus to (doc_id, gram) TWICE (once
+    per n), shuffled both exploded gram relations for a groupBy, and
+    re-joined per doc — corpus-scale exchanges for a row-local statistic.
+    The counts are identical by construction (runs in a sorted array ≡
+    group counts), so the fractions hash-match the oracle unchanged.
+    Documents with too few tokens for a window produce zero fractions
+    (never null).
 
     Returns (id_col, n_tokens, top_ngram_frac, dup_ngram_frac, flagged).
     """
     toks = df.select(id_col, tokens(text_col).alias("__t"))
 
-    def frac(n: int, mode: str, out: str) -> DataFrame:
-        grams = toks.select(
-            id_col, F.explode(ngram_array(F.col("__t"), n)).alias("g")
-        )
-        counts = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-        per_doc = counts.groupBy(id_col).agg(
-            F.sum("c").alias("__total"),
-            (F.max("c") if mode == "top" else F.sum(F.when(F.col("c") > 1, F.col("c")))).alias(
-                "__part"
-            ),
-        )
-        return per_doc.select(
-            id_col,
-            (
-                F.coalesce(F.col("__part"), F.lit(0)) / F.col("__total").cast("double")
-            ).alias(out),
+    def run_frac(n: int, mode: str) -> F.Column:
+        arr = F.array_sort(ngram_array(F.col("__t"), n))
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("mx"),
+            F.lit(0).cast("bigint").alias("dup"),
         )
 
-    base = toks.select(id_col, F.size("__t").cast("bigint").alias("n_tokens"))
-    out = (
-        base.join(frac(top_n, "top", "top_ngram_frac"), id_col, "left")
-        .join(frac(dup_n, "dup", "dup_ngram_frac"), id_col, "left")
-        .withColumn("top_ngram_frac", F.coalesce("top_ngram_frac", F.lit(0.0)))
-        .withColumn("dup_ngram_frac", F.coalesce("dup_ngram_frac", F.lit(0.0)))
-    )
-    return out.withColumn(
+        def step(acc, g):
+            same = acc["prev"].isNotNull() & (acc["prev"] == g)
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.when(same, acc["mx"]).otherwise(F.greatest(acc["mx"], acc["run"])).alias("mx"),
+                F.when(
+                    ~same & (acc["run"] > 1), acc["dup"] + acc["run"]
+                ).otherwise(acc["dup"]).alias("dup"),
+            )
+
+        def fin(acc):
+            mx = F.greatest(acc["mx"], acc["run"])
+            dup = F.when(acc["run"] > 1, acc["dup"] + acc["run"]).otherwise(acc["dup"])
+            return mx if mode == "top" else dup
+
+        part = F.aggregate(arr, init, step, fin)
+        total = F.size(arr)
+        return F.when(
+            total > 0, part / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return toks.select(
+        id_col,
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        run_frac(top_n, "top").alias("top_ngram_frac"),
+        run_frac(dup_n, "dup").alias("dup_ngram_frac"),
+    ).withColumn(
         "flagged",
         (F.col("top_ngram_frac") > top_frac_max) | (F.col("dup_ngram_frac") > dup_frac_max),
     )
@@ -919,6 +945,11 @@ def bpe_train(
                 )
             break
         merges = merges.unionByName(winner)
+        # measured r15: keeping the rewrite lazy (replace chain truncated
+        # every 8 rounds) read as the cheaper plan but ran 1.4x SLOWER —
+        # round k's pair-count job rebuilds k one-row broadcasts, and the
+        # sequential broadcast-build waits dominate. The per-round eager
+        # checkpoint stays.
         words = (
             words.crossJoin(F.broadcast(winner))
             .select(

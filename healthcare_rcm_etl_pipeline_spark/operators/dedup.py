@@ -74,6 +74,7 @@ def leakage_safe_split(
     fractions: dict[str, float],
     salt: str = "split-v1",
     out_col: str = "split",
+    collect_limit: int | None = None,
 ) -> DataFrame:
     """Near-dup-aware train/val/test split: every member of a near-dup
     CLUSTER receives the SAME assignment — the split buckets on the
@@ -93,10 +94,22 @@ def leakage_safe_split(
     the same pure-expression md5 bucketing as ``deterministic_split``.
 
     Returns ``df``'s rows as (key_col, component, out_col).
+
+    ``collect_limit``: when set, components come from
+    ``connected_components_bounded`` — the driver union-find fast path for
+    pair graphs at or under the bound (one bounded limit-collect replaces
+    the iteration jobs, and the component lookup joins as a LOCAL relation
+    so the corpus-side join broadcasts); above the bound the distributed
+    iteration runs untouched. Output identical either way (the min-label
+    fixed point is unique).
     """
     from healthcare_rcm_etl_pipeline_spark.operators import graph
 
-    comp = graph.connected_components(pairs).withColumnRenamed("doc", key_col)
+    comp = (
+        graph.connected_components_bounded(pairs, collect_limit=collect_limit)
+        if collect_limit is not None
+        else graph.connected_components(pairs)
+    ).withColumnRenamed("doc", key_col)
     return leakage_safe_split_from_components(
         df, comp, key_col, fractions, salt, out_col
     )
@@ -803,29 +816,57 @@ def embedding_near_dup_pairs(
             n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
             max_bucket=max_bucket,
         )
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        # per-row norms in each side's projection (r15): the verify stage
+        # pays one interpreted array fold per candidate (dot) instead of
+        # three — norm(a)*norm(b) is the same IEEE expression on the same
+        # values, so cos is bit-identical to the cosine() form
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            norm(F.col(vec_col)).alias("__na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            norm(F.col(vec_col)).alias("__nb"),
+        )
         return (
             cand.join(a, "id_a")
             .join(b, "id_b")
-            .withColumn("cos", F.round(cosine("vec_a", "vec_b"), 6))
+            .withColumn(
+                "cos",
+                F.round(
+                    dot("vec_a", "vec_b")
+                    / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+                    6,
+                ),
+            )
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")
         )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("__na"),
         F.col(block_col).alias("__blk"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("__nb"),
         F.col(block_col).alias("__blk"),
     )
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine("vec_a", "vec_b"), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot("vec_a", "vec_b")
+                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -1122,6 +1163,7 @@ def best_survivors(
     order_col: str,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
+    collect_limit: int | None = None,
 ) -> DataFrame:
     """Quality-aware dedup survivor selection: instead of the min-id
     convention, keep the cluster member that MAXIMIZES ``order_col``
@@ -1134,10 +1176,23 @@ def best_survivors(
     set is a fraction of the corpus and broadcasts.
 
     Returns surviving corpus rows (id_col, order_col).
-    """
-    from healthcare_rcm_etl_pipeline_spark.operators.graph import connected_components
 
-    clusters = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    ``collect_limit``: opt-in bounded-CC fast path, same contract as
+    ``leakage_safe_split`` (driver union-find at or under the bound,
+    distributed fallback above it; identical labels either way).
+    """
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_bounded,
+    )
+
+    clusters = (
+        connected_components_bounded(
+            pairs, src_col=src_col, dst_col=dst_col, collect_limit=collect_limit
+        )
+        if collect_limit is not None
+        else connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    )
     return best_survivors_from_components(docs, clusters, id_col, order_col)
 
 

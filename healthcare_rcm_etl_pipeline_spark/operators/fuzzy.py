@@ -243,6 +243,7 @@ def resolve_entities(
     pairs: DataFrame,
     id_col: str,
     attrs: dict[str, str],
+    collect_limit: int | None = None,
 ) -> DataFrame:
     """Golden-record construction: match pairs -> entity clusters -> ONE
     survivor row per real-world entity (master-data management / patient
@@ -279,10 +280,20 @@ def resolve_entities(
 
     Returns (entity_id, n_members, *attrs) — entity_id typed like
     ``id_col``.
+
+    ``collect_limit``: opt-in bounded-CC fast path (driver union-find at
+    or under the bound, distributed fallback above; identical labels —
+    the min-label fixed point is unique).
     """
     from healthcare_rcm_etl_pipeline_spark.operators import graph
 
-    comp = graph.connected_components(pairs, src_col="id_a", dst_col="id_b")
+    comp = (
+        graph.connected_components_bounded(
+            pairs, src_col="id_a", dst_col="id_b", collect_limit=collect_limit
+        )
+        if collect_limit is not None
+        else graph.connected_components(pairs, src_col="id_a", dst_col="id_b")
+    )
     # no broadcast hint: matched nodes are usually a small fraction of the
     # corpus but are NOT bounded by construction — AQE picks the strategy
     # from the runtime size (blocking keeps comp tiny in the normal case).

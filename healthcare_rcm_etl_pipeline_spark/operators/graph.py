@@ -183,7 +183,13 @@ def connected_components_bounded(
             schema = pairs.select(
                 F.col(src_col).alias(out_node), F.col(src_col).alias(out_component)
             ).schema
-            return pairs.sparkSession.createDataFrame(out, schema)
+            # broadcast hint (r15): createDataFrame arrives as an
+            # ExistingRDD with UnknownPartitioning and no stats, so an
+            # unhinted downstream join sort-merge-joins the corpus against
+            # it — the hint is what actually converts those joins to
+            # broadcast. Always safe: the relation is <= 2*collect_limit
+            # rows by construction.
+            return F.broadcast(pairs.sparkSession.createDataFrame(out, schema))
     return connected_components(
         pairs,
         src_col=src_col,
@@ -315,9 +321,16 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The expansion frontier's seed semi-join folds into hop 1's job, and
+    # ``visited`` is NEVER separately checkpointed: it is a union of
+    # already-checkpointed frontiers (all_seeds + nxt_1..h), so its lineage
+    # grows LINEARLY with the bounded hop count — the per-round doubling
+    # that justifies checkpointing in connected_components does not occur.
+    # Through r14 every hop paid 3 jobs (nxt checkpoint, isEmpty, visited
+    # checkpoint) plus a frontier pre-checkpoint; now it pays 2.
     frontier = all_seeds.join(
         e.select(F.col("s").alias("node")).distinct(), "node", "left_semi"
-    ).localCheckpoint(eager=True)
+    )
     visited = all_seeds.withColumn("hops", F.lit(0))
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -329,9 +342,7 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(
-            nxt.withColumn("hops", F.lit(hop))
-        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(hop)))
         frontier = nxt
     return visited.select(
         F.col("node").alias(out_node), F.col("hops").cast("int").alias(out_hops)
@@ -370,6 +381,7 @@ def pagerank_fixed_point(
     simple variant; symmetrize the edges for the undirected walk, which
     has none).
     """
+    par = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -379,6 +391,7 @@ def pagerank_fixed_point(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(par, "node")
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # one scalar to the driver, like ivf_fit's N
@@ -386,12 +399,22 @@ def pagerank_fixed_point(
         raise ValueError("empty edge set")
     init = scale // n_nodes
     tele = ((100 - damp_pct) * init) // 100
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # degree-annotated edges, built ONCE: through r14 the e ⋈ deg join (and
+    # deg's own groupBy) sat INSIDE the loop and re-executed every power
+    # step — one full edge shuffle per iteration carrying no new
+    # information. Hoisting it out, hash-partitioned on src, makes each
+    # step shuffle only node-sized relations (ranks out, contributions
+    # back): localCheckpoint preserves the physical partitioning, so the
+    # per-step join re-sorts but never re-exchanges the edge side.
+    edeg = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = (
-            e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div outdeg").alias("c"),

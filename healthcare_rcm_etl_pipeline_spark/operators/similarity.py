@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from healthcare_rcm_etl_pipeline_spark.functions.vector import as_double_vec, cosine, dot
+from healthcare_rcm_etl_pipeline_spark.functions.vector import (
+    as_double_vec,
+    dot,
+    norm,
+)
 from healthcare_rcm_etl_pipeline_spark.operators.buckets import bounded_bucket_collect
 
 
@@ -283,9 +287,12 @@ def ivf_topk_indexed(
     the join into the index scan, where it prunes files of a
     metadata-sorted index; query-dependent conjuncts filter the bounded
     candidate set before the window."""
+    # per-row norms hoisted out of the per-candidate cosine — same device
+    # (and same bit-identical argument) as brute_force_topk
     c = index.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
         F.col("cell"),
         *[F.col(a).alias(f"n_{a}") for a in attr_cols],
     )
@@ -293,6 +300,7 @@ def ivf_topk_indexed(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         qv.alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
         *[F.col(a).alias(f"q_{a}") for a in attr_cols],
         F.explode(
             F.transform(
@@ -308,7 +316,14 @@ def ivf_topk_indexed(
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine("__qvec", "__cvec"), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot("__qvec", "__cvec")
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+                6,
+            ),
+        )
     )
     if pair_predicate is not None:
         scored = scored.filter(pair_predicate)
@@ -382,9 +397,15 @@ def brute_force_topk(
     top-k is taken over the qualifying set — the filtered-ANN semantics
     (hard-negative mining, tenant isolation, recency windows), not a
     post-filter that can return < k rows from a k-sized shortlist."""
+    # norms are per-ROW properties: computing them in each side's
+    # projection (once per vector) instead of inside a per-pair cosine
+    # cuts the interpreted array folds per candidate from 3 (dot + both
+    # norms) to 1 (dot). norm(a)*norm(b) is the same IEEE expression on
+    # the same values, so cos is bit-identical to cosine("__qvec","__cvec").
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
         *[F.col(a).alias(f"q_{a}") for a in attr_cols],
     )
     # spread the corpus scan across cores even when it arrives as one file
@@ -392,10 +413,16 @@ def brute_force_topk(
     c = corpus.repartition(par, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
         *[F.col(a).alias(f"n_{a}") for a in attr_cols],
     )
     scored = c.join(F.broadcast(q)).withColumn(
-        "cos", F.round(cosine("__qvec", "__cvec"), 6)
+        "cos",
+        F.round(
+            dot("__qvec", "__cvec")
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+            6,
+        ),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -440,10 +467,19 @@ def lsh_bucket_topk(
 
         n_planes = adaptive_n_planes(corpus.count(), target_bucket_rows)
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    # per-row norms hoisted out of the per-candidate cosine (see
+    # brute_force_topk): computed once per vector here, reused across every
+    # (table, bucket) collision the row participates in
     c = corpus.repartition(par, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 7919 * t)
         c = sign_sketch(c, "__cvec", planes, out_col=f"__b{t}")
@@ -454,13 +490,20 @@ def lsh_bucket_topk(
     c_kv = c.select(
         "neighbor_id",
         "__cvec",
+        "__cn",
         F.explode(
             F.array(*[
                 F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("bkt"))
                 for t in range(n_tables)
             ])
         ).alias("tb"),
-    ).select("neighbor_id", "__cvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    ).select(
+        "neighbor_id",
+        "__cvec",
+        "__cn",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bkt").alias("bkt"),
+    )
 
     def _probes(t: F.Column) -> list[F.Column]:
         base = F.col(f"__b{t}")
@@ -472,14 +515,26 @@ def lsh_bucket_topk(
     q_kv = q.select(
         "query_id",
         "__qvec",
+        "__qn",
         F.explode(F.array(*[s for t in range(n_tables) for s in _probes(t)])).alias("tb"),
-    ).select("query_id", "__qvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    ).select(
+        "query_id",
+        "__qvec",
+        "__qn",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bkt").alias("bkt"),
+    )
 
     joined = c_kv.join(F.broadcast(q_kv), ["tbl", "bkt"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = joined.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
-        "cos", F.round(cosine("__qvec", "__cvec"), 6)
+        "cos",
+        F.round(
+            dot("__qvec", "__cvec")
+            / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -862,15 +917,31 @@ def pq_topk(
         raise ValueError("rerank requires the original-vector corpus")
     if rerank < k:
         raise ValueError(f"rerank={rerank} < k={k}")
+    # per-row norms hoisted out of the per-candidate cosine (see
+    # brute_force_topk) — the rerank joins fetch r × |queries| vectors, and
+    # each one's norm is computed once in its projection, not per pair
     cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
-    qq = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
     exact = (
         ranked.select("query_id", "neighbor_id")
         .join(cv, "neighbor_id")
         .join(F.broadcast(qq), "query_id")
-        .withColumn("cos", F.round(cosine("__qvec", "__cvec"), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot("__qvec", "__cvec")
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+                6,
+            ),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -1079,9 +1150,28 @@ def mmr_topk(
         F.round(F.col("cos") * 1e6, 0).cast("bigint").alias("rel_i"),
     )
     vecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__v"))
-    cw = cand.join(vecs, "cid").localCheckpoint(eager=True)
-    pa = cw.select("query_id", F.col("cid").alias("a"), F.col("__v").alias("__va"))
-    pb = cw.select("query_id", F.col("cid").alias("b"), F.col("__v").alias("__vb"))
+    # norm stored per candidate row (computed once, after the pool join
+    # pruned the corpus): the pool^2 pair-sim stage below then pays one
+    # interpreted array fold per pair (dot) instead of three —
+    # norm(a)*norm(b) is the same IEEE expression on the same values, so
+    # sim_i is bit-identical to the cosine() form.
+    cw = (
+        cand.join(vecs, "cid")
+        .withColumn("__n", norm(F.col("__v")))
+        .localCheckpoint(eager=True)
+    )
+    pa = cw.select(
+        "query_id",
+        F.col("cid").alias("a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    pb = cw.select(
+        "query_id",
+        F.col("cid").alias("b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     pairs = (
         pa.join(pb, "query_id")
         .filter(F.col("a") != F.col("b"))
@@ -1089,7 +1179,15 @@ def mmr_topk(
             "query_id",
             "a",
             "b",
-            F.round(F.round(cosine("__va", "__vb"), 6) * 1e6, 0)
+            F.round(
+                F.round(
+                    dot("__va", "__vb")
+                    / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+                    6,
+                )
+                * 1e6,
+                0,
+            )
             .cast("bigint")
             .alias("sim_i"),
         )

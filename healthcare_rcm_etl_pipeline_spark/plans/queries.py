@@ -1565,14 +1565,25 @@ def dedup_survivors_q(spark, sf_dir):
     """End-to-end near-dedup: pairs -> connected components -> keep ONE doc
     per cluster (the min-id survivor) plus all unpaired docs — the actual
     corpus a training run would consume. Losers (cluster members that are
-    not their component's label) are anti-joined out."""
+    not their component's label) are anti-joined out.
+
+    r15: components come from ``connected_components_bounded`` — the
+    adaptive small-graph fast path the streaming ingest already uses
+    (driver union-find under a 4096-edge bound, distributed iteration
+    above it; the min-label fixed point is unique, so output is identical
+    either way). A near-dup pair graph is a small fraction of the corpus
+    by construction; when it is bounded-small, the labels return as a
+    LOCAL relation, the corpus-side anti-join broadcasts, and the ~8
+    iteration/checkpoint jobs disappear. The probe costs one bounded
+    limit-collect; the full-graph fallback is exercised by
+    ``dedup_clusters``."""
     from healthcare_rcm_etl_pipeline_spark.operators import graph
 
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.5, max_df=20
     )
-    clusters = graph.connected_components(pairs)
+    clusters = graph.connected_components_bounded(pairs, collect_limit=4096)
     losers = clusters.filter(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("doc_id")
     )
@@ -1637,8 +1648,11 @@ def split_leakage_safe_q(spark, sf_dir):
     pairs = dd.ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.5, max_df=20
     )
+    # collect_limit: bounded-CC fast path (r15) — identical assignment, see
+    # dedup_keep_survivors
     return dd.leakage_safe_split(
-        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        d, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        collect_limit=4096,
     )
 
 
@@ -4783,7 +4797,9 @@ def dedup_keep_best_q(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.5, max_df=20
     )
-    return dedup.best_survivors(d, pairs, "doc_id", "n_chars")
+    # collect_limit: bounded-CC fast path (r15) — identical labels, see
+    # dedup_keep_survivors
+    return dedup.best_survivors(d, pairs, "doc_id", "n_chars", collect_limit=4096)
 
 
 _EDIT1_ORACLE = """
@@ -4860,11 +4876,14 @@ def entity_resolution_golden_q(spark, sf_dir):
     pairs = fuzzy.edit1_pairs(
         c, "c_name", "c_custkey", agree_cols=["c_nationkey", "c_mktsegment"]
     )
+    # collect_limit: bounded-CC fast path (r15) — identical labels, see
+    # dedup_keep_survivors
     return fuzzy.resolve_entities(
         c,
         pairs,
         "c_custkey",
         {"c_name": "anchor", "c_mktsegment": "anchor", "c_acctbal": "max"},
+        collect_limit=4096,
     )
 
 
@@ -4886,8 +4905,13 @@ def dedup_clusters_incremental_q(spark, sf_dir):
     is_new_b = F.col("doc_b") % 4 == 0
     base_pairs = pairs.filter(~is_new_a & ~is_new_b)
     new_pairs = pairs.filter(is_new_a | is_new_b)
-    prev = graph.connected_components(base_pairs)
-    return graph.connected_components_incremental(prev, new_pairs)
+    # bounded CC on both legs (r15): same fixed point, driver union-find
+    # under the 4096-edge bound with the distributed iteration as fallback
+    # — see dedup_keep_survivors for the rationale
+    prev = graph.connected_components_bounded(base_pairs, collect_limit=4096)
+    return graph.connected_components_incremental(
+        prev, new_pairs, collect_limit=4096
+    )
 
 
 @query(
@@ -5314,7 +5338,12 @@ def q40_trimmed_mean_q(spark, sf_dir):
         F.percentile("price", F.lit(0.05)).alias("lo"),
         F.percentile("price", F.lit(0.95)).alias("hi"),
     )
-    out = j.join(cuts, "p_type")
+    # broadcast the cut points (one row per p_type — bounded by the type
+    # vocabulary, never by SF): the unhinted plan SMJ'd here, which
+    # re-exchanged the full (p_type, price) join output a second time; with
+    # the broadcast the big side is never shuffled and the final groupBy
+    # ships only map-side partials (r15, guide §3.1)
+    out = j.join(F.broadcast(cuts), "p_type")
     return out.groupBy("p_type").agg(
         F.count("*").alias("n"),
         F.round(
@@ -6397,7 +6426,11 @@ def dedup_keep_priority_q(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.5, max_df=20
     )
-    labels = graph.connected_components(pairs)
+    # bounded CC (r15): identical min-label fixed point, driver union-find
+    # under the 4096-edge bound — labels arrive as a local relation, so the
+    # left join below broadcasts instead of shuffling the corpus (see
+    # dedup_keep_survivors for the full rationale)
+    labels = graph.connected_components_bounded(pairs, collect_limit=4096)
     labeled = (
         d.select(
             "doc_id",
@@ -7398,10 +7431,19 @@ def dedup_chunks_incremental_q(spark, sf_dir):
         rewritten, new_chunks = chunk_dedup_rewrite_incremental(
             batch, seen, "text", "doc_id", chunk_tokens=15
         )
-        rewritten = rewritten.localCheckpoint(eager=True)
+        # r15: only the STATE (new_chunks) is checkpointed eagerly — it is
+        # what the next fold's anti-join reads, and pinning it keeps the
+        # fold sequential-by-necessity work minimal (1 job per batch, was
+        # 3). The rewritten batches and the seen-state union are LAZY: each
+        # union member is itself a checkpointed RDD, so lineage grows
+        # linearly in the bounded batch count (the plan-doubling hazard the
+        # old per-fold checkpoints guarded against cannot occur), and the
+        # final materialization computes all four batch rewrites in ONE
+        # job, back-filling cores a sequential per-fold job chain left idle
+        # (guide §2.6).
         out = rewritten if out is None else out.unionByName(rewritten)
         nc = new_chunks.localCheckpoint(eager=True)
-        seen = nc if seen is None else seen.unionByName(nc).localCheckpoint(eager=True)
+        seen = nc if seen is None else seen.unionByName(nc)
     return out
 
 

@@ -301,6 +301,22 @@ def make_dedup_ingest_batch_fn(
             F.col("keep_id").alias(id_col)
         )
         batch = batch_df.join(keep, id_col, "left_semi")
+        # The batch is min-hashed ONCE per epoch (r15): this band table
+        # (built on the exact-dedup survivors, i.e. a SUPERSET of the
+        # final survivors) feeds the within-batch LSH below via
+        # prebuilt_bands, the cross-corpus index prune, the incremental
+        # probe's new side AND — restricted to survivors — the state
+        # write. Through r14 the within-batch pairs and the cross-corpus
+        # table were two separate minhash_band_table builds (tokenize +
+        # shingle + k hashes each). Superset rows are provably inert
+        # downstream: extra bh keys only make the literal index prune
+        # keep more rows (exactness argument unchanged), and a candidate
+        # pair whose new doc was dropped by the CC step dies in the
+        # verify stage (the shingle join is INNER on the narrowed batch,
+        # so its jaccard is NULL and the threshold filter removes it).
+        batch_bands = dedup.minhash_band_table(
+            batch, text_col, id_col, k=k, bands=bands, n=n
+        ).localCheckpoint(eager=True)
         # pin the pair set: the bounded-CC probe below collects from it,
         # and on fallback the distributed CC would otherwise re-execute
         # the whole LSH lineage a second time (it is batch-sized either
@@ -308,7 +324,7 @@ def make_dedup_ingest_batch_fn(
         # pay internally, so the common-path job count is unchanged)
         pairs = dedup.minhash_lsh_pairs(
             batch, text_col, id_col, k=k, bands=bands, n=n,
-            verify_threshold=verify_threshold,
+            verify_threshold=verify_threshold, prebuilt_bands=batch_bands,
         ).localCheckpoint(eager=True)
         # bounded CC: a micro-batch's pair set is batch-sized, so the
         # driver union-find fast path replaces ~6 iteration jobs with one
@@ -330,20 +346,12 @@ def make_dedup_ingest_batch_fn(
         # itself and the anti-join would silently drop the whole batch.
         corpus = read_corpus(spark, base, max_epoch=last)
         index = read_band_index(spark, base, max_epoch=last)
-        batch_bands = None
         if corpus is not None and index is not None:
-            # the batch's band table feeds the index prune, the incremental
-            # probe's new side AND (filtered to survivors) the state write —
-            # build it ONCE and pin it; three separate constructions
-            # min-hashed the batch three times per epoch. Small batches
-            # inline their band keys as a pushed-down literal predicate on
-            # the index scan (the point-lookup device) — per-batch cost then
-            # tracks the batch even when the accumulated index is
-            # corpus-sized; big batches fall back to the join-based prune
-            # inside the incremental probe.
-            batch_bands = dedup.minhash_band_table(
-                batch, text_col, id_col, k=k, bands=bands, n=n
-            ).localCheckpoint(eager=True)
+            # Small batches inline their band keys as a pushed-down literal
+            # predicate on the index scan (the point-lookup device) —
+            # per-batch cost then tracks the batch even when the
+            # accumulated index is corpus-sized; big batches fall back to
+            # the join-based prune inside the incremental probe.
             index = _literal_pruned_index(index, batch_bands)
             dup_new = (
                 dedup.minhash_lsh_pairs_incremental(
@@ -366,18 +374,13 @@ def make_dedup_ingest_batch_fn(
                 f"{base}/docs/epoch={physical}"
             )
             # survivors' band rows: restrict the pinned batch band table
-            # instead of min-hashing the survivors again (first batch has
-            # no pinned table — no cross probe happened — so build one)
-            out_bands = (
-                batch_bands.join(
-                    F.broadcast(batch.select(F.col(id_col).alias("doc"))),
-                    "doc",
-                    "left_semi",
-                )
-                if batch_bands is not None
-                else dedup.minhash_band_table(
-                    batch, text_col, id_col, k=k, bands=bands, n=n
-                )
+            # instead of min-hashing the survivors again (r15: the pinned
+            # table now exists on EVERY epoch, including the first — the
+            # first batch used to min-hash a third time here)
+            out_bands = batch_bands.join(
+                F.broadcast(batch.select(F.col(id_col).alias("doc"))),
+                "doc",
+                "left_semi",
             )
             _range_sorted(out_bands, "bh").write.mode("overwrite").parquet(
                 f"{base}/bands/epoch={physical}"
@@ -451,7 +454,7 @@ def make_semantic_ingest_batch_fn(
     re-index to change it. Cross-cell near-dups are missed by design,
     exactly as in batch semantic_dedup (SemDeDup semantics).
     """
-    from healthcare_rcm_etl_pipeline_spark.functions.vector import cosine, norm
+    from healthcare_rcm_etl_pipeline_spark.functions.vector import dot, norm
     from healthcare_rcm_etl_pipeline_spark.operators.similarity import (
         hyperplanes,
         sign_sketch,
@@ -521,10 +524,27 @@ def make_semantic_ingest_batch_fn(
                     "cells_space": 2 ** n_planes,
                     "path": "join",
                 }
-            cand = cand.select("cell", F.col(vec_col).alias("__base_vec"))
+            # per-row norms hoisted out of the per-candidate cosine (r15,
+            # same device as similarity.brute_force_topk): one interpreted
+            # array fold per cell-mate pair (dot) instead of three —
+            # norm(a)*norm(b) is the same IEEE expression on the same
+            # values, so the thresholded value is bit-identical
+            cand = cand.select(
+                "cell",
+                F.col(vec_col).alias("__base_vec"),
+                norm(F.col(vec_col)).alias("__bn"),
+            )
             hit = (
-                batch.join(cand, "cell")
-                .filter(F.round(cosine(vec_col, "__base_vec"), 6) >= threshold)
+                batch.withColumn("__n", norm(F.col(vec_col)))
+                .join(cand, "cell")
+                .filter(
+                    F.round(
+                        dot(vec_col, "__base_vec")
+                        / F.nullif(F.col("__n") * F.col("__bn"), F.lit(0.0)),
+                        6,
+                    )
+                    >= threshold
+                )
                 .select(id_col)
                 .distinct()
             )

@@ -1,0 +1,115 @@
+"""Step-level timing of the dedup-ingest foreachBatch body (r15 probe).
+
+Mirrors make_dedup_ingest_batch_fn action-for-action with a timer around
+every Spark action, driving the same 8-batch fold bench.py times — so the
+per-batch floor can be attributed to specific jobs instead of guessed at.
+Run on an idle machine: python scripts/probe_ingest_steps_r15.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from healthcare_rcm_etl_pipeline_spark.operators import dedup, graph  # noqa: E402
+from healthcare_rcm_etl_pipeline_spark.session import get_spark  # noqa: E402
+from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table  # noqa: E402
+from healthcare_rcm_etl_pipeline_spark.streaming import ingest  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hrcm-ingest-step-probe")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.count()
+    base = tempfile.mkdtemp(prefix="hrcm_probe_ingest_")
+    n_batches = 8
+    k, bands, n, thr = 64, 16, 3, 0.5
+    try:
+        for b in range(n_batches):
+            batch_df = docs.filter((docs.doc_id % n_batches) == b)
+            t = {}
+            t0 = time.perf_counter()
+
+            def lap(name):
+                nonlocal t0
+                now = time.perf_counter()
+                t[name] = round(now - t0, 3)
+                t0 = now
+
+            resolved = ingest._resolve_epoch(spark, base, b, None)
+            bound, offset, physical, last = resolved
+            ingest.recover_base(spark, base, own_token=bound)
+            lap("resolve+recover")
+
+            keep = dedup.exact_dedup(batch_df, "text", "doc_id").select(
+                F.col("keep_id").alias("doc_id")
+            )
+            batch = batch_df.join(keep, "doc_id", "left_semi")
+            batch_bands = dedup.minhash_band_table(
+                batch, "text", "doc_id", k=k, bands=bands, n=n
+            ).localCheckpoint(eager=True)
+            lap("bands_ckpt")
+            pairs = dedup.minhash_lsh_pairs(
+                batch, "text", "doc_id", k=k, bands=bands, n=n,
+                verify_threshold=thr, prebuilt_bands=batch_bands,
+            ).localCheckpoint(eager=True)
+            lap("pairs_ckpt")
+            losers = (
+                graph.connected_components_bounded(pairs, collect_limit=4096)
+                .filter(F.col("doc") != F.col("component"))
+                .select(F.col("doc").alias("doc_id"))
+            )
+            batch = batch.join(losers, "doc_id", "left_anti")
+            lap("cc_collect")
+
+            corpus = ingest.read_corpus(spark, base, max_epoch=last)
+            index = ingest.read_band_index(spark, base, max_epoch=last)
+            lap("state_read_plan")
+            if corpus is not None and index is not None:
+                index = ingest._literal_pruned_index(index, batch_bands)
+                lap("literal_prune_collect")
+                dup_new = (
+                    dedup.minhash_lsh_pairs_incremental(
+                        batch, corpus, "text", "doc_id",
+                        k=k, bands=bands, n=n, verify_threshold=thr,
+                        base_bands=index, new_bands=batch_bands,
+                    )
+                    .select(F.col("doc_new").alias("doc_id"))
+                    .distinct()
+                )
+                batch = batch.join(dup_new, "doc_id", "left_anti")
+            batch = batch.persist()
+            ingest._range_sorted(batch, "doc_id").write.mode("overwrite").parquet(
+                f"{base}/docs/epoch={physical}"
+            )
+            lap("docs_write")
+            out_bands = batch_bands.join(
+                F.broadcast(batch.select(F.col("doc_id").alias("doc"))),
+                "doc",
+                "left_semi",
+            )
+            ingest._range_sorted(out_bands, "bh").write.mode("overwrite").parquet(
+                f"{base}/bands/epoch={physical}"
+            )
+            lap("bands_write")
+            batch.unpersist()
+            ingest._write_marker(spark, base, bound, offset, physical)
+            lap("marker")
+            total = round(sum(t.values()), 3)
+            print(f"batch {b}: total={total} {t}", flush=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
