@@ -265,60 +265,51 @@ def repetition_stats(
     - ``flagged`` — either fraction over its threshold (boilerplate /
       degenerate-repetition filter).
 
-    Repetition is a PER-DOCUMENT property, so no shuffle is fundamentally
-    required — and since r15 none happens: each doc's positional n-grams
-    are array_sort'ed in place and one fold over the sorted array counts
-    equal-gram RUNS (a gram occurring c times forms one run of length c),
-    yielding the max count and the sum of counts > 1 directly. Through
-    r14 this operator exploded the corpus to (doc_id, gram) TWICE (once
-    per n), shuffled both exploded gram relations for a groupBy, and
-    re-joined per doc — corpus-scale exchanges for a row-local statistic.
-    The counts are identical by construction (runs in a sorted array ≡
-    group counts), so the fractions hash-match the oracle unchanged.
-    Documents with too few tokens for a window produce zero fractions
-    (never null).
+    Positional (non-distinct) n-grams explode to (doc_id, gram) and count
+    with a map-side-combined groupBy — two keyed aggregations re-joined on
+    doc_id. Shuffles carry only (id, short gram, count); documents with too
+    few tokens for a window produce zero fractions (never null).
+
+    r15 measurement note: a zero-shuffle rewrite (per-row array_sort +
+    one sorted-run fold per doc — repetition IS a row-local statistic)
+    was tried and REVERTED: the interpreted fold measured ~1.5x SLOWER
+    than these two codegen'd partial-aggregated exchanges in an isolated
+    same-window A/B (old 1.39 s vs new 2.03 s at sf0.1), and unstable
+    in-bench. The values were identical (runs in a sorted array ≡ group
+    counts — pinned by tests/test_corpus.py::TestRepetitionRunCounting,
+    which outlives the revert); the shuffle-free shape only pays off
+    where the gram exchange, not per-row compute, is the wall.
 
     Returns (id_col, n_tokens, top_ngram_frac, dup_ngram_frac, flagged).
     """
     toks = df.select(id_col, tokens(text_col).alias("__t"))
 
-    def run_frac(n: int, mode: str) -> F.Column:
-        arr = F.array_sort(ngram_array(F.col("__t"), n))
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("bigint").alias("run"),
-            F.lit(0).cast("bigint").alias("mx"),
-            F.lit(0).cast("bigint").alias("dup"),
+    def frac(n: int, mode: str, out: str) -> DataFrame:
+        grams = toks.select(
+            id_col, F.explode(ngram_array(F.col("__t"), n)).alias("g")
+        )
+        counts = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        per_doc = counts.groupBy(id_col).agg(
+            F.sum("c").alias("__total"),
+            (F.max("c") if mode == "top" else F.sum(F.when(F.col("c") > 1, F.col("c")))).alias(
+                "__part"
+            ),
+        )
+        return per_doc.select(
+            id_col,
+            (
+                F.coalesce(F.col("__part"), F.lit(0)) / F.col("__total").cast("double")
+            ).alias(out),
         )
 
-        def step(acc, g):
-            same = acc["prev"].isNotNull() & (acc["prev"] == g)
-            return F.struct(
-                g.alias("prev"),
-                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
-                F.when(same, acc["mx"]).otherwise(F.greatest(acc["mx"], acc["run"])).alias("mx"),
-                F.when(
-                    ~same & (acc["run"] > 1), acc["dup"] + acc["run"]
-                ).otherwise(acc["dup"]).alias("dup"),
-            )
-
-        def fin(acc):
-            mx = F.greatest(acc["mx"], acc["run"])
-            dup = F.when(acc["run"] > 1, acc["dup"] + acc["run"]).otherwise(acc["dup"])
-            return mx if mode == "top" else dup
-
-        part = F.aggregate(arr, init, step, fin)
-        total = F.size(arr)
-        return F.when(
-            total > 0, part / total.cast("double")
-        ).otherwise(F.lit(0.0))
-
-    return toks.select(
-        id_col,
-        F.size("__t").cast("bigint").alias("n_tokens"),
-        run_frac(top_n, "top").alias("top_ngram_frac"),
-        run_frac(dup_n, "dup").alias("dup_ngram_frac"),
-    ).withColumn(
+    base = toks.select(id_col, F.size("__t").cast("bigint").alias("n_tokens"))
+    out = (
+        base.join(frac(top_n, "top", "top_ngram_frac"), id_col, "left")
+        .join(frac(dup_n, "dup", "dup_ngram_frac"), id_col, "left")
+        .withColumn("top_ngram_frac", F.coalesce("top_ngram_frac", F.lit(0.0)))
+        .withColumn("dup_ngram_frac", F.coalesce("dup_ngram_frac", F.lit(0.0)))
+    )
+    return out.withColumn(
         "flagged",
         (F.col("top_ngram_frac") > top_frac_max) | (F.col("dup_ngram_frac") > dup_frac_max),
     )

@@ -163,9 +163,20 @@ def _literal_pruned(
     pin the fallback branch by patching it)."""
     if limit is None:
         limit = _PROBE_LITERAL_MAX
-    keys = [
-        r[0] for r in probe.select(col).distinct().limit(limit + 1).collect()
-    ]
+    # Bounded RAW collect first (r15): a narrow CollectLimit job with no
+    # exchange. When the probe's raw rows fit under 8x the literal bound
+    # (every micro-batch: bands x batch rows), the distinct set is computed
+    # driver-side — the distinct SHUFFLE job this used to pay per batch is
+    # gone. A bigger probe falls back to the distinct+limit path, so the
+    # decision (and the fallback behavior tests pin) is unchanged.
+    raw_cap = 8 * (limit + 1)
+    raw = probe.select(col).limit(raw_cap).collect()
+    if len(raw) < raw_cap:
+        keys = sorted({r[0] for r in raw})
+    else:
+        keys = [
+            r[0] for r in probe.select(col).distinct().limit(limit + 1).collect()
+        ]
     if len(keys) > limit:
         return state
     return state.filter(F.col(col).isin(keys))
@@ -296,11 +307,23 @@ def make_dedup_ingest_batch_fn(
         # directory listing per dataset — negligible next to the batch)
         recover_base(spark, base, own_token=bound)
 
-        # 1. within-batch: exact, then near-dup clusters -> min-id survivor
-        keep = dedup.exact_dedup(batch_df, text_col, id_col).select(
-            F.col("keep_id").alias(id_col)
+        # 1. within-batch: exact, then near-dup clusters -> min-id survivor.
+        # The exact stage is ONE fingerprint-keyed window (row_number == 1
+        # keeps the min-id row per md5 group — the identical survivor set
+        # exact_dedup's groupBy + semi-join selects) instead of two
+        # exchanges plus a join back on id (r15; the batch operator keeps
+        # its groupBy form because its contract also returns group counts).
+        from pyspark.sql import Window
+
+        from healthcare_rcm_etl_pipeline_spark.functions.text import fingerprint_md5
+
+        w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col))
+        batch = (
+            batch_df.withColumn("__fp", fingerprint_md5(text_col))
+            .withColumn("__rn", F.row_number().over(w_fp))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn")
         )
-        batch = batch_df.join(keep, id_col, "left_semi")
         # The batch is min-hashed ONCE per epoch (r15): this band table
         # (built on the exact-dedup survivors, i.e. a SUPERSET of the
         # final survivors) feeds the within-batch LSH below via
@@ -353,11 +376,29 @@ def make_dedup_ingest_batch_fn(
             # accumulated index is corpus-sized; big batches fall back to
             # the join-based prune inside the incremental probe.
             index = _literal_pruned_index(index, batch_bands)
+
+            # candidate BASE text via the POINT-LOOKUP seam (r15): the
+            # serving path (probe_near_dups) already fetched candidate
+            # docs with a literal id filter over the range-sorted docs
+            # state — footer min/max stats prune to the matching
+            # files/row groups. The ingest path instead passed the whole
+            # corpus relation, whose verify semi-join SCANNED the full
+            # accumulated docs text every epoch (the one remaining
+            # O(corpus) read in the batch body). The collected id list is
+            # bounded by max_bucket semantics (same contract as the
+            # serving path); output is pinned equal in the incremental
+            # tests either way.
+            def fetch(ids: list) -> DataFrame:
+                return read_corpus(spark, base, max_epoch=last).filter(
+                    F.col(id_col).isin(list(ids))
+                )
+
             dup_new = (
                 dedup.minhash_lsh_pairs_incremental(
-                    batch, corpus, text_col, id_col,
+                    batch, None, text_col, id_col,
                     k=k, bands=bands, n=n, verify_threshold=verify_threshold,
                     base_bands=index, new_bands=batch_bands,
+                    base_lookup=fetch,
                 )
                 .select(F.col("doc_new").alias(id_col))
                 .distinct()
@@ -499,13 +540,23 @@ def make_semantic_ingest_batch_fn(
             # the whole index (the round-11 upward-trend finding). The
             # per-batch probe stats land on ``apply_batch.last_probe`` so
             # harnesses can verify which regime they measured.
-            cells = [
-                r[0]
-                for r in batch.select("cell")
-                .distinct()
-                .limit(_PROBE_LITERAL_MAX + 1)
-                .collect()
-            ]
+            # bounded RAW collect first (r15, same device as
+            # _literal_pruned): a micro-batch's (id, cell) rows fit under
+            # 8x the literal bound, so the distinct set comes from one
+            # narrow CollectLimit job instead of a distinct shuffle;
+            # oversized batches fall back to the distinct path unchanged.
+            raw_cap = 8 * (_PROBE_LITERAL_MAX + 1)
+            raw = batch.select("cell").limit(raw_cap).collect()
+            if len(raw) < raw_cap:
+                cells = sorted({r[0] for r in raw})
+            else:
+                cells = [
+                    r[0]
+                    for r in batch.select("cell")
+                    .distinct()
+                    .limit(_PROBE_LITERAL_MAX + 1)
+                    .collect()
+                ]
             if len(cells) <= _PROBE_LITERAL_MAX:
                 cand = index.filter(F.col("cell").isin(cells))
                 apply_batch.last_probe = {

@@ -49,10 +49,19 @@ def main() -> int:
             ingest.recover_base(spark, base, own_token=bound)
             lap("resolve+recover")
 
-            keep = dedup.exact_dedup(batch_df, "text", "doc_id").select(
-                F.col("keep_id").alias("doc_id")
+            from pyspark.sql import Window
+
+            from healthcare_rcm_etl_pipeline_spark.functions.text import (
+                fingerprint_md5,
             )
-            batch = batch_df.join(keep, "doc_id", "left_semi")
+
+            w_fp = Window.partitionBy("__fp").orderBy(F.col("doc_id"))
+            batch = (
+                batch_df.withColumn("__fp", fingerprint_md5("text"))
+                .withColumn("__rn", F.row_number().over(w_fp))
+                .filter(F.col("__rn") == 1)
+                .drop("__fp", "__rn")
+            )
             batch_bands = dedup.minhash_band_table(
                 batch, "text", "doc_id", k=k, bands=bands, n=n
             ).localCheckpoint(eager=True)

@@ -219,3 +219,37 @@ def test_chunk_rewrite_hash_mode_survives_forced_collisions(spark):
         )
     )
     assert a == b
+
+
+class TestRepetitionRunCounting:
+    """r15: repetition_stats moved from explode+groupBy+re-join to a
+    per-row sorted-run fold (zero shuffles). Pin run-counting ≡ explicit
+    gram counting on docs engineered so grams interleave (sortedness is
+    load-bearing) and ties exist."""
+
+    def test_interleaved_grams_match_explicit_counts(self, spark):
+        # 2-gram stream: "a b" x3, "b a" x2, "b c" x1 interleaved
+        text = "a b a b a b c"
+        # 2-grams: [a b, b a, a b, b a, a b, b c] -> top "a b" 3/6;
+        # dup-positions for 3-grams: [a b a, b a b, a b a, b a b, a b c]
+        # -> "a b a" x2 + "b a b" x2 = 4 of 5
+        r = corpus.repetition_stats(
+            _docs(spark, [text]), top_n=2, dup_n=3
+        ).collect()[0]
+        assert r.n_tokens == 7
+        assert r.top_ngram_frac == pytest.approx(3 / 6)
+        assert r.dup_ngram_frac == pytest.approx(4 / 5)
+
+    def test_no_flag_below_window_and_empty(self, spark):
+        rows = {
+            r.doc_id: r
+            for r in corpus.repetition_stats(
+                _docs(spark, ["a b", "   "]), top_n=2, dup_n=3
+            ).collect()
+        }
+        # doc 0: one 2-gram ("a b") -> top 1/1; no 3-gram -> dup 0.0
+        assert rows[0].top_ngram_frac == 1.0 and rows[0].dup_ngram_frac == 0.0
+        # doc 1: zero tokens -> zero fractions, never null
+        assert rows[1].n_tokens == 0
+        assert rows[1].top_ngram_frac == 0.0 and rows[1].dup_ngram_frac == 0.0
+        assert not rows[1].flagged

@@ -228,3 +228,26 @@ def test_bounded_cc_union_find_matches_bfs_reference():
         assert union_find(rows) == bfs_min_labels(rows)
 
     check()
+
+
+def test_bounded_cc_fast_path_labels_broadcast_downstream(spark):
+    """r15: the union-find fast path's local relation must carry a
+    broadcast hint — createDataFrame arrives as an ExistingRDD with no
+    stats, and without the hint a corpus-sized join against 50 label rows
+    was planned sort-merge (the r15 before-plans show it). Pin the join
+    strategy, not just the values."""
+    from pyspark.sql import functions as F
+
+    from healthcare_rcm_etl_pipeline_spark.operators.graph import (
+        connected_components_bounded,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = connected_components_bounded(pairs, collect_limit=4096)
+    corpus = spark.range(0, 1000).withColumnRenamed("id", "doc")
+    joined = corpus.join(labels, "doc", "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
