@@ -790,12 +790,58 @@ def main() -> None:
         }
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    line = json.dumps(out)
-    if len(line) > 1900:  # stay inside the driver's 2000-char stdout window
-        out.pop("queries", None)
-        line = json.dumps(out)
-    print(line)
+    print(_render_stdout_line(out), flush=True)
     spark.stop()
+
+
+def _render_stdout_line(out: dict) -> str:
+    """One JSON line for the driver, with the per-query map ALWAYS present.
+
+    Through r15 the emit path popped `queries` whenever the pretty-printed
+    line exceeded 1900 chars — with 67 benched paths that was every round
+    since r9, leaving the driver per-query blind (PERF per_query empty, no
+    geomean, no low-core scaling ratios; r15 VERDICT item 3). Fix, in order
+    of information lost (full precision + every field stays in
+    BENCH_DETAIL.json):
+
+    1. compact separators (no spaces);
+    2. per-query seconds at 2 decimals (3 dp lives in the detail file);
+    3. move non-essential metadata (sentinel, materialize note, deltas_vs,
+       comparable_total, detail pointer) to ONE stderr line — the driver's
+       window captures interleaved stderr, and the contract keys
+       (metric/value/unit/queries/sf) keep the stdout line self-contained;
+    4. 1 decimal for queries >= 10 s;
+    5. only then pop `queries` (never reached at the current 67 entries:
+       measured 1858 chars at step 3; >=100 s values fall back to ints).
+    """
+    line = json.dumps(out)
+    if len(line) <= 1900:
+        return line
+    out = dict(out)
+    out["queries"] = {k: round(v, 2) for k, v in out.get("queries", {}).items()}
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= 1900:
+        return line
+    # sentinel last: the driver keeps the LAST 2000 chars of output, so the
+    # tail of this stderr line is what survives next to the stdout line
+    spill = {
+        k: out.pop(k)
+        for k in ("materialize", "deltas_vs", "detail", "comparable_total", "sentinel")
+        if k in out
+    }
+    print("bench meta: " + json.dumps(spill, separators=(",", ":")), file=sys.stderr)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= 1900:
+        return line
+    out["queries"] = {
+        k: (int(round(v)) if v >= 100 else round(v, 1) if v >= 10 else v)
+        for k, v in out["queries"].items()
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= 1900:
+        return line
+    out.pop("queries", None)
+    return json.dumps(out, separators=(",", ":"))
 
 
 if __name__ == "__main__":
