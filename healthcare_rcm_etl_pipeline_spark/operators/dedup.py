@@ -511,6 +511,28 @@ def df_cap_shingles(post: DataFrame, max_df: int, col: str = "shingle") -> DataF
     return post.join(hot, col, "left_anti")
 
 
+def _minhash_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, n_shingles, __hs): per-doc array of 64-bit shingle hashes —
+    the shared front half of both minhash paths. The shingle string is
+    hashed ONCE to a long; docs with no shingles (shorter than n tokens)
+    produce no row, enforced as a TOKEN-COUNT filter on the raw text
+    (cheap to recompute when Catalyst pushes it to the scan); filtering
+    on size(shingles) instead pushes the whole shingle expression into
+    the Filter node and runs the pipeline twice per row (seen in the
+    plan)."""
+    from healthcare_rcm_etl_pipeline_spark.functions.text import tokens as _tokens
+
+    return _shingle_arrays(
+        df.filter(F.size(_tokens(text_col)) >= n), text_col, id_col, n
+    ).select(
+        "doc",
+        F.size("shingles").alias("n_shingles"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__hs"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int = 3
 ) -> DataFrame:
@@ -518,30 +540,97 @@ def minhash_signatures(
     long, then the k 'permutations' are cheap long-hashes of (h, seed_i) —
     hashing the string k times would cost k× the bytes.
 
-    The k mins are PER-ROW array expressions (array_min over a transform of
-    the doc's already-materialized shingle-hash array) — zero shuffle: the
-    earlier explode + 64-min groupBy formulation moved every posting through
-    an exchange and measured 1.55× slower at sf0.1; signatures are
-    embarrassingly parallel and now stay that way at 100 TB. Docs with no
-    shingles (shorter than n tokens) produce no signature row, matching the
-    posting-list semantics — enforced as a TOKEN-COUNT filter on the raw
-    text (cheap to recompute when Catalyst pushes it to the scan); filtering
-    on size(shingles) instead pushes the whole shingle expression into the
-    Filter node and runs the pipeline twice per row (seen in the plan)."""
-    from healthcare_rcm_etl_pipeline_spark.functions.text import tokens as _tokens
+    r16: the k per-permutation mins run in ONE mapInArrow pass (guide §4.2):
+    vectorized uint64 NumPy reproduces Spark's xxhash64-over-long bit
+    exactly (functions/hash64.py; parity pinned in tests), with the
+    (h, 42) inner hash computed once per shingle and reused by all k seeds
+    — the expression form re-derived it k times. The pre-r16 form (kept
+    below as minhash_signatures_expr, the parity test's reference) ran k
+    interpreted transform+array_min passes per row: higher-order lambdas
+    are not whole-stage-codegen'd, and they dominated every band-table
+    build (~2.3 s/ingest batch at sf0.1). Still zero shuffle — signatures
+    stay embarrassingly parallel at 100 TB; only (doc, n_shingles, __hs)
+    crosses the Python boundary (explicit select, guide §4.1)."""
+    return _minhash_mins_arrow(_minhash_shingle_hashes(df, text_col, id_col, n), k)
 
-    base = _shingle_arrays(
-        df.filter(F.size(_tokens(text_col)) >= n), text_col, id_col, n
-    ).select(
-        "doc",
-        F.size("shingles").alias("n_shingles"),
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__hs"),
-    )
+
+def minhash_signatures_expr(
+    df: DataFrame, text_col: str, id_col: str, k: int = 64, n: int = 3
+) -> DataFrame:
+    """Pure-expression reference implementation (pre-r16 main path): k
+    array_min(transform(__hs, h -> xxhash64(h, i))) column expressions.
+    Kept as the bit-parity oracle for the Arrow path and as the fallback
+    for environments without NumPy/Arrow workers."""
+    base = _minhash_shingle_hashes(df, text_col, id_col, n)
     mins = [
         F.array_min(F.transform("__hs", lambda h: F.xxhash64(h, F.lit(i)))).alias(f"mh{i}")
         for i in range(k)
     ]
     return base.select("doc", "n_shingles", *mins)
+
+
+def _minhash_mins_arrow(base: DataFrame, k: int) -> DataFrame:
+    """mapInArrow kernel: per-doc k-permutation minima over the shingle
+    hash arrays, bit-identical to array_min(transform(__hs, h ->
+    xxhash64(h, i))).
+
+    Per batch: flatten the list column (absolute offsets into the child
+    values, valid even for sliced arrays), hash every shingle long once
+    with seed 42 (the inner hash is seed-independent), then for each
+    permutation i apply the remaining ~6 uint64 vector ops and take
+    per-document minima with np.minimum.reduceat over the int64 view
+    (Spark longs compare signed). Empty docs (impossible via the token
+    filter, but cheap to honor) yield NULL like array_min(empty)."""
+    import numpy as np
+
+    from healthcare_rcm_etl_pipeline_spark.functions import hash64 as hx
+
+    out_fields = ["doc", "n_shingles"] + [f"mh{i}" for i in range(k)]
+    doc_t = base.schema["doc"].dataType.simpleString()
+    schema = f"doc {doc_t}, n_shingles int, " + ", ".join(
+        f"mh{i} bigint" for i in range(k)
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        # the i-th 'permutation' is xxhash64(h, lit(i)) with lit(i) an INT
+        # literal — Catalyst's 4-byte hashInt path, whose per-i term is
+        # (i & 0xffffffff) * P1, precomputable for all k seeds
+        ki = (np.arange(k, dtype=np.uint64) & hx._M32) * hx._P1
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = b.column(b.schema.get_field_index("__hs"))
+            offsets = col.offsets.to_numpy().astype(np.intp, copy=False)
+            values = col.values.to_numpy(zero_copy_only=False)
+            inner = hx.xxh64_long(values)  # uint64 (S,): hashLong(h, 42)
+            basis = inner + hx._P5 + np.uint64(4)  # hashInt seed-expansion
+            lengths = np.diff(offsets)
+            empty = lengths == 0
+            # reduceat ONLY at non-empty rows' starts: empty rows occupy
+            # zero width in `values`, so the j-th segment still covers
+            # exactly the j-th non-empty row, the indices stay strictly
+            # increasing, and no index can reach len(values)
+            ne_starts = offsets[:-1][~empty]
+            any_empty = bool(empty.any())
+            mask = empty if any_empty else None
+            n_rows = len(lengths)
+            cols = [b.column(0), b.column(1)]
+            for i in range(k):
+                h = basis ^ ki[i]
+                h = hx._rotl(h, hx._U23) * hx._P2 + hx._P3
+                h = hx.fmix(h).view(np.int64)
+                if any_empty:
+                    m = np.zeros(n_rows, dtype=np.int64)
+                    if len(ne_starts):
+                        m[~empty] = np.minimum.reduceat(h, ne_starts)
+                else:
+                    m = np.minimum.reduceat(h, ne_starts)
+                cols.append(pa.array(m, type=pa.int64(), mask=mask))
+            yield pa.RecordBatch.from_arrays(cols, names=out_fields)
+
+    return base.mapInArrow(gen, schema)
 
 
 def minhash_band_table(
@@ -1045,6 +1134,13 @@ def minhash_lsh_pairs_incremental(
             F.max(F.when(F.col("doc") == F.col("doc_base"), F.col("hs"))).alias("hs_a"),
             F.max(F.when(F.col("doc") == F.col("doc_new"), F.col("hs"))).alias("hs_b"),
         )
+        # Half-pairs (a candidate whose base or new side died upstream —
+        # e.g. a CC-dropped batch doc surviving in a superset band table)
+        # are dropped EXPLICITLY. They previously relied on size(NULL)=-1
+        # making jaccard NULL/negative under the threshold filter — true
+        # for every real threshold (>0), but fragile if sizeOfNull
+        # semantics or a zero threshold ever change (ADVICE r15).
+        .filter(F.col("hs_a").isNotNull() & F.col("hs_b").isNotNull())
         .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",

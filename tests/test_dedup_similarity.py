@@ -579,3 +579,73 @@ def test_ivf_drift_refresh_recall_and_balance(spark):
         )
 
     assert _hot_cell(refreshed) <= _hot_cell(stale)
+
+
+class TestMinhashArrowParity:
+    """r16: minhash_signatures moved to a mapInArrow NumPy kernel
+    (functions/hash64.py). Every minhash-derived oracle hash rides on these
+    longs, so the Arrow path must be BIT-identical to the expression
+    reference (minhash_signatures_expr) — pinned here on real testdata and
+    on constructed edge cases (doc with exactly n tokens, repeated shingles,
+    unicode, many docs spanning multiple rows per partition)."""
+
+    def _assert_identical(self, fast, ref):
+        f = {r["doc"]: r for r in fast.collect()}
+        e = {r["doc"]: r for r in ref.collect()}
+        assert set(f) == set(e)
+        for doc, row in e.items():
+            assert f[doc].asDict() == row.asDict(), f"doc {doc} differs"
+
+    def test_parity_constructed_edges(self, spark):
+        rows = [
+            (0, "a b c"),                    # exactly n tokens -> 1 shingle
+            (1, "a b c a b c a b c"),        # repeated shingles
+            (2, "x y"),                      # too short -> no row
+            (3, "päällekkäisyys olisi löydettävä täältä myös"),  # unicode
+            (4, " ".join(f"tok{i % 7}" for i in range(500))),    # long doc
+            (5, ""),                          # empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        self._assert_identical(
+            dedup.minhash_signatures(df, "text", "doc_id", k=64, n=3),
+            dedup.minhash_signatures_expr(df, "text", "doc_id", k=64, n=3),
+        )
+
+    def test_parity_testdata_and_band_table(self, spark, sf_dir):
+        from healthcare_rcm_etl_pipeline_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        self._assert_identical(
+            dedup.minhash_signatures(docs, "text", "doc_id", k=64, n=3),
+            dedup.minhash_signatures_expr(docs, "text", "doc_id", k=64, n=3),
+        )
+        # band hashes chain the signature longs: parity must survive them
+        bands = {
+            (r["doc"], r["band"]): r["bh"]
+            for r in dedup.minhash_band_table(docs, "text", "doc_id").collect()
+        }
+        sig = dedup.minhash_signatures_expr(docs, "text", "doc_id")
+        ref_bands = {
+            (r["doc"], r["band"]): r["bh"]
+            for r in sig.select(
+                "doc",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(*[F.col(f"mh{b * 4 + i}") for i in range(4)]).alias("bh"),
+                        )
+                        for b in range(16)
+                    ])
+                ).alias("bb"),
+            ).select("doc", "bb.band", "bb.bh").collect()
+        }
+        assert bands == ref_bands
+
+    def test_parity_nonstandard_k(self, spark):
+        rows = [(i, f"alpha beta gamma delta tok{i} epsilon zeta") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        self._assert_identical(
+            dedup.minhash_signatures(df, "text", "doc_id", k=16, n=2),
+            dedup.minhash_signatures_expr(df, "text", "doc_id", k=16, n=2),
+        )
