@@ -172,7 +172,10 @@ def _literal_pruned(
     raw_cap = 8 * (limit + 1)
     raw = probe.select(col).limit(raw_cap).collect()
     if len(raw) < raw_cap:
-        keys = sorted({r[0] for r in raw})
+        # NULL keys are dropped before sorting (None is unorderable): a
+        # NULL never matches `isin` in the fallback path either, so the
+        # two paths stay row-identical for NULL-bearing probes
+        keys = sorted({r[0] for r in raw if r[0] is not None})
     else:
         keys = [
             r[0] for r in probe.select(col).distinct().limit(limit + 1).collect()
@@ -548,7 +551,8 @@ def make_semantic_ingest_batch_fn(
             raw_cap = 8 * (_PROBE_LITERAL_MAX + 1)
             raw = batch.select("cell").limit(raw_cap).collect()
             if len(raw) < raw_cap:
-                cells = sorted({r[0] for r in raw})
+                # NULL-safe like _literal_pruned: drop Nones pre-sort
+                cells = sorted({r[0] for r in raw if r[0] is not None})
             else:
                 cells = [
                     r[0]
