@@ -854,18 +854,40 @@ def pq_topk(
     m = len(codebooks)
     spark = codes.sparkSession
     par = spark.sparkContext.defaultParallelism
+    q = _pq_lut_frame(queries, codebooks, vec_col, id_col)
+    c = codes.repartition(par, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__codes")
+    )
+    if candidates is not None:
+        c = c.join(
+            candidates.select("query_id", "neighbor_id"), "neighbor_id"
+        ).join(F.broadcast(q), "query_id")
+    else:
+        c = c.join(F.broadcast(q))
+    return _pq_adc_rank(c, m, k, rerank, corpus, queries, vec_col, id_col)
+
+
+def _pq_lut_frame(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, __lut0..__lut{m-1}): per-query ADC lookup tables.
+
+    Computed DRIVER-SIDE: queries are the bounded small side by contract
+    (same as brute_force_topk's broadcast side and ivf_fit's centroid
+    collect), and a |queries| × m × k_cb table of doubles is
+    metadata-scale. Doing this as a giant per-row projection instead
+    costs ~2 s of plan analysis/codegen PER CALL (m × k_cb unrolled
+    distance expressions) for work the driver finishes in microseconds —
+    the plan the executors then run is a tiny local relation broadcast
+    into the code-relation scan, which is where the actual data volume
+    lives. Python float arithmetic is IEEE double with the same
+    left-to-right fold, so the LUT values are bit-identical to the
+    expression form."""
+    m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    # The lookup tables are computed DRIVER-SIDE: queries are the bounded
-    # small side by contract (same as brute_force_topk's broadcast side and
-    # ivf_fit's centroid collect), and a |queries| × m × k_cb table of
-    # doubles is metadata-scale. Doing this as a giant per-row projection
-    # instead costs ~2 s of plan analysis/codegen PER CALL (m × k_cb
-    # unrolled distance expressions) for work the driver finishes in
-    # microseconds — the plan the executors then run is a tiny local
-    # relation broadcast into the code-relation scan, which is where the
-    # actual data volume lives. Python float arithmetic is IEEE double
-    # with the same left-to-right fold, so the LUT values are
-    # bit-identical to the expression form.
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     lut_rows = []
     for r in qrows:
@@ -889,16 +911,22 @@ def pq_topk(
             for j in range(m)
         ]
     )
-    q = spark.createDataFrame(lut_rows, schema)
-    c = codes.repartition(par, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__codes")
-    )
-    if candidates is not None:
-        c = c.join(
-            candidates.select("query_id", "neighbor_id"), "neighbor_id"
-        ).join(F.broadcast(q), "query_id")
-    else:
-        c = c.join(F.broadcast(q))
+    return queries.sparkSession.createDataFrame(lut_rows, schema)
+
+
+def _pq_adc_rank(
+    c: DataFrame,
+    m: int,
+    k: int,
+    rerank: int | None,
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared ADC scoring + top-k tail of the PQ family: ``c`` carries
+    (query_id, neighbor_id, __codes, __lut0..__lut{m-1}) however the
+    caller assembled the candidates."""
     adc = F.lit(0.0)
     for j in range(m):
         adc = adc + F.get(F.col(f"__lut{j}"), F.element_at("__codes", j + 1))
@@ -973,7 +1001,19 @@ def ivf_pq_topk(
     bytes per candidate (m logical bytes, no float vectors in the scan);
     ``rerank`` then restores exact ordering on the short list. Total
     recall ≈ cell recall × ADC recall — both factors measured separately
-    in tests."""
+    in tests.
+
+    r16 plan shape (guide §2.3 "shuffle fewer bytes"): through r15 this
+    built the (query_id, neighbor_id) candidate-pair relation first and
+    shuffled IT by neighbor_id to meet the code relation — an exchange of
+    |queries| × n_probe/n_cells × |corpus| rows before any scoring. Now
+    the two CORPUS-sized relations join first (codes ⋈ index on the id,
+    reusing the parallelism repartition's partitioning), and the
+    query-multiplication happens via two BROADCAST joins (probed cells,
+    then LUTs) inside the same stage as the ADC scoring — the only
+    pair-sized exchange left is the per-query top-k window's, which is
+    fundamental to the ranking. Candidate set, ADC expression, window
+    ordering and rerank are unchanged, so the result is bit-identical."""
     qv = as_double_vec(vec_col)
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),
@@ -988,20 +1028,20 @@ def ivf_pq_topk(
             )
         ).alias("cell"),
     )
-    cand = index.select(F.col(id_col).alias("neighbor_id"), "cell").join(
-        F.broadcast(q_cells), "cell"
+    m = len(codebooks)
+    par = codes.sparkSession.sparkContext.defaultParallelism
+    q = _pq_lut_frame(queries, codebooks, vec_col, id_col)
+    cc = (
+        codes.repartition(par, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col("codes").alias("__codes"))
+        .join(index.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id")
     )
-    return pq_topk(
-        codes,
-        queries,
-        codebooks,
-        vec_col,
-        id_col,
-        k=k,
-        rerank=rerank,
-        corpus=corpus,
-        candidates=cand,
+    scored_c = (
+        cc.join(F.broadcast(q_cells), "cell")
+        .drop("cell")
+        .join(F.broadcast(q), "query_id")
     )
+    return _pq_adc_rank(scored_c, m, k, rerank, corpus, queries, vec_col, id_col)
 
 
 def _mmr_greedy_driver(
