@@ -791,6 +791,20 @@ def cooccurrence_pairs(
     group, never a cartesian) with a < b to canonicalize and halve the
     output -> partial-aggregated support count on one pair shuffle.
 
+    r16 negative result (kept as the r15 reverts were): a one-exchange
+    rewrite — groupBy(collect_set) then in-array pair emission via
+    dedup._pairs_in_array — measured consistently 1.2-1.4x SLOWER at
+    sf0.1/32 cores across three interleaved A/B pairs (q49 9.4 -> 11.5 s,
+    q48 2.0 -> 2.5 s isolated min-of-4): the interpreted higher-order
+    flatten/transform pair emitter costs more than the whole-stage-codegen
+    SortMergeJoin it replaces when the upstream (a distinct over two
+    narrow columns) is this cheap to recompute — the same lesson as r15's
+    reverted repetition_stats fold. _pairs_in_array wins inside
+    minhash_lsh_pairs only because there the join sides would recompute an
+    expensive signature pipeline. NULL semantics pinned in
+    tests/test_corpus.py::test_cooccurrence_pairs_null_group_and_item_excluded
+    (the join predicates reject NULL groups and NULL items).
+
     ``max_group`` is the degenerate-group guard, same trade as the dedup
     family's ``max_bucket``: one million-item group would emit ~10^12
     pairs from a single key, so groups with more distinct items than the

@@ -222,10 +222,14 @@ def test_chunk_rewrite_hash_mode_survives_forced_collisions(spark):
 
 
 class TestRepetitionRunCounting:
-    """r15: repetition_stats moved from explode+groupBy+re-join to a
-    per-row sorted-run fold (zero shuffles). Pin run-counting ≡ explicit
-    gram counting on docs engineered so grams interleave (sortedness is
-    load-bearing) and ties exist."""
+    """Pins value-equivalence of sorted-run counting vs explicit gram
+    counting on docs engineered so grams interleave (sortedness is
+    load-bearing) and ties exist. History: r15 tried rewriting
+    repetition_stats as a per-row sorted-run fold (zero shuffles) and
+    REVERTED it — the interpreted fold measured 1.5x slower than the
+    codegen'd exchanges (OPTIMIZATION_r15.md §6); the shipped code is the
+    explode+groupBy plan, and these pins stay as the safety net for any
+    future retry."""
 
     def test_interleaved_grams_match_explicit_counts(self, spark):
         # 2-gram stream: "a b" x3, "b a" x2, "b c" x1 interleaved
@@ -253,3 +257,19 @@ class TestRepetitionRunCounting:
         assert rows[1].n_tokens == 0
         assert rows[1].top_ngram_frac == 0.0 and rows[1].dup_ngram_frac == 0.0
         assert not rows[1].flagged
+
+
+def test_cooccurrence_pairs_null_group_and_item_excluded(spark):
+    """r16: the collect_set rewrite must keep the join formulation's NULL
+    semantics — a NULL group key never groups rows together (NULL == NULL
+    was not a join match) and a NULL item never forms a pair (NULL < x was
+    not true)."""
+    from healthcare_rcm_etl_pipeline_spark.operators.corpus import cooccurrence_pairs
+
+    rows = [(None, 1), (None, 2), (1, None), (1, 3), (1, 4), (2, 3), (2, 4)]
+    df = spark.createDataFrame(rows, "g int, i int")
+    out = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in cooccurrence_pairs(df, "g", "i", min_support=1).collect()
+    }
+    assert out == {(3, 4): 2}
