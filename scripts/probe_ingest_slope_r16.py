@@ -43,7 +43,10 @@ def main() -> int:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.count()
     base = tempfile.mkdtemp(prefix="hrcm_probe_slope_")
-    n_batches = 8
+    # More batches than the bench's 8 expose a per-epoch growth term that
+    # JIT warm-up decay would otherwise mask (the first ~3 batches of a
+    # cold JVM are dominated by codegen/JIT, not state size)
+    n_batches = int(os.environ.get("PROBE_BATCHES", "8"))
     k, bands, n, thr = 64, 16, 3, 0.5
     try:
         for b in range(n_batches):

@@ -330,3 +330,32 @@ def test_twin_gate_probe_is_cached(spark, tmp_path, monkeypatch):
     assert ingest._twin_worth_probing(spark, twin) is True
     assert calls["n"] == 2
     ingest._reset_twin_caches()
+
+
+def test_in_literals_matches_isin_semantics(spark):
+    """r16: integer point-lookup predicates are built as one parsed SQL
+    expression (ingest._in_literals) instead of a py4j-marshalled isin
+    list (~0.6 ms/element of pure driver time). Pin row-identity against
+    isin on ints (incl. negatives / int64 extremes), the string fallback,
+    and the empty-key edge; bools must NOT take the SQL path."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1,), (-5,), (9223372036854775807,), (0,), (42,)], "bh long"
+    )
+    keys = [1, -5, 9223372036854775807]
+    got = sorted(r[0] for r in df.filter(ingest._in_literals("bh", keys)).collect())
+    ref = sorted(r[0] for r in df.filter(F.col("bh").isin(keys)).collect())
+    assert got == ref == [-5, 1, 9223372036854775807]
+    # empty keys: all-false either way
+    assert df.filter(ingest._in_literals("bh", [])).count() == 0
+    # string fallback path
+    sdf = spark.createDataFrame([("a",), ("b'c",)], "chunk string")
+    skeys = ["b'c", "nope"]
+    got_s = sorted(r[0] for r in sdf.filter(ingest._in_literals("chunk", skeys)).collect())
+    assert got_s == ["b'c"]
+    # bools are int subclasses but must use the isin path (render as True/False)
+    bdf = spark.createDataFrame([(True,), (False,)], "flag boolean")
+    assert sorted(
+        r[0] for r in bdf.filter(ingest._in_literals("flag", [True])).collect()
+    ) == [True]
