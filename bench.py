@@ -34,6 +34,24 @@ from healthcare_rcm_etl_pipeline_spark.session import get_spark
 # live in the prev-round comparison (r1-r6 notes removed in r10 — they
 # described deltas between rounds no longer being compared).
 DELTA_NOTES: dict[str, str] = {
+    # r16 optimization round — intentional plan changes (full evidence in
+    # OPTIMIZATION_r16.md; values identical, sweep-verified):
+    "dedup_minhash_lsh": (
+        "r16: minhash permutation minima in ONE mapInArrow NumPy kernel, "
+        "bit-exact vs the expression form (was 64 interpreted "
+        "transform+array_min passes per row)"
+    ),
+    "streaming_ingest_batch": (
+        "r16: per-batch band builds ride the mapInArrow minhash kernel; "
+        "point-lookup In() predicates built as one parsed SQL expr "
+        "(py4j isin marshalling was ~0.6 ms/literal of driver time)"
+    ),
+    "ann_topk_ivf_pq": (
+        "r16: candidate build fused into the ADC scoring stage; plan "
+        "unchanged at this SF (candidates broadcast either way), changes "
+        "the at-scale degradation from a pair-sized shuffle to a "
+        "corpus-sized co-partitioned join"
+    ),
     # r15 optimization round — intentional plan changes (full evidence in
     # OPTIMIZATION_r15.md; values identical, sweep-verified):
     "q49_copurchase_pagerank": (
